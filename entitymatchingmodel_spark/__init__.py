@@ -1,0 +1,28 @@
+"""entitymatchingmodel_spark — a PySpark-native entity-matching & data-pipeline engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of
+ing-bank/EntityMatchingModel (reference surveyed in SURVEY.md):
+
+1. name preprocessing          -> ``operators.preprocessor`` (native Column exprs)
+2. candidate selection         -> ``operators.cossim_indexer`` (TF-IDF cosine top-k,
+                                  DataFrame inverted-index join, Catalyst-planned)
+                                  + ``operators.sni_indexer`` (sorted neighbourhood)
+3. supervised pair scoring     -> ``operators.supervised`` (Spark-native features +
+                                  pyspark.ml classifier; no sklearn dependency)
+4. entity/account aggregation  -> ``operators.aggregation`` (pure DataFrame rewrite)
+
+Plus large-scale training-data pipeline operators: deduplication
+(``operators.dedup``), similarity search (``operators.ann``), text analysis
+(``functions.text``), multimodal plumbing (``sources.multimodal``), and a
+Structured-Streaming transform path (``streaming``).
+
+Everything is declared through the DataFrame API so Catalyst/AQE plan the
+physical execution; Python UDFs appear only where a vectorized library is
+genuinely required, always Arrow-batched.
+"""
+
+from entitymatchingmodel_spark.pipeline import SparkEntityMatching
+from entitymatchingmodel_spark.session import get_spark
+
+__all__ = ["SparkEntityMatching", "get_spark"]
+__version__ = "0.1.0"
