@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines — all native exprs.
+
+Language-ID (stopword-profile heuristic), quality scoring, token counting,
+document fingerprinting.  Every function is a Column expression or a
+single-projection DataFrame op: zero Python boundaries, full codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.functions.tokenize import word_tokens
+
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+# Tiny per-language stopword profiles for the lang-id heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "de", "y", "es", "un", "una"),
+    "nl": ("de", "het", "een", "en", "van", "is", "niet", "dat"),
+}
+
+
+def tokens(c: Column) -> Column:
+    return word_tokens(F.lower(c))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def stopword_ratio(c: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(c)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.size(toks).cast("double")
+
+
+def avg_token_len(c: Column) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks).cast("double")
+
+
+def fingerprint(c: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — robust to token reordering, native."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(c))), " "))
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic quality in [0,1]: penalize very short docs, very long tokens,
+    low alphabetic ratio (C4/Gopher-style rules, simplified)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(c, "[^\\p{IsAlphabetic}]", ""))
+    alpha_ratio = alpha_chars / F.greatest(F.length(c), F.lit(1)).cast("double")
+    len_ok = F.when(n >= 5, F.lit(1.0)).otherwise(n / F.lit(5.0))
+    avg_len = avg_token_len(c)
+    tok_ok = F.when((avg_len >= 2) & (avg_len <= 12), 1.0).otherwise(0.5)
+    return F.round(len_ok * tok_ok * alpha_ratio, 6)
+
+
+def lang_id(c: Column) -> Column:
+    """Pick the language whose stopword profile hits most tokens; 'und' if none."""
+    toks = tokens(c)
+    best_lang, best_score = None, None
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*words))))
+        for lang, words in LANG_PROFILES.items()
+    ]
+    # greatest-of with deterministic first-wins tie-break via struct max
+    packed = F.array(
+        *[F.struct(s.alias("hits"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    top = F.array_max(packed)
+    return F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats table (used by the driver correctness query)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length(c).cast("int").alias("n_chars"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(avg_token_len(c), 6).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+    )

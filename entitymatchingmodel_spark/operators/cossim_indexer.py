@@ -45,6 +45,7 @@ class CosSimIndexerModel:
         lower_bound: float,
         blocking_func,
         input_col: str,
+        score_decimals: int | None = None,
     ):
         self.tfidf = tfidf
         self.gt_weights = gt_weights
@@ -52,6 +53,7 @@ class CosSimIndexerModel:
         self.lower_bound = lower_bound
         self.blocking_func = blocking_func
         self.input_col = input_col
+        self.score_decimals = score_decimals
 
     def transform(self, names: DataFrame) -> DataFrame:
         """names (uid, preprocessed, ...) -> (uid, gt_uid, score, rank)."""
@@ -64,9 +66,14 @@ class CosSimIndexerModel:
             q = q.join(blocks, S.UID)
             join_keys = ["token", "block"]
         pairs = q.join(self.gt_weights, join_keys)
+        score = F.sum(F.col("weight") * F.col("gt_weight"))
+        if self.score_decimals is not None:
+            # Round BEFORE threshold/rank (ref rounds before ranking, SURVEY
+            # §4 X15) so summation-order float noise cannot flip the top-k set.
+            score = F.round(score, self.score_decimals)
         scores = (
             pairs.groupBy(S.UID, "gt_uid")
-            .agg(F.sum(F.col("weight") * F.col("gt_weight")).alias("score"))
+            .agg(score.alias("score"))
             .filter(F.col("score") > F.lit(self.lower_bound))
         )
         w = Window.partitionBy(S.UID).orderBy(F.desc("score"), F.desc("gt_uid"))
@@ -101,6 +108,7 @@ class CosSimIndexer:
         input_col: str = S.PREPROCESSED,
         max_vocab: int | None = 2**25,
         max_df_frac: float | None = None,
+        score_decimals: int | None = None,
     ):
         self.tokenizer = tokenizer
         self.ngram = ngram
@@ -111,6 +119,7 @@ class CosSimIndexer:
         self.input_col = input_col
         self.max_vocab = max_vocab
         self.max_df_frac = max_df_frac
+        self.score_decimals = score_decimals
 
     def fit(self, gt: DataFrame) -> CosSimIndexerModel:
         vec = TfIdfVectorizer(
@@ -140,4 +149,5 @@ class CosSimIndexer:
             lower_bound=self.lower_bound,
             blocking_func=self.blocking_func,
             input_col=self.input_col,
+            score_decimals=self.score_decimals,
         )

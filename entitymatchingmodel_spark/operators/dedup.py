@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north star): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.  All pure DataFrame —
+designed so the shuffle keys are the dedup buckets themselves (band hashes /
+shingles), which is the scalable formulation at 100 TB: no pairwise O(n²)
+stage ever materializes beyond candidate buckets.
+
+Deterministic hashing uses md5-derived 28-bit integers
+(``conv(substr(md5(x),1,7),16,10)``) so results are reproducible across
+engines (DuckDB oracle: ``cast('0x'||substr(md5(x),1,7) as bigint)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.functions.tokenize import word_tokens
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = (1 << 61) - 1  # prime modulus for the universal hash family
+
+
+def md5_int(c: Column) -> Column:
+    """Deterministic 28-bit integer hash of a string (engine-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def _hash_family(h: Column, seed: int) -> Column:
+    """Universal hash h_i(x) = (a_i * x + b_i) mod p  (a,b from a fixed PRNG)."""
+    a = 2 * seed + 1  # odd multiplier
+    b = seed * 0x9E3779B1 % MERSENNE_P
+    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """Distinct word n-gram shingles, space-joined."""
+    toks = word_tokens(F.lower(c))
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts: (content_hash, rep_doc_id, group_size).
+
+    One hash-groupBy; map-side partial agg makes this a single cheap shuffle
+    at any scale.
+    """
+    return (
+        df.groupBy(F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative row (min id) per identical normalized text."""
+    w = Window.partitionBy(F.md5(F.trim(F.lower(F.col(text_col))))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature over word-shingle sets.
+
+    All-native: shingles -> md5 ints -> per-permutation min via array
+    higher-order functions.  No UDF, no shuffle (per-row computation).
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    base = F.transform(sh, lambda s: md5_int(s))
+    sig = F.array(
+        *[F.array_min(F.transform(base, lambda h: _hash_family(h, i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: (id_a, id_b, est_jaccard).
+
+    Scale shape: explode to (band_key, id), self-join per bucket — the only
+    shuffle is on band keys; bucket sizes bound the quadratic work, the
+    standard MinHash-LSH trade-off.
+    """
+    n = bands * rows_per_band
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # fraction of equal signature positions estimates Jaccard
+    match_cnt = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (match_cnt / F.lit(float(n))).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets: (id_a, id_b, jaccard).
+
+    Inverted-index formulation: explode shingles, equi-join on shingle,
+    count intersections, derive union via |A|+|B|-∩.  Only pairs sharing at
+    least one shingle are ever considered.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    ex = sh.select("id", "sz", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    if score_decimals is not None:
+        jac = F.round(jac, score_decimals)
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash) — per-document SimHash over word tokens, fully native.
+
+    For each bit position: sum(+1/-1 over tokens by that bit of the token
+    hash), take the sign.  Array higher-order functions; no UDF.
+    """
+    toks = F.array_distinct(word_tokens(F.lower(F.col(text_col))))
+    hashes = F.transform(toks, lambda t: md5_int(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.pmod(F.shiftright(h, i), F.lit(2)) == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    sim = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return df.select(F.col(id_col).alias("id"), sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, bits: int = 32, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on bit-chunks (pigeonhole: a pair
+    within max_hamming <= blocks-1 differing bits must agree on >= 1 block),
+    then verify exact Hamming distance natively via bit_count(xor)."""
+    chunk = bits // blocks
+    mask = (1 << chunk) - 1
+    banded = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * chunk).bitwiseAND(F.lit(mask)).alias("bkey"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["blk", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
