@@ -143,6 +143,182 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, "vec_id", "embedding", k=5, score_decimals=6)
 
 
+def _cossim_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexer
+
+    gt, names = _part_gt_names(spark, sf_dir)
+    model = CosSimIndexer(
+        tokenizer="words", ngram=1, k=5, lower_bound=0.1, max_vocab=None,
+        score_decimals=6,
+    ).fit(gt)
+    return model.transform(names)
+
+
+def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native name-pair features (SURVEY §2.10 M1) over SNI candidate pairs."""
+    from entitymatchingmodel_spark.operators.features import pair_features
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+
+    gt, names = _part_gt_names(spark, sf_dir)
+    model = SNIIndexer(window_length=5).fit(gt)
+    pairs = model.transform(names)
+    pairs = (
+        pairs.join(names, "uid")
+        .join(
+            gt.select("gt_uid", F.col("preprocessed").alias("gt_preprocessed")),
+            "gt_uid",
+        )
+    )
+    out = pair_features(pairs, include_jaro=False)
+    return out.select(
+        "uid", "gt_uid", "f_norm_ed", "f_token_sort", "f_token_set",
+        "f_name_cut", "f_abbr_match", "f_abs_len_diff", "f_len_ratio",
+    )
+
+
+def q_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank/diff features (SURVEY §2.7 W5) over cosine candidates."""
+    from entitymatchingmodel_spark.operators.features import rank_features
+
+    cands = _cossim_cands(spark, sf_dir)
+    out = rank_features(cands, "score")
+    return out.select(
+        "uid", "gt_uid", "f_rank", "f_dist_to_max", "f_dist_to_min",
+        "f_ptp", "f_diff_to_next", "f_diff_to_prev",
+    )
+
+
+def q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-match window selection (SURVEY §2.7 W4) over cosine candidates."""
+    from entitymatchingmodel_spark.operators.supervised import best_match
+
+    cands = _cossim_cands(spark, sf_dir)
+    return best_match(cands, "score").select("uid", "gt_uid", "best_rank", "best_match")
+
+
+def _agg_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    cands = _cossim_cands(spark, sf_dir)
+    return cands.join(
+        part.select(
+            F.col("p_partkey").alias("uid"),
+            F.col("p_brand").alias("account"),
+            F.col("p_name").alias("preprocessed"),
+            F.col("p_size").cast("double").alias("counterparty_account_count_distinct"),
+        ),
+        "uid",
+    ).withColumn("gt_entity_id", F.col("gt_uid"))
+
+
+def q_agg_mean_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account aggregation, mean_score method (SURVEY §2.6 A6)."""
+    from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
+
+    return aggregate_accounts(_agg_input(spark, sf_dir), method="mean_score", score_col="score")
+
+
+def q_agg_max_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account aggregation, max_frequency_nm_score method (SURVEY §2.6 A7)."""
+    from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
+
+    return aggregate_accounts(
+        _agg_input(spark, sf_dir), method="max_frequency_nm_score", score_col="score"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (dedup family), exploded to (doc_id, hash_idx, minhash)."""
+    from entitymatchingmodel_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    return (
+        sigs.select("id", F.posexplode("sig").alias("hash_idx", "minhash"))
+        .filter(F.col("minhash").isNotNull())
+        .select(F.col("id").alias("doc_id"), "hash_idx", "minhash")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs with estimated Jaccard."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    sigs = sigs.filter(F.element_at("sig", 1).isNotNull())
+    pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (dedup family)."""
+    from entitymatchingmodel_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, bounded subset)."""
+    from entitymatchingmodel_spark.operators.dedup import embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.5)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint + heuristic language id."""
+    from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_supervised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supervised layer: GBT-scored candidates + best-match flags.
+
+    Not SQL-expressible (gradient-boosted model) -> rows-only check.
+    """
+    from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
+
+    part = _t(spark, sf_dir, "part")
+    cands = _cossim_cands(spark, sf_dir)
+    cands = (
+        cands.join(
+            part.select(F.col("p_partkey").alias("uid"), F.col("p_name").alias("preprocessed")),
+            "uid",
+        )
+        .join(
+            part.groupBy(F.col("p_name").alias("gt_preprocessed")).agg(
+                F.min("p_partkey").alias("gt_uid")
+            ),
+            "gt_uid",
+        )
+        .withColumn("gt_entity_id", F.col("gt_uid"))
+        # label source: a name's true entity is the GT row with its own string
+        .withColumn(
+            "entity_id",
+            F.when(
+                F.col("preprocessed") == F.col("gt_preprocessed"), F.col("gt_entity_id")
+            ),
+        )
+    )
+    model = SupervisedScorer(score_col="score").fit(cands)
+    out = model.transform(cands)
+    return out.select("uid", "gt_uid", "nm_score", "best_rank", "best_match")
+
+
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational agg layer (filters/projections/aggregations, SURVEY §2.6)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -179,8 +355,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vocab": q_tfidf_vocab,
         "cossim_word_topk": q_cossim_word_topk,
         "sni_window": q_sni_window,
+        "pair_features": q_pair_features,
+        "rank_features": q_rank_features,
+        "best_match": q_best_match,
+        "agg_mean_score": q_agg_mean_score,
+        "agg_max_freq": q_agg_max_freq,
+        "supervised_scores": q_supervised_scores,
         "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "embed_near_pairs": q_embed_near_pairs,
         "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "topn_per_group": q_topn_per_group,
@@ -190,6 +377,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# Shared CTE: cosine top-k candidates over part names (word tokens, idf per
+# Spark convention ln((N+1)/(df+1)), L2-normalized, round-6 scores, k=5,
+# lower_bound 0.1, tie-break gt_uid desc).
+_SQL_CANDS = """
+        gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
+        gtok AS (SELECT gt_uid, unnest(list_distinct(list_filter(
+                   regexp_split_to_array(name,'[^a-zA-Z0-9]+'), x -> x <> ''))) AS token FROM gt),
+        n AS (SELECT count(*) AS n_docs FROM gt),
+        vocab AS (SELECT token, count(*) AS df FROM gtok GROUP BY token),
+        idf AS (SELECT token, ln((n_docs+1.0)/(df+1.0)) AS idf FROM vocab, n),
+        gw AS (SELECT gt_uid, g.token, idf FROM gtok g JOIN idf USING(token)),
+        gn AS (SELECT gt_uid, sqrt(sum(idf*idf)) AS nrm FROM gw GROUP BY gt_uid),
+        gwn AS (SELECT gt_uid, token, idf/nrm AS wt FROM gw JOIN gn USING(gt_uid)),
+        ntok AS (SELECT uid, unnest(list_distinct(list_filter(
+                   regexp_split_to_array(name,'[^a-zA-Z0-9]+'), x -> x <> ''))) AS token FROM nm),
+        nw AS (SELECT uid, t.token, idf FROM ntok t JOIN idf USING(token)),
+        nn AS (SELECT uid, sqrt(sum(idf*idf)) AS nrm FROM nw GROUP BY uid),
+        nwn AS (SELECT uid, token, idf/nrm AS wt FROM nw JOIN nn USING(uid)),
+        pairs AS (SELECT uid, gt_uid, round(sum(q.wt*g.wt), 6) AS score
+                  FROM nwn q JOIN gwn g USING(token) GROUP BY uid, gt_uid),
+        cand AS (SELECT uid, gt_uid, score FROM (
+                   SELECT uid, gt_uid, score,
+                          row_number() OVER (PARTITION BY uid ORDER BY score DESC, gt_uid DESC) AS rnk
+                   FROM pairs WHERE score > 0.1) WHERE rnk <= 5)
+"""
+
+# Shared CTE: word-shingle MinHash signatures (32 hashes, 3-word shingles,
+# md5-derived 28-bit base hash, universal-hash family mod 2^61-1).
+_SQL_MINHASH = """
+        tokarr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, greatest(len(toks)-2, 0))) AS i
+                     FROM tokarr)),
+        hv AS (SELECT doc_id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h FROM sh),
+        grid AS (SELECT doc_id, CAST(i AS INT) AS hash_idx, h FROM hv, generate_series(0,31) AS g(i)),
+        minh AS (SELECT doc_id, hash_idx,
+                        min(((2*hash_idx+1)*h + (hash_idx*2654435761) % 2305843009213693951)
+                            % 2305843009213693951) AS minhash
+                 FROM grid GROUP BY doc_id, hash_idx)
+"""
 
 _ORACLE = {
     "preprocess_names": """
@@ -253,6 +484,158 @@ _ORACLE = {
                round(1.0 - abs(gt_r - r) / 3.0, 6) AS score,
                CAST(gt_r - r AS INT) AS rank
         FROM nmr JOIN gtr ON abs(gt_r - r) <= 2
+    """,
+    "pair_features": """
+        WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
+        keys AS (SELECT DISTINCT name FROM (SELECT name FROM nm UNION ALL SELECT name FROM gt)),
+        ranked AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS r FROM keys),
+        gtr AS (SELECT gt_uid, name AS gname, r AS gt_r FROM gt JOIN ranked USING(name)),
+        nmr AS (SELECT uid, name, r FROM nm JOIN ranked USING(name)),
+        prs AS (SELECT uid, gt_uid, name AS a, gname AS b FROM nmr JOIN gtr ON abs(gt_r - r) <= 2),
+        tk AS (SELECT uid, gt_uid, a, b,
+                 list_distinct(list_filter(regexp_split_to_array(lower(a),'[^a-z0-9]+'), x -> x<>'')) AS ta,
+                 list_distinct(list_filter(regexp_split_to_array(lower(b),'[^a-z0-9]+'), x -> x<>'')) AS tb,
+                 array_to_string(list_sort(list_filter(regexp_split_to_array(lower(a),'[^a-z0-9]+'), x -> x<>'')), ' ') AS sa,
+                 array_to_string(list_sort(list_filter(regexp_split_to_array(lower(b),'[^a-z0-9]+'), x -> x<>'')), ' ') AS sb
+               FROM prs)
+        SELECT uid, gt_uid,
+               round(CASE WHEN greatest(length(a), length(b)) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(a,b)/CAST(greatest(length(a),length(b)) AS DOUBLE) END, 6) AS f_norm_ed,
+               round(CASE WHEN greatest(length(sa), length(sb)) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(sa,sb)/CAST(greatest(length(sa),length(sb)) AS DOUBLE) END, 6) AS f_token_sort,
+               round(CASE WHEN len(ta)+len(tb)-len(list_intersect(ta,tb)) = 0 THEN 1.0
+                     ELSE len(list_intersect(ta,tb))/CAST(len(ta)+len(tb)-len(list_intersect(ta,tb)) AS DOUBLE) END, 6) AS f_token_set,
+               CAST(starts_with(a,b) OR starts_with(b,a) AS INT)::DOUBLE AS f_name_cut,
+               CAST(array_to_string(list_transform(tb, t -> substr(t,1,1)), '') = replace(lower(a),' ','')
+                    OR array_to_string(list_transform(ta, t -> substr(t,1,1)), '') = replace(lower(b),' ','') AS INT)::DOUBLE AS f_abbr_match,
+               CAST(abs(length(a) - length(b)) AS DOUBLE) AS f_abs_len_diff,
+               round(least(length(a),length(b))/CAST(greatest(length(a),length(b),1) AS DOUBLE), 6) AS f_len_ratio
+        FROM tk
+    """,
+    "rank_features": f"""
+        WITH {_SQL_CANDS},
+        r5 AS (SELECT uid, gt_uid, round(score, 5) AS s FROM cand)
+        SELECT uid, gt_uid,
+               CAST(row_number() OVER (PARTITION BY uid ORDER BY s DESC, gt_uid DESC) AS DOUBLE) AS f_rank,
+               round(max(s) OVER (PARTITION BY uid) - s, 5) AS f_dist_to_max,
+               round(s - min(s) OVER (PARTITION BY uid), 5) AS f_dist_to_min,
+               round(max(s) OVER (PARTITION BY uid) - min(s) OVER (PARTITION BY uid), 5) AS f_ptp,
+               round(s - lag(s) OVER (PARTITION BY uid ORDER BY s ASC, gt_uid ASC), 5) AS f_diff_to_next,
+               round(lead(s) OVER (PARTITION BY uid ORDER BY s ASC, gt_uid ASC) - s, 5) AS f_diff_to_prev
+        FROM r5
+    """,
+    "best_match": f"""
+        WITH {_SQL_CANDS},
+        bm AS (SELECT uid, gt_uid, score,
+                      row_number() OVER (PARTITION BY uid ORDER BY round(score,5) DESC, gt_uid DESC) AS br
+               FROM cand)
+        SELECT uid, gt_uid, CAST(br AS INT) AS best_rank,
+               (br = 1 AND score IS NOT NULL AND score > 0) AS best_match
+        FROM bm
+    """,
+    "agg_mean_score": f"""
+        WITH {_SQL_CANDS},
+        enr AS (SELECT c.uid, c.gt_uid AS gt_entity_id, c.score,
+                       p.p_brand AS account, p.p_name AS name
+                FROM cand c JOIN part p ON c.uid = p.p_partkey),
+        rep AS (SELECT account, gt_entity_id, name AS rep_name,
+                       row_number() OVER (PARTITION BY account, gt_entity_id
+                                          ORDER BY score DESC, name DESC) AS rn
+                FROM enr),
+        per AS (SELECT account, gt_entity_id, round(avg(score), 6) AS agg_score
+                FROM enr GROUP BY account, gt_entity_id),
+        win AS (SELECT per.account, per.gt_entity_id, per.agg_score, r.rep_name,
+                       row_number() OVER (PARTITION BY per.account
+                                          ORDER BY per.agg_score DESC, per.gt_entity_id DESC) AS arn
+                FROM per JOIN rep r ON per.account = r.account AND per.gt_entity_id = r.gt_entity_id
+                WHERE r.rn = 1)
+        SELECT account, gt_entity_id, agg_score, rep_name FROM win WHERE arn = 1
+    """,
+    "agg_max_freq": f"""
+        WITH {_SQL_CANDS},
+        enr AS (SELECT c.uid, c.gt_uid AS gt_entity_id, c.score,
+                       p.p_brand AS account, p.p_name AS name,
+                       CAST(p.p_size AS DOUBLE) AS freq
+                FROM cand c JOIN part p ON c.uid = p.p_partkey),
+        rep AS (SELECT account, gt_entity_id, name AS rep_name,
+                       row_number() OVER (PARTITION BY account, gt_entity_id
+                                          ORDER BY freq*score DESC, name DESC) AS rn
+                FROM enr),
+        per AS (SELECT account, gt_entity_id,
+                       round(sum(freq*score)/sum(freq), 6) AS agg_score
+                FROM enr GROUP BY account, gt_entity_id),
+        win AS (SELECT per.account, per.gt_entity_id, per.agg_score, r.rep_name,
+                       row_number() OVER (PARTITION BY per.account
+                                          ORDER BY per.agg_score DESC, per.gt_entity_id DESC) AS arn
+                FROM per JOIN rep r ON per.account = r.account AND per.gt_entity_id = r.gt_entity_id
+                WHERE r.rn = 1)
+        SELECT account, gt_entity_id, agg_score, rep_name FROM win WHERE arn = 1
+    """,
+    "minhash_signatures": f"""
+        WITH {_SQL_MINHASH}
+        SELECT doc_id, hash_idx, minhash FROM minh
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_SQL_MINHASH},
+        bkeys AS (SELECT doc_id, hash_idx // 4 AS band,
+                         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS bkey
+                  FROM minh GROUP BY doc_id, band),
+        cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey
+               WHERE a.doc_id < b.doc_id),
+        est AS (SELECT p.id_a, p.id_b,
+                       sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END) / 32.0 AS ej
+                FROM cp p
+                JOIN minh x ON x.doc_id = p.id_a
+                JOIN minh y ON y.doc_id = p.id_b AND y.hash_idx = x.hash_idx
+                GROUP BY p.id_a, p.id_b)
+        SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est
+    """,
+    "simhash": """
+        WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
+                     FROM documents),
+        hv AS (SELECT doc_id, CAST(concat('0x', substring(md5(token),1,7)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                 FROM hv, generate_series(0,31) AS g(i) GROUP BY doc_id, i)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "embed_near_pairs": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 2000)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+    """,
+    "doc_fingerprint": """
+        WITH tok AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                     FROM documents),
+        fp AS (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+               FROM tok),
+        hits AS (
+          SELECT doc_id, 'en' AS lang, len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it'))) AS h FROM tok
+          UNION ALL
+          SELECT doc_id, 'de', len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) FROM tok
+          UNION ALL
+          SELECT doc_id, 'fr', len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','que'))) FROM tok
+          UNION ALL
+          SELECT doc_id, 'es', len(list_filter(toks, x -> x IN ('el','la','los','de','y','es','un','una'))) FROM tok
+          UNION ALL
+          SELECT doc_id, 'nl', len(list_filter(toks, x -> x IN ('de','het','een','en','van','is','niet','dat'))) FROM tok
+        ),
+        pick AS (SELECT doc_id, lang, h,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+                 FROM hits)
+        SELECT f.doc_id, f.fingerprint,
+               CASE WHEN p.h > 0 THEN p.lang ELSE 'und' END AS lang_guess
+        FROM fp f JOIN pick p ON f.doc_id = p.doc_id AND p.rn = 1
     """,
     "dedup_exact": """
         SELECT md5(trim(lower(text))) AS content_hash,

@@ -28,6 +28,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up JVM/codegen/parquet-footer caches so the first measured query
+    # isn't charged session startup costs.
+    for t in ("part", "lineitem", "documents", "embeddings", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()

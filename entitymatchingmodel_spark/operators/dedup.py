@@ -202,6 +202,38 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Exact upper-triangle comparison — the correctness baseline.  At corpus
+    scale, pre-bucket with ``ann.ivf_topk``-style centroid assignment or
+    random-hyperplane LSH and verify only within buckets; this function is the
+    verify step of that pipeline.
+    """
+    from entitymatchingmodel_spark.operators.ann import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    score = cosine_similarity(F.col("_va"), F.col("_vb"))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,196 @@
+"""Name-pair features for the supervised layer — native Column expressions.
+
+Reference computes these in pandas with rapidfuzz/cleanco inside a grouped
+pandas UDF (emm/features/pandas_feature_extractor.py:91-148, features_name.py:
+97-141, features_rank.py:31-97).  Here every feature except Jaro-Winkler is a
+JVM-side expression (levenshtein, array ops, windows) — the scoring hot path
+crosses no Python boundary.
+
+Feature parity map (ref features_name.py):
+  norm_ed        <- 1 - levenshtein/maxlen          (native levenshtein)
+  token_sort     <- norm_ed over space-joined sorted tokens
+  token_set      <- Jaccard over token sets         (array_intersect/union)
+  partial        <- prefix containment ratio (name_cut analog)
+  abbr_match     <- initials-of-one == other        (ref abbreviation_util)
+  abs_len_diff, len_ratio                            (native)
+  jaro_winkler   <- pandas UDF (no native equivalent)
+
+Rank features (ref features_rank.py:31-97): score rounded to 5 decimals FIRST
+(ref rounds before ranking, features_rank.py:27-31), then rank / dist_to_max /
+dist_to_min / ptp / diff_to_next / diff_to_prev via one window spec.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from entitymatchingmodel_spark.functions.tokenize import word_tokens
+
+
+def _toks(c: Column) -> Column:
+    return word_tokens(F.lower(c))
+
+
+def norm_ed(a: Column, b: Column) -> Column:
+    ml = F.greatest(F.length(a), F.length(b))
+    return F.when(ml == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / ml.cast("double")
+    )
+
+
+def token_sort_ratio(a: Column, b: Column) -> Column:
+    sa = F.array_join(F.array_sort(_toks(a)), " ")
+    sb = F.array_join(F.array_sort(_toks(b)), " ")
+    return norm_ed(sa, sb)
+
+
+def token_set_ratio(a: Column, b: Column) -> Column:
+    ta, tb = F.array_distinct(_toks(a)), F.array_distinct(_toks(b))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
+
+
+def name_cut(a: Column, b: Column) -> Column:
+    """1 if one string is a prefix of the other (ref name_cut feature)."""
+    return (a.startswith(b) | b.startswith(a)).cast("double")
+
+
+def abbr_match(a: Column, b: Column) -> Column:
+    """1 if one name equals the initials of the other ('kfc' vs
+    'kentucky fried chicken')."""
+    def initials(c: Column) -> Column:
+        return F.array_join(F.transform(_toks(c), lambda t: F.substring(t, 1, 1)), "")
+
+    la, lb = F.lower(a), F.lower(b)
+    na = F.regexp_replace(la, "\\s", "")
+    nb = F.regexp_replace(lb, "\\s", "")
+    return ((initials(lb) == na) | (initials(la) == nb)).cast("double")
+
+
+def abs_len_diff(a: Column, b: Column) -> Column:
+    return F.abs(F.length(a) - F.length(b)).cast("double")
+
+
+def len_ratio(a: Column, b: Column) -> Column:
+    return F.least(F.length(a), F.length(b)) / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Plain-Python Jaro-Winkler (public algorithm; no external deps)."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    l1, l2 = len(s1), len(s2)
+    match_dist = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo, hi = max(0, i - match_dist), min(l2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a == b and prefix < 4:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1 - jaro)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            _jaro_winkler_py(x or "", y or "")
+            for x, y in zip(a.fillna(""), b.fillna(""))
+        ]
+    )
+
+
+PAIR_FEATURES = [
+    "f_norm_ed", "f_token_sort", "f_token_set", "f_name_cut",
+    "f_abbr_match", "f_abs_len_diff", "f_len_ratio", "f_jaro",
+]
+
+
+def pair_features(
+    df: DataFrame,
+    name_col: str = "preprocessed",
+    gt_name_col: str = "gt_preprocessed",
+    include_jaro: bool = True,
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Append the f_* pair-feature columns."""
+    a, b = F.col(name_col), F.col(gt_name_col)
+
+    def r(c: Column) -> Column:
+        return F.round(c, decimals) if decimals is not None else c
+
+    out = (
+        df.withColumn("f_norm_ed", r(norm_ed(a, b)))
+        .withColumn("f_token_sort", r(token_sort_ratio(a, b)))
+        .withColumn("f_token_set", r(token_set_ratio(a, b)))
+        .withColumn("f_name_cut", name_cut(a, b))
+        .withColumn("f_abbr_match", abbr_match(a, b))
+        .withColumn("f_abs_len_diff", abs_len_diff(a, b))
+        .withColumn("f_len_ratio", r(len_ratio(a, b)))
+    )
+    if include_jaro:
+        out = out.withColumn("f_jaro", r(jaro_winkler_udf(a, b)))
+    else:
+        out = out.withColumn("f_jaro", F.lit(0.0))
+    return out
+
+
+RANK_FEATURES = ["f_rank", "f_dist_to_max", "f_dist_to_min", "f_ptp", "f_diff_to_next", "f_diff_to_prev"]
+
+
+def rank_features(
+    df: DataFrame,
+    score_col: str,
+    uid_col: str = "uid",
+    prefix: str = "f_",
+) -> DataFrame:
+    """Per-uid rank/diff features over a candidate score column.
+
+    Scores are rounded to 5 decimals BEFORE ranking (ref features_rank.py:
+    27-31) with gt_uid-desc tie-break (ref spark_supervised_model.py:296-297).
+    One shuffle on uid; all six features share the same window family.
+    """
+    s = F.round(F.col(score_col), 5)
+    w = Window.partitionBy(uid_col)
+    wo = w.orderBy(F.desc_nulls_last(s), F.desc("gt_uid"))
+    wr = w.orderBy(s.asc_nulls_first(), F.asc("gt_uid"))
+    return (
+        df.withColumn(prefix + "rank", F.row_number().over(wo).cast("double"))
+        .withColumn(prefix + "dist_to_max", F.round(F.max(s).over(w) - s, 5))
+        .withColumn(prefix + "dist_to_min", F.round(s - F.min(s).over(w), 5))
+        .withColumn(prefix + "ptp", F.round(F.max(s).over(w) - F.min(s).over(w), 5))
+        .withColumn(prefix + "diff_to_next", F.round(s - F.lag(s, 1).over(wr), 5))
+        .withColumn(prefix + "diff_to_prev", F.round(F.lead(s, 1).over(wr) - s, 5))
+    )

@@ -65,7 +65,8 @@ class SNIIndexerModel:
         union_keys = (
             names.select(key).union(self.gt_keyed.select(key))
         )
-        ranks = global_rank(union_keys, key)
+        # ranks feed two joins (gt side + names side): materialize once.
+        ranks = global_rank(union_keys, key).persist()
         gt_r = self.gt_keyed.join(ranks, key).select("gt_uid", F.col("srank").alias("gt_rank"))
         nm_r = names.select(S.UID, key).join(ranks, key).select(S.UID, "srank")
         # Explode each name rank into its neighbour positions -> one equi-join.

@@ -1,0 +1,125 @@
+"""Supervised candidate scoring — Spark-ML-native.
+
+Reference: sklearn Pipeline + XGBoost trained on the driver, scored via a
+grouped pandas UDF that requires manual partition pinning and AQE disabled
+(emm/supervised_model/spark_supervised_model.py:221-264, SURVEY §4 X6).
+
+Spark-first redesign: features are native Column expressions (features.py),
+the classifier is ``pyspark.ml``'s GBTClassifier — fit AND scoring stay on
+the JVM, distributed, with no partitioning contract at all (rank features are
+window functions, not grouped-pandas).  AQE stays on.
+
+Best-match selection (ref spark_supervised_model.py:266-303): one window —
+``best_rank = row_number() over (partition by uid order by round(nm_score,5)
+desc, gt_uid desc)``; ``best_match = best_rank==1 AND nm_score notnull``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.features import (
+    PAIR_FEATURES,
+    RANK_FEATURES,
+    pair_features,
+    rank_features,
+)
+
+
+def best_match(
+    df: DataFrame,
+    score_col: str = "nm_score",
+    uid_col: str = "uid",
+) -> DataFrame:
+    w = Window.partitionBy(uid_col).orderBy(
+        F.desc_nulls_last(F.round(F.col(score_col), 5)), F.desc_nulls_last("gt_uid")
+    )
+    return df.withColumn("best_rank", F.row_number().over(w).cast("int")).withColumn(
+        "best_match",
+        (F.col("best_rank") == 1)
+        & F.col(score_col).isNotNull()
+        & (F.col(score_col) > 0),
+    )
+
+
+class SupervisedModel:
+    def __init__(self, ml_model, feature_cols: list[str], score_col_in: str):
+        self.ml_model = ml_model
+        self.feature_cols = feature_cols
+        self.score_col_in = score_col_in
+
+    def _featurize(self, cands: DataFrame) -> DataFrame:
+        out = pair_features(cands)
+        out = rank_features(out, self.score_col_in)
+        return out
+
+    def transform(self, cands: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        matched = self._featurize(cands)
+        feats = [F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in self.feature_cols]
+        assembled = self._assemble(matched, feats)
+        scored = self.ml_model.transform(assembled)
+        scored = scored.withColumn(
+            "nm_score",
+            F.when(
+                F.col("gt_uid").isNotNull(),
+                F.element_at(vector_to_array("probability"), 2),
+            ),
+        ).drop("features", "rawPrediction", "probability", "prediction")
+        return best_match(scored, "nm_score")
+
+    @staticmethod
+    def _assemble(df: DataFrame, feats) -> DataFrame:
+        from pyspark.ml.feature import VectorAssembler
+
+        tmp = df.withColumns({f"_a_{i}": c for i, c in enumerate(feats)})
+        va = VectorAssembler(
+            inputCols=[f"_a_{i}" for i in range(len(feats))], outputCol="features"
+        )
+        out = va.transform(tmp)
+        return out.drop(*[f"_a_{i}" for i in range(len(feats))])
+
+
+class SupervisedScorer:
+    """Estimator: fit(labelled candidates) -> SupervisedModel.
+
+    Label: ``correct = entity_id == gt_entity_id`` (ref prepare_name_pairs.py
+    :96) — computed here, so the input only needs both id columns.
+    """
+
+    def __init__(
+        self,
+        score_col: str = "score_0",
+        max_iter: int = 20,
+        max_depth: int = 4,
+        seed: int = 42,
+    ):
+        self.score_col = score_col
+        self.max_iter = max_iter
+        self.max_depth = max_depth
+        self.seed = seed
+
+    def fit(self, cands: DataFrame) -> SupervisedModel:
+        from pyspark.ml.classification import GBTClassifier
+
+        feature_cols = PAIR_FEATURES + RANK_FEATURES
+        model = SupervisedModel(None, feature_cols, self.score_col)
+        train = model._featurize(
+            cands.filter(F.col("gt_uid").isNotNull() & F.col("entity_id").isNotNull())
+        ).withColumn(
+            "label",
+            (F.col("entity_id") == F.col("gt_entity_id")).cast("double"),
+        )
+        feats = [F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in feature_cols]
+        assembled = SupervisedModel._assemble(train, feats)
+        gbt = GBTClassifier(
+            maxIter=self.max_iter,
+            maxDepth=self.max_depth,
+            seed=self.seed,
+            labelCol="label",
+            featuresCol="features",
+        )
+        model.ml_model = gbt.fit(assembled)
+        return model
