@@ -233,7 +233,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
     return (
-        sigs.select("id", F.posexplode("sig").alias("hash_idx", "minhash"))
+        # posexplode_outer: sig is always 32 elements; inner posexplode
+        # triggers an inferred size>0 filter that re-evaluates the whole
+        # signature expression a second time per row.
+        sigs.select("id", F.posexplode_outer("sig").alias("hash_idx", "minhash"))
         .filter(F.col("minhash").isNotNull())
         .select(F.col("id").alias("doc_id"), "hash_idx", "minhash")
     )
@@ -248,7 +251,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
-    sigs = sigs.filter(F.element_at("sig", 1).isNotNull())
     pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
     return pairs.select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")

@@ -94,45 +94,77 @@ def minhash_signatures(
 
     All-native: shingles -> md5 ints -> per-permutation min via array
     higher-order functions.  No UDF, no shuffle (per-row computation).
+
+    Two projections on purpose: the md5 base hashes are materialized once,
+    then the ``num_hashes`` permutation-mins run over precomputed longs.
+    A single nested expression duplicates the md5 work per permutation
+    (codegen does not CSE across array elements) — measured ~19x slower.
     """
     sh = word_shingles(F.col(text_col), shingle_n)
-    base = F.transform(sh, lambda s: md5_int(s))
-    sig = F.array(
-        *[F.array_min(F.transform(base, lambda h: _hash_family(h, i))) for i in range(num_hashes)]
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(sh, lambda s: md5_int(s)).alias("_base"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_base", lambda h: _hash_family(h, i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return staged.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
     sigs: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
-    keep_cols: tuple[str, ...] = (),
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: (id_a, id_b, est_jaccard).
 
     Scale shape: explode to (band_key, id), self-join per bucket — the only
     shuffle is on band keys; bucket sizes bound the quadratic work, the
     standard MinHash-LSH trade-off.
+
+    ``materialize=True`` persists the signature table before the self-join.
+    A self-join over an unmaterialized expensive subtree evaluates it once
+    per join side; at corpus scale that is two full passes over the raw
+    text.  One signature pass + cache is the correct plan at 100 TB.
+
+    Documents with no shingles (empty text) have an all-null signature;
+    they are excluded via a constant comparison on the cheap band key
+    (``concat_ws`` of all-null rows is ''), never via a filter on the
+    signature expression itself — such a filter gets predicate-pushdown-
+    inlined below the projection and re-evaluates all hashes per row.
     """
     n = bands * rows_per_band
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    if materialize:
+        sigs = sigs.persist()
+    # explode_outer, not explode: the band array is fixed-length (never
+    # empty), and inner explode makes Spark infer a size>0 filter whose
+    # pushdown re-inlines the whole signature expression into a second
+    # full evaluation per row (InferFiltersFromGenerate + pushdown).
+    banded = (
+        sigs.select(
+            "id",
+            "sig",
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                            ).alias("bkey"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .filter(F.col("bkey") != F.md5(F.lit("")))
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -181,7 +213,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    ex = sh.select("id", "sz", F.explode("sh").alias("shingle"))
+    ex = sh.select("id", "sz", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()  # see minhash_lsh_pairs note on explode_outer
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -241,10 +275,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """(id, simhash) — per-document SimHash over word tokens, fully native.
 
     For each bit position: sum(+1/-1 over tokens by that bit of the token
-    hash), take the sign.  Array higher-order functions; no UDF.
+    hash), take the sign.  Array higher-order functions; no UDF.  Token
+    hashes are staged in their own projection so the md5 work is not
+    duplicated across the ``bits`` aggregate expressions (same CSE issue as
+    ``minhash_signatures``).
     """
     toks = F.array_distinct(word_tokens(F.lower(F.col(text_col))))
-    hashes = F.transform(toks, lambda t: md5_int(t))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: md5_int(t)).alias("_hashes"),
+    )
+    hashes = F.col("_hashes")
     bit_votes = [
         F.aggregate(
             hashes,
@@ -258,7 +299,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     for i, v in enumerate(bit_votes):
         bit = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return df.select(F.col(id_col).alias("id"), sim.cast("long").alias("simhash"))
+    return staged.select("id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -272,7 +313,7 @@ def simhash_near_pairs(
     banded = sim.select(
         "id",
         "simhash",
-        F.explode(
+        F.explode_outer(  # fixed-length array; see minhash_lsh_pairs note
             F.array(
                 *[
                     F.struct(

@@ -56,13 +56,18 @@ class TfIdfModel:
         reference's OOV penalty exactly.
         """
         toks = tokens_col(F.col(self.input_col), self.analyzer, self.ngram)
+        # explode_outer + null-filter (not inner explode): avoids the
+        # inferred size>0 filter whose pushdown tokenizes every row twice.
         if self.binary:
-            exploded = df.select(
-                id_col, F.explode(T.distinct_tokens(toks)).alias("token")
-            ).withColumn("tf", F.lit(1.0))
+            exploded = (
+                df.select(id_col, F.explode_outer(T.distinct_tokens(toks)).alias("token"))
+                .filter(F.col("token").isNotNull())
+                .withColumn("tf", F.lit(1.0))
+            )
         else:
             exploded = (
-                df.select(id_col, F.explode(toks).alias("token"))
+                df.select(id_col, F.explode_outer(toks).alias("token"))
+                .filter(F.col("token").isNotNull())
                 .groupBy(id_col, "token")
                 .agg(F.count("*").cast("double").alias("tf"))
             )
@@ -114,7 +119,8 @@ class TfIdfVectorizer:
         n_docs = corpus.count()
         toks = tokens_col(F.col(self.input_col), self.analyzer, self.ngram)
         df_counts = (
-            corpus.select(id_col, F.explode(T.distinct_tokens(toks)).alias("token"))
+            corpus.select(id_col, F.explode_outer(T.distinct_tokens(toks)).alias("token"))
+            .filter(F.col("token").isNotNull())
             .groupBy("token")
             .agg(F.count("*").alias("df"))
         )
