@@ -287,6 +287,61 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-encoded as an opaque binary media payload column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column metadata scan (multimodal family) — all native."""
+    from entitymatchingmodel_spark.operators.multimodal import media_metadata
+
+    out = media_metadata(_docs_media(spark, sf_dir), "doc_id", "payload")
+    return out.select(F.col("id").alias("doc_id"), "n_bytes", "format", "content_md5")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media feature extraction (deterministic byte-level path),
+    exploded to (doc_id, bin_idx, feat_val)."""
+    from entitymatchingmodel_spark.operators.multimodal import image_features
+
+    feats = image_features(_docs_media(spark, sf_dir), "doc_id", "payload")
+    return (
+        feats.select("id", F.posexplode_outer("feat").alias("bin_idx", "feat_val"))
+        .filter(F.col("feat_val").isNotNull())
+        .select(F.col("id").alias("doc_id"), "bin_idx", F.round("feat_val", 6).alias("feat_val"))
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame sampling (multimodal family): chunk lengths per doc."""
+    from entitymatchingmodel_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(
+        _docs_media(spark, sf_dir), "doc_id", "payload",
+        frame_bytes=64, every_n=2, max_frames=4,
+    )
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas amplitude stats over int8-PCM-interpreted payload."""
+    from entitymatchingmodel_spark.operators.multimodal import audio_stats
+
+    out = audio_stats(_docs_media(spark, sf_dir), "doc_id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("max_amp", 6).alias("max_amp"),
+    )
+
+
 def q_supervised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full supervised layer: GBT-scored candidates + best-match flags.
 
@@ -373,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "topn_per_group": q_topn_per_group,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "audio_stats": q_audio_stats,
     }
 
 
@@ -695,6 +754,55 @@ _ORACLE = {
         )
         SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
         FROM j WHERE rn <= 3
+    """,
+    "media_metadata": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               CASE WHEN starts_with(text, 'GIF8') THEN 'gif'
+                    WHEN starts_with(text, 'RIFF') THEN 'riff'
+                    WHEN starts_with(text, 'ID3')  THEN 'mp3'
+                    WHEN starts_with(text, 'fLaC') THEN 'flac'
+                    ELSE 'unknown' END AS format,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    "media_features": """
+        SELECT doc_id, u.i AS bin_idx,
+               round((32 - length(replace(md5(text), u.c, ''))) / 32.0, 6) AS feat_val
+        FROM documents,
+             (SELECT unnest(['0','1','2','3','4','5','6','7',
+                             '8','9','a','b','c','d','e','f']) AS c,
+                     unnest(range(16)) AS i) u
+    """,
+    "media_frames": """
+        WITH d AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 greatest(1, octet_length(encode(text)) // 64) AS nc
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, n,
+                 unnest(range(0, least(nc, 8), 2)) AS frame_idx
+          FROM d
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               least(64, n - frame_idx * 64) AS frame_len
+        FROM e
+    """,
+    "audio_stats": """
+        WITH b AS (
+          SELECT doc_id,
+                 ascii(substr(text, CAST(i AS INT), 1)) AS v
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, length(text) + 1)) AS i
+                FROM documents)
+        )
+        SELECT d.doc_id,
+               octet_length(encode(d.text)) AS n_samples,
+               round(avg(b.v), 6) AS mean_amp,
+               round(CAST(max(b.v) AS DOUBLE), 6) AS max_amp
+        FROM documents d JOIN b ON d.doc_id = b.doc_id
+        GROUP BY d.doc_id, d.text
     """,
 }
 

@@ -246,24 +246,59 @@ def embedding_near_pairs(
     threshold: float = 0.9,
     score_decimals: int | None = 6,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold.
+    """All pairs (id_a < id_b) with cosine >= threshold — exact.
 
-    Exact upper-triangle comparison — the correctness baseline.  At corpus
-    scale, pre-bucket with ``ann.ivf_topk``-style centroid assignment or
-    random-hyperplane LSH and verify only within buckets; this function is the
-    verify step of that pipeline.
+    Physical strategy: collect + broadcast the (normalized) corpus matrix,
+    then one vectorized numpy GEMM per Arrow batch via ``mapInPandas`` —
+    the same replicated-matrix idiom the reference uses for its GT TF-IDF
+    matrix (reference spark_indexing_utils.py:51-100, spark_cos_sim_matcher
+    .py:716-719).  One pass over the distributed side, no shuffle at all.
+
+    A per-pair expression formulation (crossJoin + zip_with/aggregate dot)
+    is ~50x slower: higher-order array functions evaluate interpreted,
+    per element, and recompute both norms for every pair.
+
+    Scale posture: valid while one side fits in executor memory
+    (n_vectors x dim x 8B — ~5 GB for 10M x 64).  Past that, pre-bucket
+    with ``ann.ivf_topk`` centroids or random-hyperplane LSH and run this
+    within buckets; this function is the in-bucket verify step.
     """
-    from entitymatchingmodel_spark.operators.ann import cosine_similarity
+    import numpy as np
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    score = cosine_similarity(F.col("_va"), F.col("_vb"))
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", score.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    normed = mat / np.where(norms == 0, np.nan, norms)
+    bc = spark.sparkContext.broadcast((ids, normed))
+
+    out_schema = (
+        f"id_a {df.schema[id_col].dataType.simpleString()}, "
+        f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf_in in batches:
+            a_ids = pdf_in["id"].to_numpy()
+            a = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf_in["v"]])
+            an = np.linalg.norm(a, axis=1, keepdims=True)
+            a = a / np.where(an == 0, np.nan, an)
+            sims = a @ b_mat.T
+            if score_decimals is not None:
+                sims = np.round(sims, score_decimals)
+            upper = a_ids[:, None] < b_ids[None, :]
+            keep = upper & (sims >= threshold)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": sims[ai, bi]}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        run, schema=out_schema
     )
 
 
