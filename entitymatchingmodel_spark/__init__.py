@@ -13,7 +13,7 @@ ing-bank/EntityMatchingModel (reference surveyed in SURVEY.md):
 
 Plus large-scale training-data pipeline operators: deduplication
 (``operators.dedup``), similarity search (``operators.ann``), text analysis
-(``functions.text``), multimodal plumbing (``sources.multimodal``), and a
+(``functions.text``), multimodal plumbing (``operators.multimodal``), and a
 Structured-Streaming transform path (``streaming``).
 
 Everything is declared through the DataFrame API so Catalyst/AQE plan the
@@ -21,8 +21,9 @@ physical execution; Python UDFs appear only where a vectorized library is
 genuinely required, always Arrow-batched.
 """
 
+from entitymatchingmodel_spark.persistence import load_model, save_model
 from entitymatchingmodel_spark.pipeline import SparkEntityMatching
 from entitymatchingmodel_spark.session import get_spark
 
-__all__ = ["SparkEntityMatching", "get_spark"]
+__all__ = ["SparkEntityMatching", "get_spark", "save_model", "load_model"]
 __version__ = "0.1.0"

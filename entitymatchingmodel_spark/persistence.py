@@ -1,0 +1,177 @@
+"""Model persistence: save/load a fitted SparkEntityMatching.
+
+Reference idiom (emm/helper/spark_custom_reader_writer.py:36-140): Spark
+objects via their own writers, Spark DataFrames as parquet side-files,
+everything else as serialized params.  Same layout here, minus joblib —
+this engine's fitted state is all DataFrames + plain params + Spark-ML
+models, so the on-disk format is just parquet + JSON + Spark-ML save:
+
+    <path>/meta.json                  pipeline params + indexer specs
+    <path>/gt/                        fitted ground truth (parquet)
+    <path>/indexers/<i>/...           per-indexer state (parquet + json)
+    <path>/supervised/gbt/            Spark-ML writer output (optional)
+    <path>/supervised/meta.json
+
+Paths go through the JVM Hadoop filesystem API for parquet/ML parts, so
+any scheme Spark supports (file:, hdfs:, s3a:) works; meta.json is written
+via a 1-row text write to stay scheme-agnostic too.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from entitymatchingmodel_spark.pipeline import _BLOCKING, SparkEntityMatching
+
+
+def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    # Single-row text write: scheme-agnostic (no local-FS assumption).
+    spark.createDataFrame([(json.dumps(obj),)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.text(path).collect()[0][0])
+
+
+def save_model(em: SparkEntityMatching, path: str) -> None:
+    """Persist a fitted SparkEntityMatching under ``path``."""
+    if em.gt_ is None:
+        raise ValueError("model is not fitted; call fit() first")
+    spark = em.gt_.sparkSession
+
+    serializable_p = {
+        k: v for k, v in em.p.items() if isinstance(v, (str, int, float, bool, list, dict, type(None)))
+    }
+    indexers_meta = []
+    for (iname, model), spec in zip(em.indexer_models_.items(), em.indexer_specs):
+        kind = spec.get("type", "cosine_similarity")
+        bf = spec.get("blocking_func")
+        if callable(bf):
+            raise ValueError(
+                "cannot persist a custom callable blocking_func; register it "
+                "by name in pipeline._BLOCKING and pass the name in the spec"
+            )
+        indexers_meta.append({"name": iname, "kind": kind, "spec": spec})
+
+    _write_json(
+        spark,
+        f"{path}/meta.json",
+        {
+            "params": serializable_p,
+            "indexers": indexers_meta,
+            "supervised": em.supervised_model_ is not None,
+        },
+    )
+    em.gt_.write.mode("overwrite").parquet(f"{path}/gt")
+
+    for i, (iname, model) in enumerate(em.indexer_models_.items()):
+        base = f"{path}/indexers/{i}"
+        if hasattr(model, "tfidf"):  # cosine indexer
+            t = model.tfidf
+            _write_json(
+                spark,
+                f"{base}/meta.json",
+                {
+                    "kind": "cosine_similarity",
+                    "k": model.k,
+                    "lower_bound": model.lower_bound,
+                    "input_col": model.input_col,
+                    "score_decimals": model.score_decimals,
+                    "blocking": indexers_meta[i]["spec"].get("blocking_func"),
+                    "tfidf": {
+                        "n_docs": t.n_docs,
+                        "max_idf": t.max_idf,
+                        "analyzer": t.analyzer,
+                        "ngram": t.ngram,
+                        "binary": t.binary,
+                        "input_col": t.input_col,
+                    },
+                },
+            )
+            t.vocab.write.mode("overwrite").parquet(f"{base}/vocab")
+            model.gt_weights.write.mode("overwrite").parquet(f"{base}/gt_weights")
+        else:  # SNI
+            _write_json(
+                spark,
+                f"{base}/meta.json",
+                {
+                    "kind": "sni",
+                    "w": model.w,
+                    "input_col": model.input_col,
+                },
+            )
+            model.gt_keyed.write.mode("overwrite").parquet(f"{base}/gt_keyed")
+
+    if em.supervised_model_ is not None:
+        sm = em.supervised_model_
+        _write_json(
+            spark,
+            f"{path}/supervised/meta.json",
+            {"feature_cols": sm.feature_cols, "score_col_in": sm.score_col_in},
+        )
+        sm.ml_model.write().overwrite().save(f"{path}/supervised/gbt")
+
+
+def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
+    """Load a SparkEntityMatching saved by :func:`save_model`."""
+    from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexerModel
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexerModel
+    from entitymatchingmodel_spark.operators.tfidf import TfIdfModel
+
+    meta = _read_json(spark, f"{path}/meta.json")
+    em = SparkEntityMatching(meta["params"])
+    em.indexer_specs = [m["spec"] for m in meta["indexers"]]
+    em.gt_ = spark.read.parquet(f"{path}/gt").persist()
+
+    em.indexer_models_ = {}
+    for i, imeta in enumerate(meta["indexers"]):
+        base = f"{path}/indexers/{i}"
+        m = _read_json(spark, f"{base}/meta.json")
+        if m["kind"] == "cosine_similarity":
+            t = m["tfidf"]
+            tfidf = TfIdfModel(
+                vocab=spark.read.parquet(f"{base}/vocab").persist(),
+                n_docs=t["n_docs"],
+                max_idf=t["max_idf"],
+                analyzer=t["analyzer"],
+                ngram=t["ngram"],
+                binary=t["binary"],
+                input_col=t["input_col"],
+            )
+            model = CosSimIndexerModel(
+                tfidf=tfidf,
+                gt_weights=spark.read.parquet(f"{base}/gt_weights").persist(),
+                k=m["k"],
+                lower_bound=m["lower_bound"],
+                blocking_func=_BLOCKING[m.get("blocking")],
+                input_col=m["input_col"],
+                score_decimals=m.get("score_decimals"),
+            )
+        elif m["kind"] == "sni":
+            model = SNIIndexerModel(
+                gt_keyed=spark.read.parquet(f"{base}/gt_keyed").persist(),
+                window_length=m["w"],
+                input_col=m["input_col"],
+            )
+        else:
+            raise ValueError(f"unknown indexer kind {m['kind']!r}")
+        em.indexer_models_[imeta["name"]] = model
+
+    if meta.get("supervised"):
+        from pyspark.ml.classification import GBTClassificationModel
+
+        from entitymatchingmodel_spark.operators.supervised import SupervisedModel
+
+        smeta = _read_json(spark, f"{path}/supervised/meta.json")
+        em.supervised_model_ = SupervisedModel(
+            GBTClassificationModel.load(f"{path}/supervised/gbt"),
+            smeta["feature_cols"],
+            smeta["score_col_in"],
+        )
+        em.supervised_on = True
+
+    return em

@@ -1,0 +1,6 @@
+from entitymatchingmodel_spark.streaming.transform import (
+    match_stream,
+    transform_foreach_batch,
+)
+
+__all__ = ["match_stream", "transform_foreach_batch"]

@@ -1,0 +1,72 @@
+"""Save/load round-trip: the reloaded model reproduces transform() exactly."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark import SparkEntityMatching, load_model, save_model
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    return (
+        pdf[sorted(pdf.columns)]
+        .sort_values(sorted(pdf.columns))
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    gt = spark.createDataFrame(
+        [(1, "Apple Inc."), (2, "Microsoft Corp."), (3, "Alphabet B.V."),
+         (4, "Amazon Ltd"), (5, "Netflix N.V.")],
+        "id long, name string",
+    )
+    em = SparkEntityMatching(
+        indexers=[
+            {"type": "cosine_similarity", "tokenizer": "words", "ngram": 1,
+             "num_candidates": 3, "cos_sim_lower_bound": 0.1},
+            {"type": "cosine_similarity", "tokenizer": "characters", "ngram": 2,
+             "num_candidates": 3, "cos_sim_lower_bound": 0.1,
+             "blocking_func": "first_char"},
+            {"type": "sni", "window_length": 3},
+        ]
+    )
+    em.fit(gt)
+    return em
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(
+        [(101, "apple"), (102, "microsof corp"), (103, "netflx nv")],
+        "id long, name string",
+    )
+
+
+def test_roundtrip_transform_identical(spark, fitted, names, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("model") / "em")
+    save_model(fitted, path)
+    reloaded = load_model(spark, path)
+
+    a = _canon(fitted.transform(names))
+    b = _canon(reloaded.transform(names))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_unfitted_save_raises(spark):
+    with pytest.raises(ValueError, match="not fitted"):
+        save_model(SparkEntityMatching(), "/tmp/should-not-exist")
+
+
+def test_custom_callable_blocking_rejected(spark, tmp_path_factory):
+    gt = spark.createDataFrame([(1, "Acme BV")], "id long, name string")
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "num_candidates": 2,
+                   "blocking_func": lambda c: F.substring(c, 1, 1)}]
+    )
+    em.fit(gt)
+    with pytest.raises(ValueError, match="blocking_func"):
+        save_model(em, str(tmp_path_factory.mktemp("model") / "em2"))

@@ -1,0 +1,74 @@
+"""Structured Streaming transform path."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark import SparkEntityMatching
+from entitymatchingmodel_spark.streaming import match_stream, transform_foreach_batch
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    gt = spark.createDataFrame(
+        [(1, "Apple Inc."), (2, "Microsoft Corp."), (3, "Netflix N.V."),
+         (4, "Amazon Ltd"), (5, "Spotify AB")],
+        "id long, name string",
+    )
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}]
+    )
+    return em.fit(gt)
+
+
+def _name_stream(spark):
+    """rate source -> cycling company-name stream."""
+    pool = ["apple", "microsof corp", "netflx nv", "amazonn ltd"]
+    arr = F.array(*[F.lit(x) for x in pool])
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", 20).load()
+        .select(
+            F.col("value").alias("id"),
+            F.element_at(arr, (F.col("value") % len(pool) + 1).cast("int")).alias("name"),
+        )
+    )
+
+
+def test_foreach_batch_full_pipeline(spark, fitted, tmp_path):
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(df.collect())
+
+    q = transform_foreach_batch(
+        fitted, _name_stream(spark), sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        deadline = time.time() + 60
+        while not got and time.time() < deadline:
+            time.sleep(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert got, "no streaming output produced"
+    row = next(r for r in got if r["name"] == "apple")
+    assert row["gt_name"] == "Apple Inc."
+    assert row["score_0"] > 0.1
+    # full batch-transform schema incl. rank columns survived streaming
+    assert "rank_0" in got[0].asDict()
+
+
+def test_match_stream_requires_streaming_df(spark, fitted):
+    static = spark.createDataFrame([(1, "apple")], "id long, name string")
+    with pytest.raises(ValueError, match="streaming"):
+        match_stream(fitted, static)
+
+
+def test_match_stream_preprocesses(spark, fitted):
+    out = match_stream(fitted, _name_stream(spark))
+    assert out.isStreaming
+    assert "preprocessed" in out.columns
