@@ -287,6 +287,77 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sni_pairs_with_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+
+    gt, names = _part_gt_names(spark, sf_dir)
+    model = SNIIndexer(window_length=5).fit(gt)
+    pairs = model.transform(names)
+    return pairs.join(names, "uid").join(
+        gt.select("gt_uid", F.col("preprocessed").alias("gt_preprocessed")), "gt_uid"
+    )
+
+
+def q_vocab_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary hit/miss features (SURVEY §2.10 M2) over SNI pairs."""
+    from entitymatchingmodel_spark.operators.features import (
+        VOCAB_FEATURES,
+        Vocabulary,
+        vocabulary_features,
+    )
+
+    pairs = _sni_pairs_with_names(spark, sf_dir)
+    _, names = _part_gt_names(spark, sf_dir)
+    vocab = Vocabulary.fit(
+        names.select("preprocessed").distinct(), ["preprocessed"],
+        very_common_min_df=0.05, common_min_df=0.001,
+    )
+    out = vocabulary_features(pairs, vocab)
+    return out.select("uid", "gt_uid", *VOCAB_FEATURES)
+
+
+def q_lef_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legal-entity-form match features (SURVEY §2.10 M4).
+
+    Names are derived deterministically from part names + a rotating legal
+    suffix so every match category is exercised.
+    """
+    from entitymatchingmodel_spark.operators.features import lef_features
+
+    part = _t(spark, sf_dir, "part")
+    fa = F.array(F.lit("bv"), F.lit("ltd"), F.lit("gmbh"), F.lit(""))
+    fb = F.array(F.lit("bv"), F.lit("inc"), F.lit(""), F.lit("bv ltd"))
+    base = part.select(
+        F.col("p_partkey").alias("uid"),
+        F.concat_ws(" ", F.lower("p_name"),
+                    F.element_at(fa, (F.pmod("p_partkey", F.lit(4)) + 1).cast("int"))).alias("name1"),
+        F.concat_ws(" ", F.lower("p_name"),
+                    F.element_at(fb, (F.pmod(F.floor(F.col("p_partkey") / 4), F.lit(4)) + 1).cast("int"))).alias("name2"),
+    )
+    out = lef_features(base, "name1", "name2")
+    return out.select("uid", "lef1", "lef2", "f_lef_match", "f_lef_score")
+
+
+def q_country_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra-column equality feature (SURVEY §2.10 M3): +1/-1/0 with nulls."""
+    from entitymatchingmodel_spark.operators.features import extra_equality_feature
+
+    part = _t(spark, sf_dir, "part")
+    pairs = _sni_pairs_with_names(spark, sf_dir)
+    nm_c = part.select(
+        F.col("p_partkey").alias("uid"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#11")).alias("country"),
+    )
+    gt_c = part.select(
+        F.col("p_partkey").alias("gt_uid"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#11")).alias("gt_country"),
+    )
+    out = extra_equality_feature(
+        pairs.join(nm_c, "uid").join(gt_c, "gt_uid"), "country"
+    )
+    return out.select("uid", "gt_uid", "f_country_match")
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-encoded as an opaque binary media payload column."""
     docs = _t(spark, sf_dir, "documents")
@@ -432,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "audio_stats": q_audio_stats,
+        "vocab_features": q_vocab_features,
+        "lef_match": q_lef_match,
+        "country_match": q_country_match,
     }
 
 
@@ -788,6 +862,94 @@ _ORACLE = {
         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                least(64, n - frame_idx * 64) AS frame_len
         FROM e
+    """,
+    "vocab_features": """
+        WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
+        keys AS (SELECT DISTINCT name FROM (SELECT name FROM nm UNION ALL SELECT name FROM gt)),
+        ranked AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS r FROM keys),
+        gtr AS (SELECT gt_uid, name AS gname, r AS gt_r FROM gt JOIN ranked USING(name)),
+        nmr AS (SELECT uid, name, r FROM nm JOIN ranked USING(name)),
+        prs AS (SELECT uid, gt_uid, name AS a, gname AS b FROM nmr JOIN gtr ON abs(gt_r - r) <= 2),
+        alln AS (SELECT DISTINCT p_name AS n FROM part),
+        nd AS (SELECT count(*) AS c FROM alln),
+        tok AS (SELECT n, unnest(list_distinct(regexp_extract_all(lower(n), '[a-z0-9_]{2,}'))) AS token FROM alln),
+        dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        vcl AS (SELECT coalesce(list(token), []) AS l FROM dfreq, nd WHERE df >= 0.05 * c),
+        cml AS (SELECT coalesce(list(token), []) AS l FROM dfreq, nd WHERE df >= 0.001 * c AND df < 0.05 * c),
+        tt AS (SELECT uid, gt_uid,
+                 list_distinct(regexp_extract_all(lower(a), '[a-z0-9_]{2,}')) AS s1,
+                 list_distinct(regexp_extract_all(lower(b), '[a-z0-9_]{2,}')) AS s2
+               FROM prs),
+        hm AS (SELECT uid, gt_uid, s1, s2,
+                 list_intersect(s1, s2) AS hits,
+                 list_filter(list_distinct(list_concat(s1, s2)),
+                             t -> NOT list_contains(list_intersect(s1, s2), t)) AS misses
+               FROM tt)
+        SELECT uid, gt_uid,
+               CAST(len(list_intersect(hits, vcl.l)) AS DOUBLE) AS f_very_common_hit,
+               CAST(len(list_intersect(hits, cml.l)) AS DOUBLE) AS f_common_hit,
+               CAST(len(hits) - len(list_intersect(hits, vcl.l))
+                    - len(list_intersect(hits, cml.l)) AS DOUBLE) AS f_rare_hit,
+               CAST(len(list_intersect(misses, vcl.l)) AS DOUBLE) AS f_very_common_miss,
+               CAST(len(list_intersect(misses, cml.l)) AS DOUBLE) AS f_common_miss,
+               CAST(len(misses) - len(list_intersect(misses, vcl.l))
+                    - len(list_intersect(misses, cml.l)) AS DOUBLE) AS f_rare_miss,
+               CAST(len(hits) AS DOUBLE) AS f_n_overlap_words,
+               round(len(hits) / CAST(len(hits) + len(misses) AS DOUBLE), 6) AS f_ratio_overlap_words,
+               CAST(abs(len(s1) - len(s2)) AS DOUBLE) AS f_num_word_difference
+        FROM hm, vcl, cml
+    """,
+    "lef_match": """
+        WITH base AS (SELECT p_partkey AS uid, lower(p_name) AS nm,
+                        CAST(p_partkey % 4 AS INT) AS ia,
+                        CAST((p_partkey // 4) % 4 AS INT) AS ib FROM part),
+        nm2 AS (SELECT uid,
+                 concat_ws(' ', nm, (['bv','ltd','gmbh',''])[ia+1]) AS name1,
+                 concat_ws(' ', nm, (['bv','inc','','bv ltd'])[ib+1]) AS name2 FROM base),
+        lf AS (SELECT uid,
+                 coalesce(array_to_string(list_sort(list_intersect(
+                   list_distinct(list_filter(regexp_split_to_array(name1, '[^a-z0-9]+'), x -> x <> '')),
+                   ['ab','ad','ag','aps','as','bv','bvba','co','corp','cv','doo','ead','eurl',
+                    'gmbh','inc','kft','kg','kk','llc','llp','lp','ltd','nv','oao','ohg','ooo',
+                    'oy','oyj','pao','plc','pte','pty','pvt','rt','sa','sarl','sas','se','sl',
+                    'snc','spa','spol','srl','sro','ug','ulc','vof'])), ':'), '') AS lef1,
+                 coalesce(array_to_string(list_sort(list_intersect(
+                   list_distinct(list_filter(regexp_split_to_array(name2, '[^a-z0-9]+'), x -> x <> '')),
+                   ['ab','ad','ag','aps','as','bv','bvba','co','corp','cv','doo','ead','eurl',
+                    'gmbh','inc','kft','kg','kk','llc','llp','lp','ltd','nv','oao','ohg','ooo',
+                    'oy','oyj','pao','plc','pte','pty','pvt','rt','sa','sarl','sas','se','sl',
+                    'snc','spa','spol','srl','sro','ug','ulc','vof'])), ':'), '') AS lef2
+               FROM nm2),
+        cat AS (SELECT uid, lef1, lef2,
+                 CASE WHEN lef1 = '' AND lef2 = '' THEN 'lef1_lef2_missing'
+                      WHEN lef1 = '' THEN 'lef1_missing'
+                      WHEN lef2 = '' THEN 'lef2_missing'
+                      WHEN lef1 = lef2 THEN 'identical'
+                      WHEN len(list_intersect(string_split(lef1, ':'), string_split(lef2, ':'))) > 0
+                           THEN 'partial_match'
+                      ELSE 'no_match' END AS f_lef_match
+               FROM lf)
+        SELECT uid, lef1, lef2, f_lef_match,
+               CASE f_lef_match WHEN 'identical' THEN 1.0 WHEN 'partial_match' THEN 0.5
+                    WHEN 'no_match' THEN -1.0 WHEN 'lef1_missing' THEN 0.0
+                    WHEN 'lef2_missing' THEN 0.0 ELSE 0.25 END AS f_lef_score
+        FROM cat
+    """,
+    "country_match": """
+        WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
+        keys AS (SELECT DISTINCT name FROM (SELECT name FROM nm UNION ALL SELECT name FROM gt)),
+        ranked AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS r FROM keys),
+        gtr AS (SELECT gt_uid, r AS gt_r FROM gt JOIN ranked USING(name)),
+        nmr AS (SELECT uid, r FROM nm JOIN ranked USING(name)),
+        prs AS (SELECT uid, gt_uid FROM nmr JOIN gtr ON abs(gt_r - r) <= 2),
+        nmc AS (SELECT p_partkey AS uid, nullif(p_brand, 'Brand#11') AS c1 FROM part),
+        gtc AS (SELECT p_partkey AS gt_uid, nullif(p_brand, 'Brand#11') AS c2 FROM part)
+        SELECT uid, gt_uid,
+               CASE WHEN c1 IS NULL OR c2 IS NULL THEN 0.0
+                    WHEN c1 = c2 THEN 1.0 ELSE -1.0 END AS f_country_match
+        FROM prs JOIN nmc USING(uid) JOIN gtc USING(gt_uid)
     """,
     "audio_stats": """
         WITH b AS (

@@ -167,6 +167,204 @@ def pair_features(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary features (ref emm/features/features_vocabulary.py:30-165)
+# ---------------------------------------------------------------------------
+
+VOCAB_FEATURES = [
+    "f_very_common_hit", "f_common_hit", "f_rare_hit",
+    "f_very_common_miss", "f_common_miss", "f_rare_miss",
+    "f_n_overlap_words", "f_ratio_overlap_words", "f_num_word_difference",
+]
+
+# Reference tokenization for vocabulary features is sklearn's default
+# CountVectorizer token_pattern \w\w+ (>=2 word chars), applied to
+# already-lowercased preprocessed names.
+_VOCAB_TOKEN_RE = r"[a-z0-9_]{2,}"
+
+
+def _vocab_tokens(c: Column) -> Column:
+    return F.array_distinct(F.regexp_extract_all(F.lower(c), F.lit(_VOCAB_TOKEN_RE), 0))
+
+
+class Vocabulary:
+    """Fitted word-frequency tiers (ref features_vocabulary.py:30-99).
+
+    very_common: tokens appearing in >= very_common_min_df of distinct names;
+    common: >= common_min_df, minus very_common (disjoint tiers, as the
+    reference subtracts).  Token document-frequency is computed distributed
+    (explode + groupBy); only the resulting tier lists (small by
+    construction — bounded by 1/min_df) are collected.
+    """
+
+    def __init__(self, very_common: list[str], common: list[str]):
+        self.very_common = sorted(very_common)
+        self.common = sorted(common)
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        columns: list[str],
+        very_common_min_df: float = 0.01,
+        common_min_df: float = 0.0001,
+    ) -> "Vocabulary":
+        if common_min_df >= very_common_min_df:
+            raise ValueError("common_min_df must be smaller than very_common_min_df")
+        names = None
+        for c in columns:
+            part = df.select(F.col(c).alias("_n"))
+            names = part if names is None else names.unionAll(part)
+        names = names.filter(F.col("_n").isNotNull()).distinct()
+        n_docs = names.count()
+        tok_df = (
+            names.select(F.explode_outer(_vocab_tokens(F.col("_n"))).alias("token"))
+            .filter(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+        )
+        rows = tok_df.filter(F.col("df") >= common_min_df * n_docs).collect()
+        very = [r["token"] for r in rows if r["df"] >= very_common_min_df * n_docs]
+        vs = set(very)
+        common = [r["token"] for r in rows if r["token"] not in vs]
+        return cls(very, common)
+
+
+def vocabulary_features(
+    df: DataFrame,
+    vocab: Vocabulary,
+    name_col: str = "preprocessed",
+    gt_name_col: str = "gt_preprocessed",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Append the 9 vocabulary hit/miss features — all native array ops.
+
+    hits = tokens present in both names; misses = symmetric difference;
+    each split into very-common / common / rare by fitted tier membership
+    (array_intersect against the literal tier arrays; tiers are disjoint so
+    rare = total - very_common - common).  For extremely large vocabularies
+    prefer a token-level broadcast join; literal arrays are right-sized here
+    because tier size is bounded by 1/min_df names.
+    """
+    s1 = _vocab_tokens(F.col(name_col))
+    s2 = _vocab_tokens(F.col(gt_name_col))
+    out = (
+        df.withColumn("_hits", F.array_intersect(s1, s2))
+        .withColumn("_misses", F.array_except(F.array_union(s1, s2), F.array_intersect(s1, s2)))
+        .withColumn("_n1", F.size(s1))
+        .withColumn("_n2", F.size(s2))
+    )
+    vc = F.lit(vocab.very_common) if vocab.very_common else F.array().cast("array<string>")
+    cm = F.lit(vocab.common) if vocab.common else F.array().cast("array<string>")
+
+    def tier_counts(col: str, pref: str) -> list:
+        n_vc = F.size(F.array_intersect(F.col(col), vc))
+        n_cm = F.size(F.array_intersect(F.col(col), cm))
+        return [
+            n_vc.cast("double").alias(f"f_very_common_{pref}"),
+            n_cm.cast("double").alias(f"f_common_{pref}"),
+            (F.size(F.col(col)) - n_vc - n_cm).cast("double").alias(f"f_rare_{pref}"),
+        ]
+
+    n_hits = F.size(F.col("_hits"))
+    n_total = n_hits + F.size(F.col("_misses"))
+    ratio = F.when(n_total == 0, F.lit(None).cast("double")).otherwise(
+        n_hits / n_total.cast("double")
+    )
+    if decimals is not None:
+        ratio = F.round(ratio, decimals)
+    return out.select(
+        "*",
+        *tier_counts("_hits", "hit"),
+        *tier_counts("_misses", "miss"),
+        n_hits.cast("double").alias("f_n_overlap_words"),
+        ratio.alias("f_ratio_overlap_words"),
+        F.abs(F.col("_n1") - F.col("_n2")).cast("double").alias("f_num_word_difference"),
+    ).drop("_hits", "_misses", "_n1", "_n2")
+
+
+# ---------------------------------------------------------------------------
+# Extra equality features (ref emm/features/features_extra.py:28-60)
+# ---------------------------------------------------------------------------
+
+def extra_equality_feature(df: DataFrame, col: str, gt_col: str | None = None) -> DataFrame:
+    """+1 match / -1 mismatch / 0 either-null (ref features_extra.py:51-57)."""
+    g = gt_col or f"gt_{col}"
+    a, b = F.col(col), F.col(g)
+    feat = (
+        F.when(a.isNull() | b.isNull(), 0.0)
+        .when(a == b, 1.0)
+        .otherwise(-1.0)
+    )
+    return df.withColumn(f"f_{col}_match", feat)
+
+
+# ---------------------------------------------------------------------------
+# Legal-entity-form features (ref emm/features/features_lef.py:160-210)
+# ---------------------------------------------------------------------------
+
+# Curated public legal-form token list (same source list as
+# functions/preprocessing.py _LEGAL_FORMS; single-token forms only — token-
+# level detection).  Replaces the reference's cleanco dependency.
+LEGAL_FORM_TOKENS = sorted(
+    "bv nv vof cv bvba gmbh ag kg ug ohg ab as aps oy oyj sa sas sarl sl srl "
+    "spa sro plc ltd llc llp lp inc corp co kk pty pte pvt ulc se eurl snc "
+    "kft rt doo ad ead ooo pao oao spol".split()
+)
+
+LEF_CATEGORIES = [
+    "identical", "partial_match", "no_match",
+    "lef1_missing", "lef2_missing", "lef1_lef2_missing",
+]
+
+# Numeric encoding for tree models (engine-specific; the reference feeds the
+# category to XGBoost as a pandas categorical, base_supervised_model.py:58-65).
+_LEF_SCORE = {
+    "identical": 1.0, "partial_match": 0.5, "no_match": -1.0,
+    "lef1_missing": 0.0, "lef2_missing": 0.0, "lef1_lef2_missing": 0.25,
+}
+
+
+def extract_lef(c: Column) -> Column:
+    """Sorted ':'-joined legal-form tokens found in a (preprocessed) name."""
+    toks = F.array_distinct(_toks(c))
+    return F.array_join(
+        F.array_sort(F.array_intersect(toks, F.lit(LEGAL_FORM_TOKENS))), ":"
+    )
+
+
+def lef_features(
+    df: DataFrame,
+    name_col: str = "preprocessed",
+    gt_name_col: str = "gt_preprocessed",
+) -> DataFrame:
+    """Append lef1, lef2, f_lef_match (category) and f_lef_score (numeric).
+
+    Category semantics mirror ref features_lef.py:170-202
+    (matching_legal_terms), minus the cleanco 'unknown' tier — token-list
+    detection has no unknown forms.
+    """
+    l1, l2 = extract_lef(F.col(name_col)), extract_lef(F.col(gt_name_col))
+    a1, a2 = F.split(l1, ":"), F.split(l2, ":")
+    cat = (
+        F.when((l1 == "") & (l2 == ""), "lef1_lef2_missing")
+        .when(l1 == "", "lef1_missing")
+        .when(l2 == "", "lef2_missing")
+        .when(l1 == l2, "identical")
+        .when(F.arrays_overlap(a1, a2), "partial_match")
+        .otherwise("no_match")
+    )
+    score_map = F.create_map(
+        *[F.lit(x) for kv in _LEF_SCORE.items() for x in kv]
+    )
+    return (
+        df.withColumn("lef1", l1)
+        .withColumn("lef2", l2)
+        .withColumn("f_lef_match", cat)
+        .withColumn("f_lef_score", score_map[cat])
+    )
+
+
 RANK_FEATURES = ["f_rank", "f_dist_to_max", "f_dist_to_min", "f_ptp", "f_diff_to_next", "f_diff_to_prev"]
 
 

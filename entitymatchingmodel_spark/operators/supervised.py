@@ -22,8 +22,13 @@ from pyspark.sql import functions as F
 from entitymatchingmodel_spark.operators.features import (
     PAIR_FEATURES,
     RANK_FEATURES,
+    VOCAB_FEATURES,
+    Vocabulary,
+    extra_equality_feature,
+    lef_features,
     pair_features,
     rank_features,
+    vocabulary_features,
 )
 
 
@@ -44,14 +49,31 @@ def best_match(
 
 
 class SupervisedModel:
-    def __init__(self, ml_model, feature_cols: list[str], score_col_in: str):
+    def __init__(
+        self,
+        ml_model,
+        feature_cols: list[str],
+        score_col_in: str,
+        vocabulary: Vocabulary | None = None,
+        extra_cols: tuple[str, ...] = (),
+        use_lef: bool = False,
+    ):
         self.ml_model = ml_model
         self.feature_cols = feature_cols
         self.score_col_in = score_col_in
+        self.vocabulary = vocabulary
+        self.extra_cols = tuple(extra_cols)
+        self.use_lef = use_lef
 
     def _featurize(self, cands: DataFrame) -> DataFrame:
         out = pair_features(cands)
         out = rank_features(out, self.score_col_in)
+        if self.vocabulary is not None:
+            out = vocabulary_features(out, self.vocabulary)
+        for c in self.extra_cols:
+            out = extra_equality_feature(out, c)
+        if self.use_lef:
+            out = lef_features(out)
         return out
 
     def transform(self, cands: DataFrame) -> DataFrame:
@@ -95,17 +117,41 @@ class SupervisedScorer:
         max_iter: int = 20,
         max_depth: int = 4,
         seed: int = 42,
+        with_vocabulary: bool = False,
+        vocabulary_min_df: tuple[float, float] = (0.01, 0.0001),
+        extra_cols: tuple[str, ...] = (),
+        use_lef: bool = False,
     ):
         self.score_col = score_col
         self.max_iter = max_iter
         self.max_depth = max_depth
         self.seed = seed
+        self.with_vocabulary = with_vocabulary
+        self.vocabulary_min_df = vocabulary_min_df
+        self.extra_cols = tuple(extra_cols)
+        self.use_lef = use_lef
 
     def fit(self, cands: DataFrame) -> SupervisedModel:
         from pyspark.ml.classification import GBTClassifier
 
+        vocab = None
+        if self.with_vocabulary:
+            vocab = Vocabulary.fit(
+                cands,
+                ["preprocessed", "gt_preprocessed"],
+                very_common_min_df=self.vocabulary_min_df[0],
+                common_min_df=self.vocabulary_min_df[1],
+            )
         feature_cols = PAIR_FEATURES + RANK_FEATURES
-        model = SupervisedModel(None, feature_cols, self.score_col)
+        if vocab is not None:
+            feature_cols = feature_cols + VOCAB_FEATURES
+        feature_cols = feature_cols + [f"f_{c}_match" for c in self.extra_cols]
+        if self.use_lef:
+            feature_cols = feature_cols + ["f_lef_score"]
+        model = SupervisedModel(
+            None, feature_cols, self.score_col,
+            vocabulary=vocab, extra_cols=self.extra_cols, use_lef=self.use_lef,
+        )
         train = model._featurize(
             cands.filter(F.col("gt_uid").isNotNull() & F.col("entity_id").isNotNull())
         ).withColumn(

@@ -111,7 +111,17 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
         _write_json(
             spark,
             f"{path}/supervised/meta.json",
-            {"feature_cols": sm.feature_cols, "score_col_in": sm.score_col_in},
+            {
+                "feature_cols": sm.feature_cols,
+                "score_col_in": sm.score_col_in,
+                "vocabulary": (
+                    {"very_common": sm.vocabulary.very_common, "common": sm.vocabulary.common}
+                    if sm.vocabulary is not None
+                    else None
+                ),
+                "extra_cols": list(sm.extra_cols),
+                "use_lef": sm.use_lef,
+            },
         )
         sm.ml_model.write().overwrite().save(f"{path}/supervised/gbt")
 
@@ -166,11 +176,17 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
 
         from entitymatchingmodel_spark.operators.supervised import SupervisedModel
 
+        from entitymatchingmodel_spark.operators.features import Vocabulary
+
         smeta = _read_json(spark, f"{path}/supervised/meta.json")
+        v = smeta.get("vocabulary")
         em.supervised_model_ = SupervisedModel(
             GBTClassificationModel.load(f"{path}/supervised/gbt"),
             smeta["feature_cols"],
             smeta["score_col_in"],
+            vocabulary=Vocabulary(v["very_common"], v["common"]) if v else None,
+            extra_cols=tuple(smeta.get("extra_cols", ())),
+            use_lef=smeta.get("use_lef", False),
         )
         em.supervised_on = True
 

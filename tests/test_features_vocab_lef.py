@@ -1,0 +1,77 @@
+"""Vocabulary, extra-equality, and LEF features (SURVEY §2.10 M2-M4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.features import (
+    Vocabulary,
+    extra_equality_feature,
+    lef_features,
+    vocabulary_features,
+)
+
+
+def test_vocabulary_fit_tiers(spark):
+    # 'alpha' in 4/4 names (very common at 0.5), 'beta' in 2/4 (common at 0.25)
+    df = spark.createDataFrame(
+        [("alpha beta one",), ("alpha beta two",), ("alpha three",), ("alpha four",)],
+        "preprocessed string",
+    )
+    v = Vocabulary.fit(df, ["preprocessed"], very_common_min_df=0.9, common_min_df=0.4)
+    assert v.very_common == ["alpha"]
+    assert v.common == ["beta"]
+
+
+def test_vocabulary_features_values(spark):
+    v = Vocabulary(very_common=["alpha"], common=["beta"])
+    df = spark.createDataFrame(
+        [("alpha beta corp", "alpha gamma corp")],
+        "preprocessed string, gt_preprocessed string",
+    )
+    row = vocabulary_features(df, v).collect()[0]
+    # hits: alpha(very), corp(rare); misses: beta(common), gamma(rare)
+    assert row["f_very_common_hit"] == 1.0
+    assert row["f_common_hit"] == 0.0
+    assert row["f_rare_hit"] == 1.0
+    assert row["f_very_common_miss"] == 0.0
+    assert row["f_common_miss"] == 1.0
+    assert row["f_rare_miss"] == 1.0
+    assert row["f_n_overlap_words"] == 2.0
+    assert row["f_ratio_overlap_words"] == 0.5
+    assert row["f_num_word_difference"] == 0.0
+
+
+def test_vocabulary_min_df_validation(spark):
+    df = spark.createDataFrame([("x",)], "preprocessed string")
+    with pytest.raises(ValueError, match="smaller"):
+        Vocabulary.fit(df, ["preprocessed"], very_common_min_df=0.01, common_min_df=0.1)
+
+
+def test_extra_equality_three_states(spark):
+    df = spark.createDataFrame(
+        [("NL", "NL"), ("NL", "DE"), (None, "NL"), ("NL", None)],
+        "country string, gt_country string",
+    )
+    vals = [r["f_country_match"] for r in extra_equality_feature(df, "country").collect()]
+    assert vals == [1.0, -1.0, 0.0, 0.0]
+
+
+@pytest.mark.parametrize(
+    ("n1", "n2", "cat", "lef1", "lef2"),
+    [
+        ("acme bv", "acme bv", "identical", "bv", "bv"),
+        ("acme bv ltd", "acme ltd bv", "identical", "bv:ltd", "bv:ltd"),
+        ("acme bv", "acme ltd", "no_match", "bv", "ltd"),
+        ("acme bv ltd", "acme bv", "partial_match", "bv:ltd", "bv"),
+        ("acme", "acme bv", "lef1_missing", "", "bv"),
+        ("acme bv", "acme", "lef2_missing", "bv", ""),
+        ("acme", "acme", "lef1_lef2_missing", "", ""),
+    ],
+)
+def test_lef_categories(spark, n1, n2, cat, lef1, lef2):
+    df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
+    row = lef_features(df).collect()[0]
+    assert row["f_lef_match"] == cat
+    assert row["lef1"] == lef1
+    assert row["lef2"] == lef2
+    assert row["f_lef_score"] is not None
