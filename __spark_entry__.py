@@ -358,6 +358,37 @@ def q_country_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("uid", "gt_uid", "f_country_match")
 
 
+def _labelled_cossim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt, names = _part_gt_names(spark, sf_dir)
+    cands = _cossim_cands(spark, sf_dir)
+    return (
+        cands.join(names, "uid")
+        .join(gt.select("gt_uid", F.col("preprocessed").alias("gt_preprocessed")), "gt_uid")
+        .withColumn("correct", F.col("preprocessed") == F.col("gt_preprocessed"))
+    )
+
+
+def q_threshold_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold decision curves (SURVEY §2.10 M12) — distributed confusion
+    matrices at every score threshold."""
+    from entitymatchingmodel_spark.operators.training import threshold_curves
+
+    scored = _labelled_cossim(spark, sf_dir)
+    out = threshold_curves(scored, score_col="score", positive_set_col=None)
+    return out.select(
+        "name_set", F.round("threshold", 6).alias("threshold"), "tn", "fp", "fn", "tp"
+    )
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the distributed rank-sum identity (SURVEY §2.10 M13)."""
+    from entitymatchingmodel_spark.operators.training import auc_score
+
+    scored = _labelled_cossim(spark, sf_dir)
+    auc = auc_score(scored, score_col="score", correct_col="correct")
+    return spark.createDataFrame([(round(auc, 6),)], "auc double")
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-encoded as an opaque binary media payload column."""
     docs = _t(spark, sf_dir, "documents")
@@ -506,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_features": q_vocab_features,
         "lef_match": q_lef_match,
         "country_match": q_country_match,
+        "threshold_curves": q_threshold_curves,
+        "auc": q_auc,
     }
 
 
@@ -828,6 +861,37 @@ _ORACLE = {
         )
         SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
         FROM j WHERE rn <= 3
+    """,
+    "threshold_curves": f"""
+        WITH {_SQL_CANDS},
+        j AS (SELECT c.score,
+                     CASE WHEN n.name = g.name THEN 1 ELSE 0 END AS y
+              FROM cand c JOIN nm n ON c.uid = n.uid JOIN gt g ON c.gt_uid = g.gt_uid),
+        g2 AS (SELECT score AS threshold, sum(y) AS pos, count(*) AS n
+               FROM j GROUP BY score),
+        tot AS (SELECT sum(pos) AS p_all, sum(n) AS n_all FROM g2),
+        cm AS (SELECT threshold,
+                      sum(pos) OVER w AS tp_raw,
+                      sum(n) OVER w - sum(pos) OVER w AS fp_raw
+               FROM g2
+               WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING))
+        SELECT 'all' AS name_set, round(threshold, 6) AS threshold,
+               CAST(n_all - p_all - fp_raw AS DOUBLE) AS tn,
+               CAST(fp_raw AS DOUBLE) AS fp,
+               CAST(p_all - tp_raw AS DOUBLE) AS fn,
+               CAST(tp_raw AS DOUBLE) AS tp
+        FROM cm, tot
+    """,
+    "auc": f"""
+        WITH {_SQL_CANDS},
+        j AS (SELECT c.score AS s,
+                     CASE WHEN n.name = g.name THEN 1 ELSE 0 END AS y
+              FROM cand c JOIN nm n ON c.uid = n.uid JOIN gt g ON c.gt_uid = g.gt_uid),
+        rn AS (SELECT y, s, row_number() OVER (ORDER BY s) AS rnk FROM j),
+        rr AS (SELECT y, avg(rnk) OVER (PARTITION BY s) AS r FROM rn),
+        agg AS (SELECT sum(CASE WHEN y = 1 THEN r END) AS rs,
+                       sum(y) AS np, count(*) AS n FROM rr)
+        SELECT round((rs - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc FROM agg
     """,
     "media_metadata": """
         SELECT doc_id,

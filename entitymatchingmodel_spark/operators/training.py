@@ -1,0 +1,275 @@
+"""Training-pair preparation and threshold decision (SURVEY §2.10 M10-M13).
+
+Reference does all of this driver-side in pandas after a full
+``toPandas()`` collect (emm/data/prepare_name_pairs.py:29-31 — a cluster->
+driver boundary on every training run).  Here every step is a DataFrame
+transformation; nothing leaves the cluster until the final (tiny) threshold
+curve is read.
+
+Semantics mirrored from the reference:
+- label: ``correct = entity_id == gt_entity_id``  (prepare_name_pairs.py:96)
+- positive/negative split by entity id             (prepare_name_pairs.py:100-108)
+- negative-sample reranking per indexer            (negative_data_creation.py:28-253):
+  cossim: drop correct pairs, rerank 1..n, drop highest rank;
+  SNI: drop correct pairs, shift ranks on the correct pair's side one step
+  toward zero (unless the correct rank was 0, absent, or duplicated),
+  drop |rank| == max.
+- threshold curves: per name-set {all, positive, negative} confusion
+  matrices at every distinct score threshold (threshold/threshold_decision
+  .py:27-149) — computed as a groupBy + cumulative window, not sklearn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_candidates(cands: DataFrame, entity_id_col: str = "entity_id",
+                     gt_entity_id_col: str = "gt_entity_id") -> DataFrame:
+    """correct = entity_id == gt_entity_id (null-safe: null gt -> False)."""
+    return cands.withColumn(
+        "correct",
+        F.when(
+            F.col(entity_id_col).isNotNull() & F.col(gt_entity_id_col).isNotNull(),
+            F.col(entity_id_col) == F.col(gt_entity_id_col),
+        ).otherwise(F.lit(False)),
+    )
+
+
+def split_positive_set(
+    cands: DataFrame,
+    entity_id_col: str = "entity_id",
+    fraction: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic entity-level positive/negative split.
+
+    The reference samples entity ids with a driver rng (prepare_name_pairs
+    .py:100-108); here the split is a pure hash of the entity id — same
+    result on any cluster, no collect, stable across reruns.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(entity_id_col).cast("string"), F.lit(seed)), F.lit(1000))
+    return cands.withColumn("positive_set", bucket < int(fraction * 1000))
+
+
+def negative_rerank_cossim(
+    df: DataFrame, rank_col: str, rank_max: int, uid_col: str = "uid"
+) -> DataFrame:
+    """(uid, gt_uid, new_rank) for surviving negative-set cossim candidates."""
+    neg = df.filter(~F.col("correct") & F.col(rank_col).isNotNull())
+    w = Window.partitionBy(uid_col).orderBy(F.col(rank_col).asc())
+    return (
+        neg.withColumn("_nr", F.row_number().over(w))
+        .filter(F.col("_nr") < rank_max)
+        .select(uid_col, "gt_uid", F.col("_nr").cast("double").alias(rank_col))
+    )
+
+
+def negative_rerank_sni(
+    df: DataFrame, rank_col: str, rank_max: int, uid_col: str = "uid"
+) -> DataFrame:
+    """(uid, gt_uid, new_rank) for surviving negative-set SNI candidates.
+
+    Shift logic per ref negative_data_creation.py:120-146: with r_pc the
+    rank of the removed correct pair — skip when r_pc in {0, null} or when
+    another candidate kept rank r_pc; else ranks strictly beyond r_pc on
+    its side move one step toward zero.
+    """
+    has = df.filter(F.col(rank_col).isNotNull())
+    pc = (
+        has.filter(F.col("correct"))
+        .groupBy(uid_col)
+        .agg(F.last(rank_col).alias("_r_pc"))
+    )
+    neg = has.filter(~F.col("correct")).join(pc, uid_col, "left")
+    same_rank = F.max(
+        F.when(F.col(rank_col) == F.col("_r_pc"), 1).otherwise(0)
+    ).over(Window.partitionBy(uid_col))
+    neg = neg.withColumn("_dup", same_rank == 1)
+    shift = (
+        F.when(
+            F.col("_r_pc").isNull() | (F.col("_r_pc") == 0) | F.col("_dup"), F.col(rank_col)
+        )
+        .when(
+            (F.col("_r_pc") > 0) & (F.col(rank_col) > F.col("_r_pc")),
+            F.col(rank_col) - 1,
+        )
+        .when(
+            (F.col("_r_pc") < 0) & (F.col(rank_col) < F.col("_r_pc")),
+            F.col(rank_col) + 1,
+        )
+        .otherwise(F.col(rank_col))
+    )
+    return (
+        neg.withColumn("_nr", shift)
+        .filter(F.abs(F.col("_nr")) < rank_max)
+        .select(uid_col, "gt_uid", F.col("_nr").cast("double").alias(rank_col))
+    )
+
+
+def create_positive_negative_samples(
+    df: DataFrame, uid_col: str = "uid"
+) -> DataFrame:
+    """Distributed twin of ref create_positive_negative_samples (:172-253).
+
+    Input: labelled candidates with ``correct``, ``positive_set`` and one or
+    more ``rank_<i>`` columns.  Output: the merged positive+negative training
+    set with per-indexer reranked rank columns; rows dropped by every indexer
+    disappear.
+    """
+    rank_cols = [c for c in df.columns if c.startswith("rank_")]
+    if not rank_cols:
+        raise ValueError("no rank_* columns found")
+    df = df.persist()
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in rank_cols],
+        *[F.max(F.abs(F.col(c))).alias(f"max_{c}") for c in rank_cols],
+    ).collect()[0]
+
+    pos = df.filter(F.col("positive_set"))
+    neg = df.filter(~F.col("positive_set"))
+
+    merged: DataFrame | None = None
+    for c in rank_cols:
+        rank_min = bounds[f"min_{c}"]
+        rank_max = max(abs(bounds[f"max_{c}"] or 0), abs(rank_min or 0))
+        if rank_min is not None and rank_min < 0:
+            neg_i = negative_rerank_sni(neg, c, rank_max, uid_col)
+        else:
+            neg_i = negative_rerank_cossim(neg, c, rank_max, uid_col)
+        pos_i = (
+            pos.filter(F.col(c).isNotNull() & (F.abs(F.col(c)) < rank_max))
+            .select(uid_col, "gt_uid", F.col(c).cast("double").alias(c))
+        )
+        both = neg_i.unionByName(pos_i)
+        merged = both if merged is None else merged.join(both, [uid_col, "gt_uid"], "full")
+
+    base = df.drop(*rank_cols)
+    return base.join(merged, [uid_col, "gt_uid"])
+
+
+def create_training_pairs(
+    em,
+    names: DataFrame,
+    fraction_positive: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full M10 path: widened-window transform -> label -> split -> rerank.
+
+    Window widening (+1 candidate / +2 SNI window, ref base_indexer.py:59-96,
+    spark_entity_matching.py:397-404) is applied to the FITTED models for the
+    duration of the transform, then restored — reranking then shrinks the
+    negative set back to the original window.
+    """
+    models = list(em.indexer_models_.values())
+    saved = []
+    for m in models:
+        if hasattr(m, "k"):
+            saved.append(("k", m.k))
+            m.k += 1
+        else:
+            saved.append(("w", m.w))
+            m.w += 1
+    sup, agg = em.supervised_on, em.aggregation_layer
+    em.supervised_on, em.aggregation_layer = False, False
+    try:
+        cands = em.transform(names)
+    finally:
+        em.supervised_on, em.aggregation_layer = sup, agg
+        for m, (attr, v) in zip(models, saved):
+            setattr(m, attr, v)
+    cands = label_candidates(cands)
+    cands = split_positive_set(cands, fraction=fraction_positive, seed=seed)
+    return create_positive_negative_samples(cands)
+
+
+# ---------------------------------------------------------------------------
+# Threshold decision curves (M12) + AUC (M13)
+# ---------------------------------------------------------------------------
+
+def threshold_curves(
+    scored: DataFrame,
+    score_col: str = "nm_score",
+    correct_col: str = "correct",
+    positive_set_col: str | None = "positive_set",
+) -> DataFrame:
+    """Confusion-matrix curves at every distinct score threshold.
+
+    Returns (name_set, threshold, tn, fp, fn, tp): predicting positive for
+    score >= threshold.  Pure groupBy + cumulative window — the driver never
+    sees individual scores, only |distinct scores| curve rows.
+    """
+    sets = [("all", None)]
+    if positive_set_col and positive_set_col in scored.columns:
+        sets += [("positive", F.col(positive_set_col)), ("negative", ~F.col(positive_set_col))]
+
+    out: DataFrame | None = None
+    for name, cond in sets:
+        sub = scored.filter(cond) if cond is not None else scored
+        sub = sub.filter(F.col(score_col).isNotNull())
+        g = sub.groupBy(F.col(score_col).alias("threshold")).agg(
+            F.sum(F.col(correct_col).cast("long")).alias("_pos"),
+            F.count("*").alias("_n"),
+        )
+        w = Window.orderBy(F.desc("threshold")).rowsBetween(Window.unboundedPreceding, 0)
+        wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cur = (
+            g.withColumn("tp", F.sum("_pos").over(w).cast("double"))
+            .withColumn("fp", (F.sum("_n").over(w) - F.sum("_pos").over(w)).cast("double"))
+            .withColumn("fn", (F.sum("_pos").over(wa) - F.col("tp")).cast("double"))
+            .withColumn("tn", (F.sum("_n").over(wa) - F.sum("_pos").over(wa) - F.col("fp")).cast("double"))
+            .select(F.lit(name).alias("name_set"), "threshold", "tn", "fp", "fn", "tp")
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out
+
+
+def calc_threshold(
+    curves: DataFrame,
+    name_set: str = "all",
+    metric: str = "precision",
+    min_value: float = 0.9,
+) -> float:
+    """Lowest threshold whose metric meets ``min_value`` (max recall subject
+    to the constraint) — ref base_entity_matching.py:211-288."""
+    c = curves.filter(F.col("name_set") == name_set)
+    m = {
+        "precision": F.col("tp") / (F.col("tp") + F.col("fp")),
+        "recall": F.col("tp") / (F.col("tp") + F.col("fn")),
+        "accuracy": (F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")),
+        "f1": 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    }[metric]
+    row = (
+        c.withColumn("_m", m)
+        .filter(F.col("_m") >= min_value)
+        .agg(F.min("threshold").alias("t"))
+        .collect()[0]
+    )
+    if row["t"] is None:
+        raise ValueError(f"no threshold reaches {metric} >= {min_value}")
+    return float(row["t"])
+
+
+def auc_score(
+    scored: DataFrame, score_col: str = "nm_score", correct_col: str = "correct"
+) -> float:
+    """ROC AUC via the rank-sum (Mann-Whitney) identity — one groupBy, no
+    per-row collect (ref test helper pandas_entity_matching.py:527-559)."""
+    sub = scored.filter(F.col(score_col).isNotNull())
+    w = Window.orderBy(score_col)
+    ranked = sub.select(
+        F.col(correct_col).cast("long").alias("y"),
+        F.col(score_col).alias("_s"),
+        F.row_number().over(w).alias("_rn"),
+    ).withColumn("r", F.avg("_rn").over(Window.partitionBy("_s")))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rs"),
+        F.sum("y").alias("np"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n_pos, n_neg = agg["np"], agg["n"] - agg["np"]
+    if not n_pos or not n_neg:
+        raise ValueError("need both classes for AUC")
+    return float((agg["rs"] - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))

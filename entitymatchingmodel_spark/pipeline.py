@@ -154,11 +154,46 @@ class SparkEntityMatching:
         return out
 
     # ---------------------------------------------- supervised layer hooks
-    def fit_classifier(self, names_df: DataFrame, **kw) -> "SparkEntityMatching":
+    def create_training_name_pairs(
+        self, names_df: DataFrame, fraction_positive: float = 0.5, seed: int = 42
+    ) -> DataFrame:
+        """Labelled positive/negative training pairs (SURVEY §2.10 M10):
+        widened-window transform, entity-level split, per-indexer negative
+        reranking — all distributed (operators/training.py)."""
+        from entitymatchingmodel_spark.operators.training import create_training_pairs
+
+        return create_training_pairs(
+            self, names_df, fraction_positive=fraction_positive, seed=seed
+        )
+
+    def fit_classifier(
+        self,
+        names_df: DataFrame,
+        create_negative_sample_fraction: float = 0.0,
+        seed: int = 42,
+        **kw,
+    ) -> "SparkEntityMatching":
+        """Train the supervised layer.
+
+        With ``create_negative_sample_fraction > 0`` the training set goes
+        through the full M10 prep (negative sampling + rerank); otherwise
+        candidates of a plain transform are labelled directly.
+        """
         from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
 
-        self.supervised_on = False
-        cands = self.transform(names_df)
+        if create_negative_sample_fraction > 0:
+            cands = self.create_training_name_pairs(
+                names_df,
+                fraction_positive=1.0 - create_negative_sample_fraction,
+                seed=seed,
+            )
+        else:
+            prev = self.supervised_on
+            self.supervised_on = False
+            try:
+                cands = self.transform(names_df)
+            finally:
+                self.supervised_on = prev
         scorer = SupervisedScorer(**kw)
         self.supervised_model_ = scorer.fit(cands)
         self.supervised_on = True
