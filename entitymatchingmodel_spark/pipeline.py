@@ -62,6 +62,10 @@ def _build_indexer(spec: dict[str, Any]):
             window_length=spec.get("window_length", 3),
             topn_per_name=spec.get("topn_per_name", 10),
         )
+    if kind == "naive":
+        from entitymatchingmodel_spark.operators.naive_indexer import NaiveIndexer
+
+        return NaiveIndexer(max_pairs=spec.get("max_pairs", 10_000_000))
     raise ValueError(f"unknown indexer type {kind!r}")
 
 
