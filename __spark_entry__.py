@@ -27,6 +27,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan across cores before per-row-heavy
+    compute.  Local test parquet is one file (often one row group -> 1-2
+    input partitions); without this, expression-heavy per-row operators
+    (minhash, simhash) run on a single core.  On a real cluster the input
+    layout provides the parallelism and this is a no-op-sized shuffle."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -230,7 +239,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (dedup family), exploded to (doc_id, hash_idx, minhash)."""
     from entitymatchingmodel_spark.operators.dedup import minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
     return (
         # posexplode_outer: sig is always 32 elements; inner posexplode
@@ -249,7 +258,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
     pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
     return pairs.select(
@@ -261,7 +270,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash (dedup family)."""
     from entitymatchingmodel_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return simhash(docs, "doc_id", "text", bits=32).select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -473,7 +482,7 @@ def q_supervised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    model = SupervisedScorer(score_col="score").fit(cands)
+    model = SupervisedScorer(score_col="score", max_iter=8).fit(cands)
     out = model.transform(cands)
     return out.select("uid", "gt_uid", "nm_score", "best_rank", "best_match")
 

@@ -76,7 +76,10 @@ class SupervisedModel:
             out = lef_features(out)
         return out
 
-    def transform(self, cands: DataFrame) -> DataFrame:
+    def transform(self, cands: DataFrame, return_sm_features: bool = False) -> DataFrame:
+        """Score candidates; with ``return_sm_features`` the f_* feature
+        columns are kept in the output (ref spark_supervised_model.py:190-219
+        M8 feature pass-through)."""
         from pyspark.ml.functions import vector_to_array
 
         matched = self._featurize(cands)
@@ -90,6 +93,8 @@ class SupervisedModel:
                 F.element_at(vector_to_array("probability"), 2),
             ),
         ).drop("features", "rawPrediction", "probability", "prediction")
+        if not return_sm_features:
+            scored = scored.drop(*[c for c in scored.columns if c.startswith("f_")])
         return best_match(scored, "nm_score")
 
     @staticmethod

@@ -258,16 +258,21 @@ def auc_score(
     """ROC AUC via the rank-sum (Mann-Whitney) identity — one groupBy, no
     per-row collect (ref test helper pandas_entity_matching.py:527-559)."""
     sub = scored.filter(F.col(score_col).isNotNull())
-    w = Window.orderBy(score_col)
-    ranked = sub.select(
-        F.col(correct_col).cast("long").alias("y"),
-        F.col(score_col).alias("_s"),
-        F.row_number().over(w).alias("_rn"),
-    ).withColumn("r", F.avg("_rn").over(Window.partitionBy("_s")))
+    # Aggregate per distinct score first: the tied-rank average of a score
+    # group is cum_count_before + (n+1)/2, so the global window runs over
+    # |distinct scores| rows, not |candidates| rows.
+    g = sub.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(correct_col).cast("long")).alias("_pos"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "r", F.coalesce(F.sum("_n").over(w), F.lit(0)) + (F.col("_n") + 1) / 2.0
+    )
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rs"),
-        F.sum("y").alias("np"),
-        F.count("*").alias("n"),
+        F.sum(F.col("_pos") * F.col("r")).alias("rs"),
+        F.sum("_pos").alias("np"),
+        F.sum("_n").alias("n"),
     ).collect()[0]
     n_pos, n_neg = agg["np"], agg["n"] - agg["np"]
     if not n_pos or not n_neg:

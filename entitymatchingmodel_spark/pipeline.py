@@ -88,13 +88,44 @@ class SparkEntityMatching:
             "country_col": p.get("country_col"),
         }
         self.carry_on_cols = p.get("carry_on_cols", [])
+        # Target rows/partition for input sizing (ref parameters.py:48,
+        # spark_utils.py:63-76 auto_repartitioning; SURVEY §4 X7).
+        self.partition_size = p.get("partition_size", 5000)
         # fitted state
         self.gt_: DataFrame | None = None
         self.indexer_models_: dict[str, Any] = {}
         self.supervised_model_ = None
 
+    def _promote(self, df) -> DataFrame:
+        """pandas -> Spark promotion (ref spark_entity_matching.py:267-269)."""
+        if isinstance(df, DataFrame):
+            return df
+        import pandas as pd
+
+        if isinstance(df, pd.DataFrame):
+            from pyspark.sql import SparkSession
+
+            return SparkSession.active().createDataFrame(df)
+        raise TypeError(f"expected Spark or pandas DataFrame, got {type(df)!r}")
+
+    def _auto_repartition(self, df: DataFrame) -> DataFrame:
+        """Size partitions to ~partition_size rows (ref spark_utils.py:63-76).
+
+        Uses a cheap countApprox-style estimate from the first action; here
+        rdd.countApprox is avoided (extra job) — instead rely on the
+        current partition count and only repartition when way off."""
+        if not self.partition_size or df.isStreaming:
+            return df
+        n = df.rdd.countApprox(timeout=1000, confidence=0.9)
+        target = max(1, int(n / self.partition_size))
+        current = df.rdd.getNumPartitions()
+        if target > current * 2 or target < current // 2:
+            return df.repartition(target)
+        return df
+
     # ---------------------------------------------------------------- fit
-    def fit(self, gt_df: DataFrame) -> "SparkEntityMatching":
+    def fit(self, gt_df) -> "SparkEntityMatching":
+        gt_df = self._promote(gt_df)
         gt = S.normalize_columns(
             gt_df,
             name_col=self.gt_cols["name_col"],
@@ -103,6 +134,8 @@ class SparkEntityMatching:
             country_col=self.gt_cols["country_col"],
         )
         gt = S.with_uid(gt)
+        if self.p.get("auto_repartition", False):
+            gt = self._auto_repartition(gt)
         gt = self.preprocessor.transform(gt)
         gt = S.prefix_gt(gt)  # uid->gt_uid, name->gt_name, ...
         gt = gt.withColumnRenamed(S.GT_PREFIX + S.PREPROCESSED, "gt_preprocessed")
@@ -116,7 +149,8 @@ class SparkEntityMatching:
         return self
 
     # ---------------------------------------------------------- transform
-    def transform(self, names_df: DataFrame) -> DataFrame:
+    def transform(self, names_df) -> DataFrame:
+        names_df = self._promote(names_df)
         p = self.p
 
         def _opt(key: str, default: str | None = None) -> str | None:
@@ -134,6 +168,8 @@ class SparkEntityMatching:
             carry_on_cols=[c for c in self.carry_on_cols if c in names_df.columns],
         )
         names = S.with_uid(names)
+        if self.p.get("auto_repartition", False):
+            names = self._auto_repartition(names)
         names = self.preprocessor.transform(names)
         per_indexer = {
             iname: model.transform(names)
@@ -143,7 +179,9 @@ class SparkEntityMatching:
         cands = CS.attach_gt_info(cands, self.gt_)
         out = CS.attach_names(cands, names, self.with_no_matches)
         if self.supervised_on and self.supervised_model_ is not None:
-            out = self.supervised_model_.transform(out)
+            out = self.supervised_model_.transform(
+                out, return_sm_features=p.get("return_sm_features", False)
+            )
         if self.aggregation_layer:
             from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
 
