@@ -367,6 +367,38 @@ def q_country_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("uid", "gt_uid", "f_country_match")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (dedup family)."""
+    from entitymatchingmodel_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding + exact Hamming verify."""
+    from entitymatchingmodel_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sim = simhash(docs, "doc_id", "text", bits=32)
+    return simhash_near_pairs(sim, bits=32, max_hamming=12, blocks=4).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbours (scale path of ANN).
+
+    Not SQL-expressible deterministically (xxhash64 centroid sample) ->
+    rows-only check.
+    """
+    from entitymatchingmodel_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+
+
 def _labelled_cossim(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt, names = _part_gt_names(spark, sf_dir)
     cands = _cossim_cands(spark, sf_dir)
@@ -548,6 +580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "country_match": q_country_match,
         "threshold_curves": q_threshold_curves,
         "auc": q_auc,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -780,6 +815,44 @@ _ORACLE = {
         SELECT doc_id,
                CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
+    """,
+    "ngram_jaccard": """
+        WITH tokarr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                          '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, greatest(len(toks)-2, 0))) AS i
+                     FROM tokarr)),
+        szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b USING(shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        FROM j JOIN szs sa ON j.id_a = sa.doc_id JOIN szs sb ON j.id_b = sb.doc_id
+        WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.2
+    """,
+    "simhash_near_pairs": """
+        WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
+                     FROM documents),
+        hv AS (SELECT doc_id, CAST(concat('0x', substring(md5(token),1,7)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                 FROM hv, generate_series(0,31) AS g(i) GROUP BY doc_id, i),
+        sim AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+        banded AS (SELECT doc_id, simhash, CAST(blk AS INT) AS blk,
+                          (simhash >> (CAST(blk AS INT) * 8)) & 255 AS bkey
+                   FROM sim, generate_series(0,3) AS g(blk)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.simhash AS sa, b.simhash AS sb
+                  FROM banded a JOIN banded b ON a.blk = b.blk AND a.bkey = b.bkey
+                  WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 12
     """,
     "embed_near_pairs": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
