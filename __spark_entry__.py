@@ -381,7 +381,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sim = simhash(docs, "doc_id", "text", bits=32)
-    return simhash_near_pairs(sim, bits=32, max_hamming=12, blocks=4).select(
+    return simhash_near_pairs(sim, bits=32, max_hamming=3, blocks=4).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -852,7 +852,7 @@ _ORACLE = {
                   FROM banded a JOIN banded b ON a.blk = b.blk AND a.bkey = b.bkey
                   WHERE a.doc_id < b.doc_id)
         SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
-        FROM pairs WHERE bit_count(xor(sa, sb)) <= 12
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
     """,
     "embed_near_pairs": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -91,11 +91,13 @@ def ivf_topk(
     )
     bc = F.broadcast(cents)
 
-    def nearest(df: DataFrame, vcol: str, n: int, out: str) -> DataFrame:
+    def nearest(df: DataFrame, id_c: str, vcol: str, n: int, out: str) -> DataFrame:
         scored = df.crossJoin(bc).withColumn(
             "_cs", cosine_similarity(F.col(vcol), F.col("_cent"))
         )
-        w = Window.partitionBy(*df.columns).orderBy(F.desc("_cs"))
+        # Partition the top-n window by the row id, not the vector payload —
+        # hashing a float array per row as a shuffle key is pure waste.
+        w = Window.partitionBy(id_c).orderBy(F.desc("_cs"), F.asc("cent_id"))
         return (
             scored.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= n)
@@ -103,9 +105,9 @@ def ivf_topk(
         )
 
     c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv"))
-    c_assigned = nearest(c, "_cv", 1, "bucket")
+    c_assigned = nearest(c, "nn_id", "_cv", 1, "bucket")
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
-    q_probed = nearest(q, "_qv", nprobe, "bucket")
+    q_probed = nearest(q, "qid", "_qv", nprobe, "bucket")
     scored = q_probed.join(c_assigned, "bucket").select(
         "qid", "nn_id", cosine_similarity("_qv", "_cv").alias("score")
     )
