@@ -117,6 +117,21 @@ def q_cossim_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("uid", "gt_uid", F.round("score", 6).alias("score"), "rank")
 
 
+def q_cossim_broadcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical cosine top-k as q_cossim_word_topk, but via the
+    broadcast-kernel physical strategy (SURVEY §2.5 J1 strategy (a)) —
+    identical results, zero transform-side shuffles."""
+    from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexer
+
+    gt, names = _part_gt_names(spark, sf_dir)
+    model = CosSimIndexer(
+        tokenizer="words", ngram=1, k=5, lower_bound=0.1, max_vocab=None,
+        score_decimals=6, strategy="broadcast",
+    ).fit(gt)
+    out = model.transform(names)
+    return out.select("uid", "gt_uid", F.round("score", 6).alias("score"), "rank")
+
+
 def q_sni_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighbourhood candidates (SURVEY §2.5 J3), window 5 (w=2)."""
     from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
@@ -554,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preprocess_names": q_preprocess_names,
         "tfidf_vocab": q_tfidf_vocab,
         "cossim_word_topk": q_cossim_word_topk,
+        "cossim_broadcast_topk": q_cossim_broadcast_topk,
         "sni_window": q_sni_window,
         "pair_features": q_pair_features,
         "rank_features": q_rank_features,
@@ -662,6 +678,30 @@ _ORACLE = {
         FROM tok, n GROUP BY token, n_docs
     """,
     "cossim_word_topk": """
+        WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
+        gtok AS (SELECT gt_uid, unnest(list_distinct(list_filter(
+                   regexp_split_to_array(name,'[^a-zA-Z0-9]+'), x -> x <> ''))) AS token FROM gt),
+        n AS (SELECT count(*) AS n_docs FROM gt),
+        vocab AS (SELECT token, count(*) AS df FROM gtok GROUP BY token),
+        idf AS (SELECT token, ln((n_docs+1.0)/(df+1.0)) AS idf FROM vocab, n),
+        gw AS (SELECT gt_uid, g.token, idf FROM gtok g JOIN idf USING(token)),
+        gn AS (SELECT gt_uid, sqrt(sum(idf*idf)) AS nrm FROM gw GROUP BY gt_uid),
+        gwn AS (SELECT gt_uid, token, idf/nrm AS wt FROM gw JOIN gn USING(gt_uid)),
+        ntok AS (SELECT uid, unnest(list_distinct(list_filter(
+                   regexp_split_to_array(name,'[^a-zA-Z0-9]+'), x -> x <> ''))) AS token FROM nm),
+        nw AS (SELECT uid, t.token, idf FROM ntok t JOIN idf USING(token)),
+        nn AS (SELECT uid, sqrt(sum(idf*idf)) AS nrm FROM nw GROUP BY uid),
+        nwn AS (SELECT uid, token, idf/nrm AS wt FROM nw JOIN nn USING(uid)),
+        pairs AS (SELECT uid, gt_uid, round(sum(q.wt*g.wt), 6) AS score
+                  FROM nwn q JOIN gwn g USING(token) GROUP BY uid, gt_uid),
+        ranked AS (SELECT uid, gt_uid, score,
+                          row_number() OVER (PARTITION BY uid ORDER BY score DESC, gt_uid DESC) AS rank
+                   FROM pairs WHERE score > 0.1)
+        SELECT uid, gt_uid, round(score, 6) AS score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "cossim_broadcast_topk": """
         WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
         nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
         gtok AS (SELECT gt_uid, unnest(list_distinct(list_filter(

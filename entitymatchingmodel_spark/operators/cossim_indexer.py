@@ -6,8 +6,10 @@ matrix to the driver, broadcasts it, and runs a C++ sparse-matmul kernel inside
 :295-318, 645-675).  That design caps GT size at driver/executor memory and
 bypasses Catalyst entirely.
 
-This engine expresses the same *exact* top-k cosine join declaratively
-(SURVEY.md §2.5 J1 strategy (b)):
+This engine expresses the same *exact* top-k cosine join behind TWO
+interchangeable physical strategies (SURVEY.md §2.5 J1, §7 item 4):
+
+strategy='inverted' (default) — pure Catalyst:
 
     names weights (uid, token, w)  ⋈ token ⋈  gt weights (gt_uid, token, w)
     -> groupBy(uid, gt_uid).sum(w*w')         # cosine numerator; L2-normed
@@ -20,10 +22,21 @@ with map-side partial aggregation.  Blocking (X2) becomes an extra equi-join
 key, i.e. real partition pruning.  Hot-token guard: optional ``max_df_frac``
 drops tokens present in > frac of GT docs (their idf ~ 0, so they contribute
 negligible score but quadratic join work).
+
+strategy='broadcast' — the reference-faithful kernel path (ref
+spark_indexing_utils.py:51-100 collect, spark_cos_sim_matcher.py:716-719
+broadcast, :295-318 C++ kernel): the GT inverted index is collected once,
+broadcast as numpy postings arrays, and each Arrow batch of query vectors is
+scored by a vectorized scatter-add kernel with top-k + threshold pushdown —
+zero shuffles in transform, one pass over the names.  Executor memory bound:
+postings (nnz x 12B) + one dense float64 accumulator of |GT| per task.
+Right when GT fits in memory and names >> GT; 'inverted' is the path past
+that.  Both strategies produce identical results (oracle-verified).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +59,7 @@ class CosSimIndexerModel:
         blocking_func,
         input_col: str,
         score_decimals: int | None = None,
+        strategy: str = "inverted",
     ):
         self.tfidf = tfidf
         self.gt_weights = gt_weights
@@ -54,9 +68,107 @@ class CosSimIndexerModel:
         self.blocking_func = blocking_func
         self.input_col = input_col
         self.score_decimals = score_decimals
+        self.strategy = strategy
+        self._bc = None  # lazy broadcast kernel state
+
+    # ------------------------------------------------- broadcast kernel
+    def _build_kernel(self):
+        """Collect the GT inverted index once; broadcast postings arrays.
+
+        Layout: tokens sorted; for token id t, its GT postings are
+        post_gt[indptr[t]:indptr[t+1]] (int32 row indices into gt_uids)
+        with weights post_w[...] (float64) — a hand-rolled CSR over tokens
+        (scipy is not available in this environment).
+        """
+        pdf = (
+            self.gt_weights.select("token", "gt_uid", "gt_weight")
+            .toPandas()
+            .sort_values(["token", "gt_uid"], kind="mergesort")
+        )
+        tokens = pdf["token"].to_numpy()
+        uniq_tokens, tok_start = np.unique(tokens, return_index=True)
+        indptr = np.append(tok_start, len(tokens)).astype(np.int64)
+        gt_uids, gt_rows = np.unique(pdf["gt_uid"].to_numpy(), return_inverse=True)
+        tok2id = {t: i for i, t in enumerate(uniq_tokens)}
+        state = (
+            tok2id,
+            indptr,
+            gt_rows.astype(np.int32),
+            pdf["gt_weight"].to_numpy(dtype=np.float64),
+            gt_uids,
+        )
+        sc = self.gt_weights.sparkSession.sparkContext
+        self._bc = sc.broadcast(state)
+
+    def _transform_broadcast(self, names: DataFrame) -> DataFrame:
+        if self.blocking_func is not None:
+            raise ValueError(
+                "blocking_func is an equi-join key and only applies to the "
+                "'inverted' strategy; the broadcast kernel has no block "
+                "restriction (ref supports it via per-block matrices — use "
+                "strategy='inverted' for blocked configs)"
+            )
+        if self._bc is None:
+            self._build_kernel()
+        bc = self._bc
+        k, lb, dec = self.k, self.lower_bound, self.score_decimals
+
+        # Token weights are computed JVM-side by the SAME tfidf plan as the
+        # inverted path (bit-identical weights), then grouped per uid.
+        q = self.tfidf.transform(names, S.UID)
+        vecs = q.groupBy(S.UID).agg(
+            F.collect_list("token").alias("_toks"),
+            F.collect_list("weight").alias("_ws"),
+        )
+
+        def kernel(batches):
+            import pandas as pd
+
+            tok2id, indptr, post_gt, post_w, gt_uids = bc.value
+            scores = np.zeros(len(gt_uids), dtype=np.float64)
+            for pdf_in in batches:
+                out_uid, out_gt, out_score, out_rank = [], [], [], []
+                for uid, toks, ws in zip(pdf_in[S.UID], pdf_in["_toks"], pdf_in["_ws"]):
+                    touched_all = []
+                    for t, w in zip(toks, ws):
+                        tid = tok2id.get(t)
+                        if tid is None:
+                            continue
+                        seg = slice(indptr[tid], indptr[tid + 1])
+                        rows = post_gt[seg]
+                        np.add.at(scores, rows, w * post_w[seg])
+                        touched_all.append(rows)
+                    if not touched_all:
+                        continue
+                    touched = np.unique(np.concatenate(touched_all))
+                    s = scores[touched]
+                    scores[touched] = 0.0  # O(nnz) reset for the next row
+                    if dec is not None:
+                        s = np.round(s, dec)
+                    keep = s > lb
+                    s, cand = s[keep], touched[keep]
+                    if s.size == 0:
+                        continue
+                    # top-k, ties by gt_uid DESC (ref X15 tie-break)
+                    order = np.lexsort((-gt_uids[cand], -s))[:k]
+                    n = len(order)
+                    out_uid.extend([uid] * n)
+                    out_gt.extend(gt_uids[cand[order]])
+                    out_score.extend(s[order])
+                    out_rank.extend(range(1, n + 1))
+                yield pd.DataFrame(
+                    {"uid": out_uid, "gt_uid": out_gt,
+                     "score": out_score, "rank": out_rank}
+                )
+
+        return vecs.mapInPandas(
+            kernel, schema=f"{S.UID} long, gt_uid long, score double, rank int"
+        )
 
     def transform(self, names: DataFrame) -> DataFrame:
         """names (uid, preprocessed, ...) -> (uid, gt_uid, score, rank)."""
+        if self.strategy == "broadcast":
+            return self._transform_broadcast(names)
         q = self.tfidf.transform(names, S.UID)
         join_keys = ["token"]
         if self.blocking_func is not None:
@@ -109,7 +221,10 @@ class CosSimIndexer:
         max_vocab: int | None = 2**25,
         max_df_frac: float | None = None,
         score_decimals: int | None = None,
+        strategy: str = "inverted",
     ):
+        if strategy not in ("inverted", "broadcast"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         self.tokenizer = tokenizer
         self.ngram = ngram
         self.k = k
@@ -120,6 +235,7 @@ class CosSimIndexer:
         self.max_vocab = max_vocab
         self.max_df_frac = max_df_frac
         self.score_decimals = score_decimals
+        self.strategy = strategy
 
     def fit(self, gt: DataFrame) -> CosSimIndexerModel:
         vec = TfIdfVectorizer(
@@ -150,4 +266,5 @@ class CosSimIndexer:
             blocking_func=self.blocking_func,
             input_col=self.input_col,
             score_decimals=self.score_decimals,
+            strategy=self.strategy,
         )

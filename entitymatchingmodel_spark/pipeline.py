@@ -56,6 +56,7 @@ def _build_indexer(spec: dict[str, Any]):
             binary=spec.get("binary_countvectorizer", True),
             max_vocab=spec.get("max_features", 2**25),
             max_df_frac=spec.get("max_df_frac"),
+            strategy=spec.get("strategy", "inverted"),
         )
     if kind == "sni":
         return SNIIndexer(
