@@ -414,6 +414,56 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a proper timestamp column.
+
+    The driver wrote ts as parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long (legacy conf) and convert, pinning
+    the session to UTC so wall times match the naive oracle timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (Structured Streaming agg
+    primitive, run on batch here)."""
+    from entitymatchingmodel_spark.operators.events import windowed_agg
+
+    ev = _events(spark, sf_dir)
+    out = windowed_agg(ev, window_duration="1 hour")
+    return out.select(
+        "window_start", "event_type", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity boundary)."""
+    from entitymatchingmodel_spark.operators.events import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, gap_minutes=30).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native JSON prop extraction + per-type aggregate."""
+    from entitymatchingmodel_spark.operators.events import extract_json_prop
+
+    ev = extract_json_prop(_events(spark, sf_dir))
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.col("prop_k").cast("int")), 6).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
 def _labelled_cossim(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt, names = _part_gt_names(spark, sf_dir)
     cands = _cossim_cands(spark, sf_dir)
@@ -599,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "events_json": q_events_json,
     }
 
 
@@ -1014,6 +1067,34 @@ _ORACLE = {
         agg AS (SELECT sum(CASE WHEN y = 1 THEN r END) AS rs,
                        sum(y) AS np, count(*) AS n FROM rr)
         SELECT round((rs - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc FROM agg
+    """,
+    "events_windowed": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessions": """
+        WITH g AS (SELECT user_id, ts,
+                          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    """,
+    "events_json": """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
     """,
     "media_metadata": """
         SELECT doc_id,

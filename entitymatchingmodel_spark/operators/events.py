@@ -1,0 +1,80 @@
+"""Event-stream operators (batch + Structured Streaming shapes).
+
+Beyond-reference operators for the events table: the same logical plans run
+on a batch DataFrame or a streaming one — `F.window` event-time aggregation
+is THE Structured Streaming agg primitive, and `sessionize` is the batch
+twin of `session_window`/`applyInPandasWithState` sessionization (the gap
+rule is identical; the streaming variant needs only a watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation: (window_start, key, n, sum).
+
+    Works unchanged on a streaming DataFrame; pass ``watermark`` there so
+    state can be evicted for late data.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: one row per (user, session).
+
+    session boundary = inter-event gap > gap_minutes; session_id is the
+    running count of boundaries per user (one shuffle on user, two window
+    passes). Streaming twin: ``F.session_window`` with a watermark.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    marked = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    ws = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("session_id", F.sum("_new").over(ws))
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def extract_json_prop(
+    events: DataFrame, props_col: str = "props", path: str = "$.k", out: str = "prop_k"
+) -> DataFrame:
+    """Native JSON extraction (get_json_object — JVM-side, codegen)."""
+    return events.withColumn(out, F.get_json_object(F.col(props_col), path))

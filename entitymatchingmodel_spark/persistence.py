@@ -81,6 +81,7 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
                     "lower_bound": model.lower_bound,
                     "input_col": model.input_col,
                     "score_decimals": model.score_decimals,
+                    "strategy": model.strategy,
                     "blocking": indexers_meta[i]["spec"].get("blocking_func"),
                     "tfidf": {
                         "n_docs": t.n_docs,
@@ -160,6 +161,7 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
                 blocking_func=_BLOCKING[m.get("blocking")],
                 input_col=m["input_col"],
                 score_decimals=m.get("score_decimals"),
+                strategy=m.get("strategy", "inverted"),
             )
         elif m["kind"] == "sni":
             model = SNIIndexerModel(

@@ -1,0 +1,82 @@
+"""Event-stream operators: batch semantics + true Structured Streaming run."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.events import (
+    extract_json_prop,
+    sessionize,
+    windowed_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_windowed_agg_totals(events):
+    out = windowed_agg(events, window_duration="1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+
+
+def test_sessionize_invariants(events):
+    sess = sessionize(events, gap_minutes=30)
+    rows = sess.collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+    # session ids are 1..n per user
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["session_id"])
+    for sids in per_user.values():
+        assert sorted(sids) == list(range(1, len(sids) + 1))
+
+
+def test_extract_json_prop(events):
+    out = extract_json_prop(events).select("prop_k").limit(5).collect()
+    assert all(r["prop_k"] is not None for r in out)
+
+
+def test_streaming_windowed_agg_matches_batch(spark, events, tmp_path):
+    """The SAME windowed_agg plan on a streaming source must reproduce the
+    batch result (complete mode, one file's worth of data)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = windowed_agg(stream, window_duration="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql("select * from winagg").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in windowed_agg(events, window_duration="1 hour").collect()
+    }
+    assert got == want and len(got) > 0
