@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for pure-Python kernels — no Spark."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entitymatchingmodel_spark.operators.features import _jaro_winkler_py
+from entitymatchingmodel_spark.functions.preprocessing import (
+    _merge_abbr_str,
+    _merge_legal_abbr_str,
+)
+from entitymatchingmodel_spark.sources.noiser import _rng_for
+
+text = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60)
+
+
+@given(text, text)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_bounds_and_symmetry(a, b):
+    s = _jaro_winkler_py(a, b)
+    assert 0.0 <= s <= 1.0
+    assert _jaro_winkler_py(b, a) == s
+
+
+@given(text)
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_identity(a):
+    assert _jaro_winkler_py(a, a) == 1.0
+
+
+@given(text)
+@settings(max_examples=300, deadline=None)
+def test_merge_abbr_idempotent(s):
+    once = _merge_abbr_str(s)
+    assert _merge_abbr_str(once) == once
+
+
+@given(text)
+@settings(max_examples=300, deadline=None)
+def test_merge_abbr_never_adds_length(s):
+    assert len(_merge_abbr_str(s)) <= len(s)
+
+
+@given(text)
+@settings(max_examples=300, deadline=None)
+def test_merge_legal_abbr_subset_of_general(s):
+    """Legal-only merging must change at most what general merging changes."""
+    general = _merge_abbr_str(s)
+    legal = _merge_legal_abbr_str(s)
+    if legal != s:
+        # every collapse the legal variant makes, the general one makes too
+        assert len(legal) <= len(s)
+        assert len(general) <= len(legal)
+
+
+@given(st.text(max_size=40), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_noiser_rng_deterministic(name, seed):
+    a = _rng_for(name, seed).integers(0, 1 << 30)
+    b = _rng_for(name, seed).integers(0, 1 << 30)
+    assert a == b
+
+
+def test_merge_abbr_known_cases():
+    assert _merge_abbr_str("Tzu Sun B.V.") == "Tzu Sun BV"
+    assert _merge_abbr_str("B. V.") == "BV"
+    assert _merge_abbr_str("plain words here") == "plain words here"
+    assert re.sub(r"\s+", " ", _merge_abbr_str("A B C Consulting")).strip() == "ABC Consulting"
