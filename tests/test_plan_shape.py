@@ -1,0 +1,47 @@
+"""Pin the physical-plan shape of core operators (perf regression guard)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexer
+from entitymatchingmodel_spark.operators.dedup import exact_duplicates
+from entitymatchingmodel_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    scan_columns,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_and_column_pushdown(spark):
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    q = part.filter(F.col("p_partkey") < 100).select("p_name")
+    assert any("p_partkey" in f for f in pushed_filters(q)), "filter not pushed to scan"
+    cols = scan_columns(q)
+    assert cols and set(cols[0]) <= {"p_partkey", "p_name"}, f"column pruning failed: {cols}"
+
+
+def test_exact_dedup_single_shuffle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = exact_duplicates(docs, "doc_id", "text")
+    assert exchange_count(out) <= 1, "exact dedup must be one hash-agg shuffle"
+
+
+def test_broadcast_cossim_transform_has_no_shuffle_after_vectorize(spark):
+    gt = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .groupBy(F.col("p_name").alias("preprocessed"))
+        .agg(F.min("p_partkey").alias("gt_uid"))
+    )
+    names = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("uid"), F.col("p_name").alias("preprocessed")
+    )
+    inv = CosSimIndexer(strategy="inverted", k=3, lower_bound=0.1).fit(gt)
+    bc = CosSimIndexer(strategy="broadcast", k=3, lower_bound=0.1).fit(gt)
+    n_inv = exchange_count(inv.transform(names))
+    n_bc = exchange_count(bc.transform(names))
+    # the kernel path trades the token-join + pair-agg shuffles for one
+    # uid grouping before the kernel; it must shuffle strictly less
+    assert n_bc < n_inv, (n_bc, n_inv)
