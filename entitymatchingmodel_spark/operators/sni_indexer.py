@@ -49,11 +49,20 @@ def global_rank(df: DataFrame, key: str, out: str = "srank", partitions: int | N
 
 
 class SNIIndexerModel:
-    def __init__(self, gt_keyed: DataFrame, window_length: int, input_col: str):
+    def __init__(
+        self,
+        gt_keyed: DataFrame,
+        window_length: int,
+        input_col: str,
+        mapping_func=None,
+        orig_input_col: str | None = None,
+    ):
         # gt_keyed: (gt_uid, <input_col>) after the per-name skew cap
         self.gt_keyed = gt_keyed
         self.w = window_length
         self.input_col = input_col
+        self.mapping_func = mapping_func
+        self.orig_input_col = orig_input_col or input_col
 
     def transform(self, names: DataFrame) -> DataFrame:
         """names (uid, preprocessed) -> (uid, gt_uid, score, rank).
@@ -62,6 +71,8 @@ class SNIIndexerModel:
         space; score = 1 - |rank| / (w + 1)   (ref spark_sni.py:247-262).
         """
         key = self.input_col
+        if self.mapping_func is not None:
+            names = names.withColumn(key, self.mapping_func(F.col(self.orig_input_col)))
         union_keys = (
             names.select(key).union(self.gt_keyed.select(key))
         )
@@ -88,6 +99,11 @@ class SNIIndexer:
 
     ``window_length=5`` means w=2 neighbours each side, matching the
     reference's convention (spark_sni.py takes the full odd window size).
+
+    ``mapping_func`` (ref spark_sni.py:109-114): optional Column -> Column
+    transform applied to the sort key before the neighbourhood ordering —
+    e.g. reversed names, soundex — expressed natively instead of the
+    reference's row UDF.
     """
 
     def __init__(
@@ -95,23 +111,32 @@ class SNIIndexer:
         window_length: int = 3,
         input_col: str = S.PREPROCESSED,
         topn_per_name: int = 10,
+        mapping_func=None,
     ):
         if window_length % 2 != 1 or window_length < 1:
             raise ValueError("window_length must be a positive odd integer")
         self.window_length = window_length
         self.input_col = input_col
         self.topn_per_name = topn_per_name
+        self.mapping_func = mapping_func
 
     def fit(self, gt: DataFrame) -> SNIIndexerModel:
         # Skew guard: keep <= topn_per_name GT rows per identical key
         # (ref spark_indexing_utils.py:158-196 via spark_sni.py:116-122),
         # deterministic tie-break by gt_uid.
-        w = Window.partitionBy(self.input_col).orderBy("gt_uid")
+        key_col = self.input_col
+        if self.mapping_func is not None:
+            gt = gt.withColumn("_sni_key", self.mapping_func(F.col(self.input_col)))
+            key_col = "_sni_key"
+        w = Window.partitionBy(key_col).orderBy("gt_uid")
         gt_keyed = (
-            gt.select("gt_uid", self.input_col)
+            gt.select("gt_uid", key_col)
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= self.topn_per_name)
             .drop("_r")
             .persist()
         )
-        return SNIIndexerModel(gt_keyed, self.window_length // 2, self.input_col)
+        return SNIIndexerModel(
+            gt_keyed, self.window_length // 2, key_col,
+            mapping_func=self.mapping_func, orig_input_col=self.input_col,
+        )

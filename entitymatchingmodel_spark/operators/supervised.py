@@ -164,7 +164,9 @@ class SupervisedScorer:
             (F.col("entity_id") == F.col("gt_entity_id")).cast("double"),
         )
         feats = [F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in feature_cols]
-        assembled = SupervisedModel._assemble(train, feats)
+        # Persist: boosting iterates over the training frame; without this
+        # every iteration recomputes the candidate-join lineage.
+        assembled = SupervisedModel._assemble(train, feats).persist()
         gbt = GBTClassifier(
             maxIter=self.max_iter,
             maxDepth=self.max_depth,
@@ -172,5 +174,8 @@ class SupervisedScorer:
             labelCol="label",
             featuresCol="features",
         )
-        model.ml_model = gbt.fit(assembled)
+        try:
+            model.ml_model = gbt.fit(assembled)
+        finally:
+            assembled.unpersist()
         return model

@@ -96,6 +96,11 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
             t.vocab.write.mode("overwrite").parquet(f"{base}/vocab")
             model.gt_weights.write.mode("overwrite").parquet(f"{base}/gt_weights")
         else:  # SNI
+            if getattr(model, "mapping_func", None) is not None:
+                raise ValueError(
+                    "cannot persist a custom callable mapping_func; apply the "
+                    "mapping as a preprocessing step instead"
+                )
             _write_json(
                 spark,
                 f"{base}/meta.json",

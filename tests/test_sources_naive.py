@@ -60,3 +60,19 @@ def test_naive_indexer_all_pairs_and_guard(spark):
     em2.fit(gt)
     with pytest.raises(ValueError, match="max_pairs"):
         em2.transform(names).count()
+
+
+def test_sni_mapping_func(spark):
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+    from pyspark.sql import functions as F
+
+    gt = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "gt_uid long, preprocessed string",
+    )
+    names = spark.createDataFrame([(10, "ahpla")], "uid long, preprocessed string")
+    # reversed-name sort keys: gt -> {ahpla, ateb, ammag}, name -> alpha;
+    # 'alpha' sorts next to 'ahpla' (gt_uid 1), which plain SNI would miss
+    m = SNIIndexer(window_length=3, mapping_func=F.reverse).fit(gt)
+    out = {(r["uid"], r["gt_uid"]) for r in m.transform(names).collect()}
+    assert any(gt_uid == 1 for (_, gt_uid) in out)
