@@ -133,6 +133,7 @@ class SparkEntityMatching:
             entity_id_col=self.gt_cols["entity_id_col"],
             uid_col=self.gt_cols["uid_col"],
             country_col=self.gt_cols["country_col"],
+            carry_on_cols=[c for c in self.carry_on_cols if c in gt_df.columns],
         )
         gt = S.with_uid(gt)
         if self.p.get("auto_repartition", False):

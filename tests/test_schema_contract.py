@@ -1,0 +1,80 @@
+"""Output-schema contract per pipeline config (ref test_entity_matching.py:577-663)
+and carry-on column propagation (ref test_carry_on_cols.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark import SparkEntityMatching
+
+
+@pytest.fixture(scope="module")
+def gt(spark):
+    return spark.createDataFrame(
+        [(1, "apple inc", "US", "tech"), (2, "netflix nv", "NL", "media"),
+         (3, "amazon ltd", "US", "retail"), (4, "spotify ab", "SE", "media")],
+        "id long, name string, country string, sector string",
+    )
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(
+        [(11, "aple inc", "US", "a1", 2.0), (12, "netflx nv", "NL", "a1", 1.0)],
+        "id long, name string, country string, account string, freq double",
+    )
+
+
+BASE_COLS = {"uid", "name", "preprocessed", "entity_id"}
+CAND_COLS = {"gt_uid", "gt_entity_id", "gt_name", "gt_preprocessed", "score_0", "rank_0"}
+
+
+def test_name_only_schema(spark, gt, names):
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+        country_col="country", account_col="account", freq_col="freq",
+    )
+    em.fit(gt)
+    cols = set(em.transform(names).columns)
+    assert BASE_COLS <= cols
+    assert CAND_COLS <= cols
+    assert "gt_country" in cols and "country" in cols
+    # no supervised/agg columns in name-only mode
+    assert not {"nm_score", "best_match", "agg_score"} & cols
+
+
+def test_supervised_schema(spark, gt, names):
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+    )
+    em.fit(gt)
+    em.fit_classifier(names, max_iter=3)
+    cols = set(em.transform(names).columns)
+    assert {"nm_score", "best_rank", "best_match"} <= cols
+    assert not [c for c in cols if c.startswith("f_")]  # features dropped by default
+
+
+def test_aggregation_schema(spark, gt, names):
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+        aggregation_layer=True, aggregation_method="mean_score",
+        account_col="account", freq_col="freq",
+    )
+    em.fit(gt)
+    out = em.transform(names)
+    assert set(out.columns) == {"account", "gt_entity_id", "agg_score", "rep_name"}
+
+
+def test_carry_on_cols(spark, gt, names):
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+        carry_on_cols=["sector"],
+    )
+    em.fit(gt)
+    out = em.transform(names)
+    assert "gt_sector" in out.columns  # GT-side carry-on gets gt_ prefix
+    row = out.filter(F.col("gt_name") == "apple inc").collect()[0]
+    assert row["gt_sector"] == "tech"
