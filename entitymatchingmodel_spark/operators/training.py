@@ -109,14 +109,16 @@ def negative_rerank_sni(
 
 
 def create_positive_negative_samples(
-    df: DataFrame, uid_col: str = "uid"
+    df: DataFrame, uid_col: str = "uid", readd_no_candidates: bool = True
 ) -> DataFrame:
     """Distributed twin of ref create_positive_negative_samples (:172-253).
 
     Input: labelled candidates with ``correct``, ``positive_set`` and one or
     more ``rank_<i>`` columns.  Output: the merged positive+negative training
-    set with per-indexer reranked rank columns; rows dropped by every indexer
-    disappear.
+    set with per-indexer reranked rank columns; pairs dropped by every
+    indexer disappear, but names whose candidates were ALL dropped come back
+    as one no-candidate row (ref prepare_name_pairs.py:149-163 anti-join,
+    SURVEY §2.5 J9) so the classifier still sees them as negatives.
     """
     rank_cols = [c for c in df.columns if c.startswith("rank_")]
     if not rank_cols:
@@ -147,7 +149,20 @@ def create_positive_negative_samples(
         merged = both if merged is None else merged.join(both, [uid_col, "gt_uid"], "full")
 
     base = df.drop(*rank_cols)
-    return base.join(merged, [uid_col, "gt_uid"])
+    out = base.join(merged, [uid_col, "gt_uid"])
+    if readd_no_candidates:
+        survivors = merged.select(uid_col).distinct()
+        gt_side = [c for c in base.columns if c.startswith("gt_") or c.startswith("score_")]
+        missing = (
+            base.join(survivors, uid_col, "left_anti")
+            .dropDuplicates([uid_col])
+            .withColumns({c: F.lit(None).cast(base.schema[c].dataType) for c in gt_side})
+            .withColumn("correct", F.lit(False))
+        )
+        for c in rank_cols:
+            missing = missing.withColumn(c, F.lit(None).cast("double"))
+        out = out.unionByName(missing)
+    return out
 
 
 def create_training_pairs(

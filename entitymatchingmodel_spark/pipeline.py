@@ -41,7 +41,9 @@ DEFAULT_INDEXERS = [
 _BLOCKING = {"first_char": first_char_block, None: None}
 
 
-def _build_indexer(spec: dict[str, Any]):
+def _build_indexer(spec):
+    if hasattr(spec, "fit"):  # custom indexer object (ref spark_entity_matching.py:190-192)
+        return spec
     kind = spec.get("type", "cosine_similarity")
     if kind == "cosine_similarity":
         bf = spec.get("blocking_func")
@@ -147,7 +149,8 @@ class SparkEntityMatching:
         self.indexer_models_ = {}
         for i, spec in enumerate(self.indexer_specs):
             idx = _build_indexer(spec)
-            self.indexer_models_[f"{spec.get('type','cos')}_{i}"] = idx.fit(gt_for_idx)
+            kind = spec.get("type", "cos") if isinstance(spec, dict) else type(spec).__name__
+            self.indexer_models_[f"{kind}_{i}"] = idx.fit(gt_for_idx)
         return self
 
     # ---------------------------------------------------------- transform
@@ -185,12 +188,23 @@ class SparkEntityMatching:
                 out, return_sm_features=p.get("return_sm_features", False)
             )
         if self.aggregation_layer:
-            from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
+            if callable(self.aggregation_layer):
+                # custom aggregation object/callable (ref spark_entity_matching
+                # .py:626-680 extension point)
+                out = self.aggregation_layer(out)
+            else:
+                from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
 
-            out = aggregate_accounts(
-                out,
-                method=self.aggregation_method,
-                score_col=p.get("aggregation_score_col", "nm_score" if self.supervised_on else "score_0"),
+                out = aggregate_accounts(
+                    out,
+                    method=self.aggregation_method,
+                    score_col=p.get("aggregation_score_col", "nm_score" if self.supervised_on else "score_0"),
+                )
+        top_n = p.get("top_n")
+        if top_n and "best_rank" in out.columns:
+            # P3/O4 (ref spark_entity_matching.py:336-338)
+            out = out.filter(
+                (F.col("best_rank") <= top_n) & F.col("gt_uid").isNotNull()
             )
         if not self.keep_all_cols:
             drop = [c for c in out.columns if c in ("tokens", "tf", "idf")]
