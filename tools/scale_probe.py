@@ -1,0 +1,108 @@
+"""Scaling probe: does each core operator scale ~linearly with input size?
+
+Inflates the part-name GT by suffix-noising (the reference's own
+``increase_dataset`` bench idiom, tests/benchmark/test_bench.py:62-94) and
+times the core operators at 1x/4x/10x.  A superlinear ratio (>~1.5x the
+size ratio) flags a plan that would not survive the 100x scale-up.
+
+Usage: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FACTORS = [1, 4, 10]
+
+
+def inflate(df, col, factor):
+    """factor copies of each row with distinct name suffixes."""
+    if factor == 1:
+        return df
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    return (
+        df.withColumn("_r", reps)
+        .withColumn(col, F.when(F.col("_r") == 0, F.col(col))
+                    .otherwise(F.concat(F.col(col), F.lit(" v"), F.col("_r"))))
+        .drop("_r")
+    )
+
+
+def main():
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    results: dict[str, list[float]] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        results.setdefault(name, []).append(dt)
+        print(f"  {name:24s} {dt:7.2f}s", flush=True)
+
+    for factor in FACTORS:
+        print(f"-- factor {factor}")
+        gt = inflate(
+            part.groupBy(F.col("p_name").alias("preprocessed")).agg(
+                F.min("p_partkey").alias("gt_uid")
+            ),
+            "preprocessed", factor,
+        ).withColumn("gt_uid", F.xxhash64("preprocessed"))
+        names = inflate(
+            part.select(F.col("p_partkey").alias("uid"),
+                        F.col("p_name").alias("preprocessed")),
+            "preprocessed", factor,
+        ).withColumn("uid", F.xxhash64("preprocessed", F.lit(1)))
+        d = inflate(docs.select("doc_id", "text"), "text", factor).withColumn(
+            "doc_id", F.xxhash64("text")
+        ).repartition(spark.sparkContext.defaultParallelism)
+
+        def cossim():
+            from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexer
+            m = CosSimIndexer(tokenizer="words", ngram=1, k=5, lower_bound=0.1).fit(gt)
+            return m.transform(names)
+
+        def cossim_bc():
+            from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexer
+            m = CosSimIndexer(tokenizer="words", ngram=1, k=5, lower_bound=0.1,
+                              strategy="broadcast").fit(gt)
+            return m.transform(names)
+
+        def sni():
+            from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+            return SNIIndexer(window_length=5).fit(gt).transform(names)
+
+        def minhash():
+            from entitymatchingmodel_spark.operators.dedup import (
+                minhash_lsh_pairs, minhash_signatures)
+            return minhash_lsh_pairs(
+                minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_n=3)
+            )
+
+        run("cossim_inverted", cossim)
+        run("cossim_broadcast", cossim_bc)
+        run("sni", sni)
+        run("minhash_lsh", minhash)
+
+    print("\nscaling ratios (vs 1x):")
+    for name, ts in results.items():
+        ratios = [round(t / ts[0], 2) for t in ts]
+        flag = ""
+        if ratios[-1] > FACTORS[-1] * 1.5:
+            flag = "  <-- SUPERLINEAR"
+        print(f"  {name:24s} {ratios}{flag}")
+
+
+if __name__ == "__main__":
+    main()
