@@ -197,7 +197,9 @@ def create_training_pairs(
             setattr(m, attr, v)
     cands = label_candidates(cands)
     cands = split_positive_set(cands, fraction=fraction_positive, seed=seed)
-    return create_positive_negative_samples(cands)
+    out = create_positive_negative_samples(cands)
+    # no_candidate flag (ref prepare_name_pairs.py training-set column)
+    return out.withColumn("no_candidate", F.col("gt_uid").isNull())
 
 
 # ---------------------------------------------------------------------------
