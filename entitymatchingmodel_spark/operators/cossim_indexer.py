@@ -71,6 +71,26 @@ class CosSimIndexerModel:
         self.strategy = strategy
         self._bc = None  # lazy broadcast kernel state
 
+    def bucketize(self, table_name: str, buckets: int = 64) -> "CosSimIndexerModel":
+        """Persist the GT inverted index as a token-bucketed table and use it.
+
+        The GT side of the token join is large, static, and reused by every
+        transform; bucketing it on the join key means Catalyst only shuffles
+        the (smaller, per-batch) names side into the existing bucketing —
+        the classic co-located-join setup for a 100 TB-scale static index.
+        Verifiable in the plan: the GT scan loses its Exchange.
+        """
+        spark = self.gt_weights.sparkSession
+        (
+            self.gt_weights.write.bucketBy(buckets, "token")
+            .sortBy("token")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
+        self.gt_weights = spark.table(table_name)
+        return self
+
     # ------------------------------------------------- broadcast kernel
     def _build_kernel(self):
         """Collect the GT inverted index once; broadcast postings arrays.

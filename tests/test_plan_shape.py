@@ -45,3 +45,25 @@ def test_broadcast_cossim_transform_has_no_shuffle_after_vectorize(spark):
     # the kernel path trades the token-join + pair-agg shuffles for one
     # uid grouping before the kernel; it must shuffle strictly less
     assert n_bc < n_inv, (n_bc, n_inv)
+
+
+def test_bucketized_gt_index_fewer_shuffles_same_result(spark, tmp_path):
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    gt = part.groupBy(F.col("p_name").alias("preprocessed")).agg(
+        F.min("p_partkey").alias("gt_uid")
+    )
+    names = part.select(
+        F.col("p_partkey").alias("uid"), F.col("p_name").alias("preprocessed")
+    )
+    m = CosSimIndexer(tokenizer="words", ngram=1, k=3, lower_bound=0.1,
+                      score_decimals=6).fit(gt)
+    plain = m.transform(names)
+    res_plain = sorted((r["uid"], r["gt_uid"], r["score"]) for r in plain.collect())
+    n_plain = exchange_count(plain)
+
+    m.bucketize("gt_idx_bucket_test", buckets=8)
+    bucketed = m.transform(names)
+    res_bucketed = sorted((r["uid"], r["gt_uid"], r["score"]) for r in bucketed.collect())
+    assert res_plain == res_bucketed
+    assert exchange_count(bucketed) < n_plain
+    spark.sql("DROP TABLE IF EXISTS gt_idx_bucket_test")
