@@ -1,0 +1,66 @@
+"""Account aggregation methods with hand-computed expectations
+(ref tests/unit/test_entity_aggregation.py idiom)."""
+
+import pytest
+
+from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
+
+
+@pytest.fixture(scope="module")
+def cands(spark):
+    # account a1: entity 1 scores (0.9 on freq 3, 0.5 on freq 1); entity 2 (0.8 on freq 1)
+    # account a2: entity 2 only; one blacklisted + one null-gt row to be filtered
+    return spark.createDataFrame(
+        [
+            ("a1", 1, 101, 0.9, "alpha bv", 3.0),
+            ("a1", 1, 102, 0.5, "alpha group", 1.0),
+            ("a1", 2, 103, 0.8, "alpho bv", 1.0),
+            ("a2", 2, 103, 0.6, "beta ltd", 2.0),
+            ("a2", 2, 103, 0.7, "", 9.0),          # empty name -> filtered
+            ("a2", None, None, None, "beta x", 1.0),  # no candidate -> filtered
+        ],
+        "account string, gt_entity_id long, gt_uid long, nm_score double, "
+        "preprocessed string, counterparty_account_count_distinct double",
+    )
+
+
+def test_mean_score(spark, cands):
+    out = {r["account"]: r for r in aggregate_accounts(cands, method="mean_score").collect()}
+    # a1: entity1 mean=(0.9+0.5)/2=0.7 < entity2 mean 0.8 -> entity 2 wins
+    assert out["a1"]["gt_entity_id"] == 2
+    assert out["a1"]["agg_score"] == pytest.approx(0.8)
+    assert out["a1"]["rep_name"] == "alpho bv"
+    assert out["a2"]["gt_entity_id"] == 2
+    assert out["a2"]["agg_score"] == pytest.approx(0.6)
+
+
+def test_max_frequency_nm_score(spark, cands):
+    out = {r["account"]: r for r in
+           aggregate_accounts(cands, method="max_frequency_nm_score").collect()}
+    # a1 entity1: (3*0.9 + 1*0.5)/(3+1) = 3.2/4 = 0.8 ; entity2: 0.8/1 = 0.8
+    # tie on agg score -> higher gt_entity_id wins (deterministic tie-break)
+    assert out["a1"]["gt_entity_id"] == 2
+    # representative name = max freq_score contribution
+    assert out["a1"]["rep_name"] == "alpho bv"
+    assert out["a2"]["agg_score"] == pytest.approx(0.6)
+
+
+def test_freq_null_defaults_to_one(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10, 0.5, "x", None), ("a", 1, 10, 1.0, "y", None)],
+        "account string, gt_entity_id long, gt_uid long, nm_score double, "
+        "preprocessed string, counterparty_account_count_distinct double",
+    )
+    row = aggregate_accounts(df, method="max_frequency_nm_score").collect()[0]
+    assert row["agg_score"] == pytest.approx(0.75)  # (0.5+1.0)/2 with unit freqs
+
+
+def test_blacklist(spark, cands):
+    out = aggregate_accounts(cands, method="mean_score", blacklist=["alpho bv"]).collect()
+    a1 = next(r for r in out if r["account"] == "a1")
+    assert a1["gt_entity_id"] == 1  # entity 2's only name blacklisted
+
+
+def test_invalid_method(spark, cands):
+    with pytest.raises(ValueError, match="method"):
+        aggregate_accounts(cands, method="median")
