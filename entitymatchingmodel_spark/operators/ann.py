@@ -83,18 +83,27 @@ def ivf_topk(
     buckets.  Join is equi on bucket id -> shuffle prunes to nprobe/nlist of
     the corpus per query.
     """
-    cents = (
+    def l2_normalize(df: DataFrame, vcol: str) -> DataFrame:
+        """Stage unit vectors in their own projection: norms are computed
+        once per row, and every downstream cosine is a plain dot product
+        (a nested norm inside the per-pair expression re-evaluates it for
+        every (row, centroid) pair)."""
+        n = _norm(F.col(vcol))
+        unit = F.when(
+            n > 0, F.transform(F.col(vcol), lambda x: x.cast("double") / n)
+        )
+        return df.withColumn(vcol, unit)
+
+    cents = l2_normalize(
         corpus.select(F.col(vec_col).alias("_cent"))
         .orderBy(F.xxhash64(vec_col, F.lit(seed)))
-        .limit(nlist)
-        .withColumn("cent_id", F.monotonically_increasing_id())
-    )
+        .limit(nlist),
+        "_cent",
+    ).withColumn("cent_id", F.monotonically_increasing_id())
     bc = F.broadcast(cents)
 
     def nearest(df: DataFrame, id_c: str, vcol: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(bc).withColumn(
-            "_cs", cosine_similarity(F.col(vcol), F.col("_cent"))
-        )
+        scored = df.crossJoin(bc).withColumn("_cs", _dot(F.col(vcol), F.col("_cent")))
         # Partition the top-n window by the row id, not the vector payload —
         # hashing a float array per row as a shuffle key is pure waste.
         w = Window.partitionBy(id_c).orderBy(F.desc("_cs"), F.asc("cent_id"))
@@ -104,12 +113,16 @@ def ivf_topk(
             .select(*df.columns, F.col("cent_id").alias(out))
         )
 
-    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv"))
+    c = l2_normalize(
+        corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")), "_cv"
+    )
     c_assigned = nearest(c, "nn_id", "_cv", 1, "bucket")
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
+    q = l2_normalize(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")), "_qv"
+    )
     q_probed = nearest(q, "qid", "_qv", nprobe, "bucket")
     scored = q_probed.join(c_assigned, "bucket").select(
-        "qid", "nn_id", cosine_similarity("_qv", "_cv").alias("score")
+        "qid", "nn_id", _dot(F.col("_qv"), F.col("_cv")).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nn_id"))
     return (
