@@ -51,9 +51,17 @@ def cosine_topk(
     scanned exactly once, partition-parallel, with map-side top-k via the
     window after AQE-coalesced shuffle on qid.
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv"))
-    score = cosine_similarity(F.col("_qv"), F.col("_cv"))
+    def unit(df: DataFrame, vcol: str) -> DataFrame:
+        # Stage unit vectors once per row; the per-pair expression is then a
+        # single dot product instead of dot + two nested norm re-evaluations.
+        n = _norm(F.col(vcol))
+        return df.withColumn(
+            vcol, F.when(n > 0, F.transform(F.col(vcol), lambda x: x.cast("double") / n))
+        )
+
+    q = unit(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")), "_qv")
+    c = unit(corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")), "_cv")
+    score = _dot(F.col("_qv"), F.col("_cv"))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     scored = c.crossJoin(F.broadcast(q)).select("qid", "nn_id", score.alias("score"))
