@@ -150,6 +150,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs, "doc_id", "text")
 
 
+def q_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_exact_duplicates: one representative row per normalized text."""
+    from entitymatchingmodel_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs, "doc_id", "text").select("doc_id", "n_chars")
+
+
+def q_noised_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded name-noise generation (training-data augmentation).
+
+    Deterministic but hash-rng-based -> rows-only check.
+    """
+    from entitymatchingmodel_spark.sources.noiser import noise_names
+
+    part = _t(spark, sf_dir, "part")
+    names = part.select(F.col("p_partkey").alias("pk"), F.col("p_name").alias("name"))
+    out = noise_names(names, noise_level=0.5, seed=42)
+    return out.select("pk", "name", "noised_name")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis ops: token count, char count, stopword ratio, quality."""
     from entitymatchingmodel_spark.functions.text import text_stats
@@ -666,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
+        "dedup_drop": q_dedup_drop,
+        "noised_names": q_noised_names,
     }
 
 
@@ -1081,6 +1104,13 @@ _ORACLE = {
         agg AS (SELECT sum(CASE WHEN y = 1 THEN r END) AS rs,
                        sum(y) AS np, count(*) AS n FROM rr)
         SELECT round((rs - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc FROM agg
+    """,
+    "dedup_drop": """
+        WITH r AS (SELECT doc_id, n_chars,
+                          row_number() OVER (PARTITION BY md5(trim(lower(text)))
+                                             ORDER BY doc_id) AS rn
+                   FROM documents)
+        SELECT doc_id, n_chars FROM r WHERE rn = 1
     """,
     "events_windowed": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
