@@ -303,6 +303,64 @@ def embedding_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) — connected components of the near-dup pair graph.
+
+    ``cluster_id`` is the minimum member id of each component; documents
+    with no pairs form singleton clusters.  This is the step that turns
+    pairwise near-dup output (minhash_lsh_pairs / simhash_near_pairs /
+    ngram_jaccard_pairs) into a keep-one-per-cluster training-set policy:
+    ``filter(id == cluster_id)`` keeps exactly one representative.
+
+    Algorithm: iterative min-label propagation — each round every node takes
+    the min label among itself and its neighbours; converges in O(graph
+    diameter) rounds (near-dup components are short chains in practice).
+    Each round is one join + one groupBy; labels persist per round and the
+    loop exits on a converged-count check.  For adversarially long chains
+    at extreme scale, switch to the large-star/small-star variant — same
+    join primitives, O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")).persist()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "src", "left")
+            .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "src")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

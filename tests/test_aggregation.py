@@ -64,3 +64,19 @@ def test_blacklist(spark, cands):
 def test_invalid_method(spark, cands):
     with pytest.raises(ValueError, match="method"):
         aggregate_accounts(cands, method="median")
+
+
+def test_duplicate_clusters_components(spark):
+    from entitymatchingmodel_spark.operators.dedup import duplicate_clusters
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # components: {1,2,3,4} (chain), {5,6}, {7} singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in duplicate_clusters(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    # keep-one-per-cluster policy
+    kept = [k for k, v in out.items() if k == v]
+    assert sorted(kept) == [1, 5, 7]
