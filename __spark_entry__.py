@@ -190,6 +190,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (curation op): engine-portable
+    hash membership, per-language quotas over documents."""
+    from entitymatchingmodel_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        fractions={"en": 0.5, "de": 0.25}, default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis ops: token count, char count, stopword ratio, quality."""
     from entitymatchingmodel_spark.functions.text import text_stats
@@ -709,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop": q_dedup_drop,
         "noised_names": q_noised_names,
         "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1149,6 +1163,14 @@ _ORACLE = {
         agg AS (SELECT sum(CASE WHEN y = 1 THEN r END) AS rs,
                        sum(y) AS np, count(*) AS n FROM rr)
         SELECT round((rs - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc FROM agg
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'sample',
+                     CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+              / 268435456.0
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
     """,
     "dedup_drop": """
         WITH r AS (SELECT doc_id, n_chars,

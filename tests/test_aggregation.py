@@ -80,3 +80,23 @@ def test_duplicate_clusters_components(spark):
     # keep-one-per-cluster policy
     kept = [k for k, v in out.items() if k == v]
     assert sorted(kept) == [1, 5, 7]
+
+
+def test_deterministic_sampling(spark):
+    from entitymatchingmodel_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(i, "en" if i % 2 else "de") for i in range(1000)],
+                               "id long, lang string")
+    a = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+    b = {r["id"] for r in deterministic_sample(df.repartition(7), "id", 0.3).collect()}
+    assert a == b, "sample must be partitioning-independent"
+    assert 0.2 < len(a) / 1000 < 0.4
+    # nested fractions are monotone: a 0.1 sample is a subset of a 0.3 sample
+    c = {r["id"] for r in deterministic_sample(df, "id", 0.1).collect()}
+    assert c <= a
+    s = stratified_sample(df, "id", "lang", {"en": 1.0, "de": 0.0})
+    langs = {r["lang"] for r in s.collect()}
+    assert langs == {"en"}
