@@ -1,6 +1,7 @@
+from entitymatchingmodel_spark.streaming.stateful import running_totals
 from entitymatchingmodel_spark.streaming.transform import (
     match_stream,
     transform_foreach_batch,
 )
 
-__all__ = ["match_stream", "transform_foreach_batch"]
+__all__ = ["match_stream", "transform_foreach_batch", "running_totals"]

@@ -80,3 +80,43 @@ def test_streaming_windowed_agg_matches_batch(spark, events, tmp_path):
         for r in windowed_agg(events, window_duration="1 hour").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running totals == batch groupBy on one batch."""
+    import shutil
+
+    from entitymatchingmodel_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("rt_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["key"]: (r["n_events"], round(r["total_value"], 6))
+            for r in spark.sql("select * from rt_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
+    assert got == want and len(got) > 0
