@@ -207,7 +207,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis ops: token count, char count, stopword ratio, quality."""
     from entitymatchingmodel_spark.functions.text import text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return text_stats(docs, "doc_id", "text")
 
 
@@ -365,7 +365,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint + heuristic language id."""
     from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fingerprint"),
@@ -524,7 +524,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native JSON prop extraction + per-type aggregate."""
     from entitymatchingmodel_spark.operators.events import extract_json_prop
 
-    ev = extract_json_prop(_events(spark, sf_dir))
+    ev = extract_json_prop(_spread(spark, _events(spark, sf_dir)))
     return ev.groupBy("event_type").agg(
         F.round(F.avg(F.col("prop_k").cast("int")), 6).alias("avg_k"),
         F.count("*").alias("n"),

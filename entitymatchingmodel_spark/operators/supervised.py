@@ -167,6 +167,17 @@ class SupervisedScorer:
         # Persist: boosting iterates over the training frame; without this
         # every iteration recomputes the candidate-join lineage.
         assembled = SupervisedModel._assemble(train, feats).persist()
+        # Size partitions to the (usually downsampled) training set: boosting
+        # launches several stages per iteration, so thousands of near-empty
+        # tasks per tree are pure scheduler overhead.  ~100k rows/partition
+        # keeps a 10M-row training set at ~100 partitions on a cluster and
+        # collapses a 20k-row local set to the floor.
+        n = assembled.count()
+        target = max(4, min(assembled.rdd.getNumPartitions(), n // 100_000 + 4))
+        sized = assembled
+        if target < assembled.rdd.getNumPartitions():
+            sized = assembled.coalesce(target).persist()
+            sized.count()
         gbt = GBTClassifier(
             maxIter=self.max_iter,
             maxDepth=self.max_depth,
@@ -175,7 +186,9 @@ class SupervisedScorer:
             featuresCol="features",
         )
         try:
-            model.ml_model = gbt.fit(assembled)
+            model.ml_model = gbt.fit(sized)
         finally:
+            if sized is not assembled:
+                sized.unpersist()
             assembled.unpersist()
         return model

@@ -158,18 +158,25 @@ class SparkEntityMatching:
         names_df = self._promote(names_df)
         p = self.p
 
-        def _opt(key: str, default: str | None = None) -> str | None:
+        def _opt(key: str, default: str | None = None, canonical: str | None = None) -> str | None:
             col = p.get(key, default)
-            return col if col in names_df.columns else None
+            if col in names_df.columns:
+                return col
+            # A frame already using the canonical name is accepted as-is
+            # (ref util.py:34-60 renames are no-ops in that case); without
+            # this the column would be silently dropped.
+            if canonical and canonical in names_df.columns:
+                return canonical
+            return None
 
         names = S.normalize_columns(
             names_df,
             name_col=p.get("name_col", "name"),
-            entity_id_col=_opt("entity_id_col", "id"),
-            uid_col=_opt("uid_col"),
-            country_col=_opt("country_col"),
-            account_col=_opt("account_col", "account"),
-            freq_col=_opt("freq_col", S.FREQ),
+            entity_id_col=_opt("entity_id_col", "id", S.ENTITY_ID),
+            uid_col=_opt("uid_col", None, S.UID),
+            country_col=_opt("country_col", None, S.COUNTRY),
+            account_col=_opt("account_col", "account", S.ACCOUNT),
+            freq_col=_opt("freq_col", S.FREQ, S.FREQ),
             carry_on_cols=[c for c in self.carry_on_cols if c in names_df.columns],
         )
         names = S.with_uid(names)

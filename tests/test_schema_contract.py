@@ -78,3 +78,22 @@ def test_carry_on_cols(spark, gt, names):
     assert "gt_sector" in out.columns  # GT-side carry-on gets gt_ prefix
     row = out.filter(F.col("gt_name") == "apple inc").collect()[0]
     assert row["gt_sector"] == "tech"
+
+
+def test_canonical_columns_accepted(spark, gt, names):
+    """A names frame already using canonical column names keeps them.
+
+    Regression: `entity_id` (instead of the configured `id`) was silently
+    dropped by the rename, making fit_classifier fail with an unresolved
+    column much later.
+    """
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+    )
+    em.fit(gt)
+    canonical = names.withColumnRenamed("id", "entity_id")
+    out = em.transform(canonical)
+    assert "entity_id" in out.columns
+    got = {r["entity_id"] for r in out.select("entity_id").distinct().collect()}
+    assert got == {11, 12}
