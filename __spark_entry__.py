@@ -681,6 +681,53 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cossim_char_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked char-2gram cosine top-k (SURVEY §2.5 J2, §4 X2): candidates
+    restricted to equal first-character blocks — blocking is a real join
+    key, so Catalyst prunes the pair space instead of post-filtering."""
+    from entitymatchingmodel_spark.operators.cossim_indexer import (
+        CosSimIndexer,
+        first_char_block,
+    )
+
+    gt, names = _part_gt_names(spark, sf_dir)
+    model = CosSimIndexer(
+        tokenizer="characters", ngram=2, k=5, lower_bound=0.2,
+        blocking_func=first_char_block, max_vocab=None, score_decimals=6,
+    ).fit(gt)
+    out = model.transform(names)
+    return out.select("uid", "gt_uid", F.round("score", 6).alias("score"), "rank")
+
+
+def q_naive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive all-pairs indexer (SURVEY §2.5 J4) on a bounded subset."""
+    from entitymatchingmodel_spark.operators.naive_indexer import NaiveIndexer
+
+    part = _t(spark, sf_dir, "part")
+    gt = (
+        part.filter(F.col("p_partkey") <= 500)
+        .groupBy(F.col("p_name").alias("preprocessed"))
+        .agg(F.min("p_partkey").alias("gt_uid"))
+    )
+    names = part.filter(F.col("p_partkey") <= 200).select(
+        F.col("p_partkey").alias("uid"), F.col("p_name").alias("preprocessed")
+    )
+    return NaiveIndexer().fit(gt).transform(names)
+
+
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stratified train/valid fold assignment (SURVEY §2.10 M11):
+    all candidates of a uid land in one fold; fold = md5 hash of the
+    group's (stratum, key) — deterministic across engines and runs."""
+    from entitymatchingmodel_spark.operators.training import grouped_stratified_split
+
+    cands = _labelled_cossim(spark, sf_dir)
+    out = grouped_stratified_split(
+        cands, group_col="uid", n_folds=5, stratum_cols=("correct",)
+    )
+    return out.select("uid", "gt_uid", "fold")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preprocess_names": q_preprocess_names,
@@ -723,6 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noised_names": q_noised_names,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
+        "cossim_char_blocked": q_cossim_char_blocked,
+        "naive_pairs": q_naive_pairs,
+        "grouped_split": q_grouped_split,
     }
 
 
@@ -1343,6 +1393,62 @@ _ORACLE = {
                round(CAST(max(b.v) AS DOUBLE), 6) AS max_amp
         FROM documents d JOIN b ON d.doc_id = b.doc_id
         GROUP BY d.doc_id, d.text
+    """,
+    "cossim_char_blocked": """
+        WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
+        n AS (SELECT count(*) AS n_docs FROM gt),
+        gtok AS (SELECT DISTINCT gt_uid, substring(name, CAST(i AS INT), 2) AS token
+                 FROM (SELECT gt_uid, name,
+                              unnest(generate_series(1, greatest(length(name)-1, 1))) AS i
+                       FROM gt)),
+        vocab AS (SELECT token, count(*) AS df FROM gtok GROUP BY token),
+        idf AS (SELECT token, ln((n_docs+1.0)/(df+1.0)) AS idf FROM vocab, n),
+        gblk AS (SELECT gt_uid, substring(regexp_replace(name, '\\s', '', 'g'), 1, 1) AS block FROM gt),
+        gw AS (SELECT gt_uid, g.token, idf FROM gtok g JOIN idf USING(token)),
+        gn AS (SELECT gt_uid, sqrt(sum(idf*idf)) AS nrm FROM gw GROUP BY gt_uid),
+        gwn AS (SELECT gt_uid, token, idf/nrm AS wt FROM gw JOIN gn USING(gt_uid)),
+        ntok AS (SELECT DISTINCT uid, substring(name, CAST(i AS INT), 2) AS token
+                 FROM (SELECT uid, name,
+                              unnest(generate_series(1, greatest(length(name)-1, 1))) AS i
+                       FROM nm)),
+        nblk AS (SELECT uid, substring(regexp_replace(name, '\\s', '', 'g'), 1, 1) AS block FROM nm),
+        nw AS (SELECT uid, t.token, idf FROM ntok t JOIN idf USING(token)),
+        nn AS (SELECT uid, sqrt(sum(idf*idf)) AS nrm FROM nw GROUP BY uid),
+        nwn AS (SELECT uid, token, idf/nrm AS wt FROM nw JOIN nn USING(uid)),
+        pairs AS (SELECT q.uid, g.gt_uid, round(sum(q.wt*g.wt), 6) AS score
+                  FROM nwn q JOIN gwn g USING(token)
+                  JOIN nblk ON nblk.uid = q.uid
+                  JOIN gblk ON gblk.gt_uid = g.gt_uid
+                  WHERE nblk.block = gblk.block
+                  GROUP BY q.uid, g.gt_uid),
+        ranked AS (SELECT uid, gt_uid, score,
+                          row_number() OVER (PARTITION BY uid ORDER BY score DESC, gt_uid DESC) AS rank
+                   FROM pairs WHERE score > 0.2)
+        SELECT uid, gt_uid, round(score, 6) AS score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "naive_pairs": """
+        WITH gt AS (SELECT min(p_partkey) AS gt_uid FROM part
+                    WHERE p_partkey <= 500 GROUP BY p_name),
+        nm AS (SELECT p_partkey AS uid FROM part WHERE p_partkey <= 200)
+        SELECT uid, gt_uid, 1.0 AS score, CAST(1 AS INT) AS rank
+        FROM nm CROSS JOIN gt
+    """,
+    "grouped_split": f"""
+        WITH {_SQL_CANDS},
+        j AS (SELECT c.uid, c.gt_uid, (n2.name = g.name) AS correct
+              FROM cand c JOIN nm n2 ON c.uid = n2.uid
+                          JOIN gt g ON c.gt_uid = g.gt_uid),
+        st AS (SELECT uid, max(CASE WHEN correct THEN 1 ELSE 0 END) AS s
+               FROM j GROUP BY uid)
+        SELECT j.uid, j.gt_uid,
+               CAST(floor(
+                 CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'fold',
+                       concat_ws('#', CAST(st.s AS VARCHAR), CAST(j.uid AS VARCHAR))
+                     )), 1, 7)) AS BIGINT) AS DOUBLE)
+                 / 268435456.0 * 5) AS INT) AS fold
+        FROM j JOIN st ON j.uid = st.uid
     """,
 }
 

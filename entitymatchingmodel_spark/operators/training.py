@@ -202,6 +202,48 @@ def create_training_pairs(
     return out.withColumn("no_candidate", F.col("gt_uid").isNull())
 
 
+def grouped_stratified_split(
+    df: DataFrame,
+    group_col: str,
+    n_folds: int = 5,
+    stratum_cols: tuple[str, ...] = (),
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic grouped (and stratified) k-fold assignment (SURVEY §2.10
+    M11; ref base_supervised_model.py:255-266 uses sklearn's
+    StratifiedGroupKFold on the driver).
+
+    Guarantees:
+    - *grouping*: every row of a group lands in the same fold — fold is a
+      pure function of the group key (and the group's stratum);
+    - *stratification*: fold membership is a uniform md5 hash, so within
+      each stratum the folds receive equal shares in expectation.  The
+      group's stratum (element-wise max of ``stratum_cols`` over the group)
+      is folded into the hash salt so re-salting one stratum reshuffles only
+      that stratum.
+
+    Unlike the sklearn path this never leaves the cluster, is stable across
+    engines/runs/partitionings (md5 of the key, same scheme as
+    functions/sampling.py), and costs at most one window shuffle on
+    ``group_col`` — zero extra shuffles downstream of any per-group stage
+    already partitioned that way.
+    """
+    from entitymatchingmodel_spark.functions.sampling import _unit_hash
+
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    key = F.col(group_col).cast("string")
+    if stratum_cols:
+        w = Window.partitionBy(group_col)
+        strat = [
+            F.max(F.col(c).cast("long")).over(w).cast("string") for c in stratum_cols
+        ]
+        key = F.concat_ws("#", *strat, key)
+    fold = F.floor(_unit_hash(key, salt) * n_folds).cast("int")
+    return df.withColumn(fold_col, fold)
+
+
 # ---------------------------------------------------------------------------
 # Threshold decision curves (M12) + AUC (M13)
 # ---------------------------------------------------------------------------

@@ -95,3 +95,26 @@ def test_auc_matches_manual(spark):
     # manual: pairs (pos, neg) where pos > neg: 3 pos x 2 neg = 6 pairs,
     # (0.9,0.7)(0.9,0.5)(0.8,0.7)(0.8,0.5)(0.6,0.5) win = 5 -> 5/6
     assert abs(T.auc_score(scored) - 5 / 6) < 1e-12
+
+
+def test_grouped_stratified_split(spark):
+    rows = [(u, g, u % 3 == 0) for u in range(200) for g in range(3)]
+    df = spark.createDataFrame(rows, "uid long, gt_uid long, correct boolean")
+    out = T.grouped_stratified_split(
+        df, group_col="uid", n_folds=5, stratum_cols=("correct",)
+    ).collect()
+    # grouping: all rows of a uid share one fold
+    by_uid = {}
+    for r in out:
+        by_uid.setdefault(r["uid"], set()).add(r["fold"])
+    assert all(len(s) == 1 for s in by_uid.values())
+    # fold range + all folds populated at 200 groups
+    folds = {r["fold"] for r in out}
+    assert folds <= set(range(5)) and len(folds) == 5
+    # deterministic on recompute
+    out2 = T.grouped_stratified_split(
+        df, group_col="uid", n_folds=5, stratum_cols=("correct",)
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError, match="n_folds"):
+        T.grouped_stratified_split(df, group_col="uid", n_folds=1)
