@@ -67,3 +67,29 @@ def test_bucketized_gt_index_fewer_shuffles_same_result(spark, tmp_path):
     assert res_plain == res_bucketed
     assert exchange_count(bucketed) < n_plain
     spark.sql("DROP TABLE IF EXISTS gt_idx_bucket_test")
+
+
+def test_blocking_is_a_join_key(spark):
+    """J2: the block column must be part of the equi-join keys (search-space
+    pruning in the join itself), not a post-join filter."""
+    from entitymatchingmodel_spark.operators.cossim_indexer import first_char_block
+    from entitymatchingmodel_spark.plans import explain_str
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    gt = part.groupBy(F.col("p_name").alias("preprocessed")).agg(
+        F.min("p_partkey").alias("gt_uid")
+    )
+    names = part.select(
+        F.col("p_partkey").alias("uid"), F.col("p_name").alias("preprocessed")
+    )
+    m = CosSimIndexer(
+        tokenizer="characters", ngram=2, k=3, lower_bound=0.2,
+        blocking_func=first_char_block, score_decimals=6,
+    ).fit(gt)
+    plan = explain_str(m.transform(names))
+    keyed = [
+        ln for ln in plan.splitlines()
+        if ("keys" in ln.lower() or "hashpartitioning" in ln)
+        and "token" in ln and "block" in ln
+    ]
+    assert keyed, plan[:2000]
