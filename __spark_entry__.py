@@ -215,7 +215,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over embeddings."""
     from entitymatchingmodel_spark.operators.ann import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk(queries, emb, "vec_id", "embedding", k=5, score_decimals=6)
 
@@ -357,7 +357,7 @@ def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, bounded subset)."""
     from entitymatchingmodel_spark.operators.dedup import embedding_near_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000))
     return embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.5)
 
 
@@ -476,7 +476,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from entitymatchingmodel_spark.operators.ann import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(queries, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
 

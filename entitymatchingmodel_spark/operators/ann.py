@@ -46,25 +46,63 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbours: (qid, nn_id, score, rank).
 
-    Plan shape: broadcast-nested-loop of |queries| x |corpus| — correct at any
-    corpus size as long as the query batch is broadcastable; the corpus is
-    scanned exactly once, partition-parallel, with map-side top-k via the
-    window after AQE-coalesced shuffle on qid.
+    Physical strategy: collect + broadcast the (small) query matrix, then one
+    vectorized numpy GEMM per Arrow batch over the corpus (``mapInPandas``),
+    emitting only each batch's top-k per query under the same total order as
+    the final window (score desc, nn_id asc) — partial top-k composes exactly,
+    so the shuffle carries ≤ k·n_batches rows per query instead of |corpus|.
+    The corpus is scanned once, partition-parallel; valid at any corpus size
+    while the query batch is broadcastable.  (A pure-expression formulation
+    with ``zip_with``/``aggregate`` dots is ~10x slower: higher-order array
+    functions evaluate interpreted, per element.)  Zero-norm vectors score
+    NaN and are excluded.
     """
-    def unit(df: DataFrame, vcol: str) -> DataFrame:
-        # Stage unit vectors once per row; the per-pair expression is then a
-        # single dot product instead of dot + two nested norm re-evaluations.
-        n = _norm(F.col(vcol))
-        return df.withColumn(
-            vcol, F.when(n > 0, F.transform(F.col(vcol), lambda x: x.cast("double") / n))
-        )
+    import numpy as np
 
-    q = unit(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")), "_qv")
-    c = unit(corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")), "_cv")
-    score = _dot(F.col("_qv"), F.col("_cv"))
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
-    scored = c.crossJoin(F.broadcast(q)).select("qid", "nn_id", score.alias("score"))
+    spark = corpus.sparkSession
+    qpdf = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
+        .toPandas()
+    )
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["_qv"]])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qn == 0, np.nan, qn)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    decimals = score_decimals
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_t}, nn_id {id_t}, score double"
+
+    def run(batches):
+        import pandas as pd
+
+        b_qids, b_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_cv"]])
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            C = C / np.where(cn == 0, np.nan, cn)
+            S = C @ b_q.T  # (batch, n_queries)
+            if decimals is not None:
+                S = np.round(S, decimals)
+            nn = pdf["nn_id"].to_numpy()
+            take = min(k, len(pdf))
+            for j in range(len(b_qids)):
+                col = S[:, j]
+                # batch-local partial top-k under the SAME total order as the
+                # global window (score desc, nn_id asc) -> exact composition
+                order = np.lexsort((nn, -col))[:take]
+                keep = order[~np.isnan(col[order])]
+                if len(keep):
+                    yield pd.DataFrame(
+                        {"qid": b_qids[j], "nn_id": nn[keep], "score": col[keep]}
+                    )
+
+    scored = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")
+    ).mapInPandas(run, out_schema)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nn_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,65 @@
+"""Unit tests for similarity search (operators/ann.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.ann import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 1.0]),
+        (4, [-1.0, 0.0]),
+        (5, [0.0, 0.0]),  # zero vector: must never appear as a neighbour
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_hand_computed(vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    out = cosine_topk(q, vectors, "vec_id", "embedding", k=3, score_decimals=6)
+    got = [(r["nn_id"], r["score"], r["rank"]) for r in out.orderBy("rank").collect()]
+    # cos(v1,v1)=1, cos(v1,v3)=1/sqrt(2), cos(v1,v2)=0; tie-break nn_id asc
+    assert got == [
+        (1, 1.0, 1),
+        (3, round(1 / math.sqrt(2), 6), 2),
+        (2, 0.0, 3),
+    ]
+
+
+def test_cosine_topk_excludes_zero_vectors(vectors):
+    q = vectors.filter(F.col("vec_id") == 1)
+    out = cosine_topk(q, vectors, "vec_id", "embedding", k=10)
+    ids = {r["nn_id"] for r in out.collect()}
+    assert 5 not in ids
+    assert ids == {1, 2, 3, 4}
+
+
+def test_cosine_topk_partial_topk_composes(spark):
+    # many partitions: batch-local top-k must still produce the global top-k
+    rows = [(i, [float(i), 1.0]) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(16)
+    q = df.filter(F.col("vec_id") == 200)
+    out = cosine_topk(q, df, "vec_id", "embedding", k=5)
+    got = [r["nn_id"] for r in out.orderBy("rank").collect()]
+    # nearest to [200,1] by cosine: itself then descending ids (unrounded
+    # scores are strictly decreasing in |200 - i|)
+    assert got == [200, 199, 198, 197, 196]
+
+
+def test_ivf_topk_subset_of_corpus_and_sane(spark):
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), float(i % 3)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    q = df.filter(F.col("vec_id") < 5)
+    out = ivf_topk(q, df, "vec_id", "embedding", k=3, nlist=8, nprobe=4).collect()
+    assert {r["qid"] for r in out} == set(range(5))
+    for r in out:
+        assert 0 <= r["rank"] <= 3
+    # each query must at least find itself (it probes its own bucket)
+    self_hits = {r["qid"] for r in out if r["qid"] == r["nn_id"]}
+    assert self_hits == set(range(5))
