@@ -32,6 +32,14 @@ def main() -> None:
     # isn't charged session startup costs.
     for t in ("part", "lineitem", "documents", "embeddings", "orders", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # Spin up the Python worker pool (pandas import + Arrow channel per core)
+    # so the first pandas-UDF query isn't charged worker startup either.
+    (
+        spark.range(cpus * 4)
+        .repartition(cpus)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():

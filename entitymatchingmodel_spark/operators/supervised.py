@@ -76,10 +76,19 @@ class SupervisedModel:
             out = lef_features(out)
         return out
 
-    def transform(self, cands: DataFrame, return_sm_features: bool = False) -> DataFrame:
+    def transform(
+        self,
+        cands: DataFrame,
+        return_sm_features: bool = False,
+        score_col_out: str = "nm_score",
+        with_best_match: bool = True,
+    ) -> DataFrame:
         """Score candidates; with ``return_sm_features`` the f_* feature
         columns are kept in the output (ref spark_supervised_model.py:190-219
-        M8 feature pass-through)."""
+        M8 feature pass-through).  ``score_col_out``/``with_best_match``
+        support multiple named models (ref base_entity_matching.py:73-152
+        M9): secondary models add their score column only — exactly one
+        model drives best_rank/best_match."""
         from pyspark.ml.functions import vector_to_array
 
         matched = self._featurize(cands)
@@ -87,7 +96,7 @@ class SupervisedModel:
         assembled = self._assemble(matched, feats)
         scored = self.ml_model.transform(assembled)
         scored = scored.withColumn(
-            "nm_score",
+            score_col_out,
             F.when(
                 F.col("gt_uid").isNotNull(),
                 F.element_at(vector_to_array("probability"), 2),
@@ -95,7 +104,9 @@ class SupervisedModel:
         ).drop("features", "rawPrediction", "probability", "prediction")
         if not return_sm_features:
             scored = scored.drop(*[c for c in scored.columns if c.startswith("f_")])
-        return best_match(scored, "nm_score")
+        if not with_best_match:
+            return scored
+        return best_match(scored, score_col_out)
 
     @staticmethod
     def _assemble(df: DataFrame, feats) -> DataFrame:

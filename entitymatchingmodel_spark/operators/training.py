@@ -202,6 +202,26 @@ def create_training_pairs(
     return out.withColumn("no_candidate", F.col("gt_uid").isNull())
 
 
+def uid_constant_cols(
+    df: DataFrame, uid_col: str = "uid", candidates: list[str] | None = None
+) -> list[str]:
+    """Columns whose value is constant within every ``uid`` group (SURVEY
+    §2.6 A8; ref prepare_name_pairs.py:133-135 does a pandas ``nunique``).
+
+    Used to decide which name-level columns can be carried through per-uid
+    training aggregation without ambiguity.  One distributed two-level
+    aggregation; nulls don't count as a distinct value (pandas parity).
+    """
+    cols = [c for c in (candidates or df.columns) if c != uid_col]
+    if not cols:
+        return []
+    per = df.groupBy(uid_col).agg(
+        *[F.countDistinct(F.col(c)).alias(c) for c in cols]
+    )
+    mx = per.agg(*[F.max(c).alias(c) for c in cols]).first()
+    return [c for c in cols if (mx[c] or 0) <= 1]
+
+
 def grouped_stratified_split(
     df: DataFrame,
     group_col: str,

@@ -64,6 +64,7 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
             "params": serializable_p,
             "indexers": indexers_meta,
             "supervised": em.supervised_model_ is not None,
+            "supervised_extra": sorted(em.extra_supervised_models_),
         },
     )
     em.gt_.write.mode("overwrite").parquet(f"{path}/gt")
@@ -112,11 +113,10 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
             )
             model.gt_keyed.write.mode("overwrite").parquet(f"{base}/gt_keyed")
 
-    if em.supervised_model_ is not None:
-        sm = em.supervised_model_
+    def _save_sm(sm, base: str) -> None:
         _write_json(
             spark,
-            f"{path}/supervised/meta.json",
+            f"{base}/meta.json",
             {
                 "feature_cols": sm.feature_cols,
                 "score_col_in": sm.score_col_in,
@@ -129,7 +129,12 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
                 "use_lef": sm.use_lef,
             },
         )
-        sm.ml_model.write().overwrite().save(f"{path}/supervised/gbt")
+        sm.ml_model.write().overwrite().save(f"{base}/gbt")
+
+    if em.supervised_model_ is not None:
+        _save_sm(em.supervised_model_, f"{path}/supervised")
+    for mname, sm in em.extra_supervised_models_.items():
+        _save_sm(sm, f"{path}/supervised_extra/{mname}")
 
 
 def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
@@ -178,23 +183,28 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
             raise ValueError(f"unknown indexer kind {m['kind']!r}")
         em.indexer_models_[imeta["name"]] = model
 
-    if meta.get("supervised"):
+    def _load_sm(base: str):
         from pyspark.ml.classification import GBTClassificationModel
 
+        from entitymatchingmodel_spark.operators.features import Vocabulary
         from entitymatchingmodel_spark.operators.supervised import SupervisedModel
 
-        from entitymatchingmodel_spark.operators.features import Vocabulary
-
-        smeta = _read_json(spark, f"{path}/supervised/meta.json")
+        smeta = _read_json(spark, f"{base}/meta.json")
         v = smeta.get("vocabulary")
-        em.supervised_model_ = SupervisedModel(
-            GBTClassificationModel.load(f"{path}/supervised/gbt"),
+        return SupervisedModel(
+            GBTClassificationModel.load(f"{base}/gbt"),
             smeta["feature_cols"],
             smeta["score_col_in"],
             vocabulary=Vocabulary(v["very_common"], v["common"]) if v else None,
             extra_cols=tuple(smeta.get("extra_cols", ())),
             use_lef=smeta.get("use_lef", False),
         )
+
+    if meta.get("supervised"):
+        em.supervised_model_ = _load_sm(f"{path}/supervised")
+        em.supervised_on = True
+    for mname in meta.get("supervised_extra", []):
+        em.extra_supervised_models_[mname] = _load_sm(f"{path}/supervised_extra/{mname}")
         em.supervised_on = True
 
     return em

@@ -98,6 +98,10 @@ class SparkEntityMatching:
         self.gt_: DataFrame | None = None
         self.indexer_models_: dict[str, Any] = {}
         self.supervised_model_ = None
+        # M9 (ref base_entity_matching.py:73-152): additional named models,
+        # each adding a score column nm_score_<name>; the primary
+        # supervised_model_ drives best_rank/best_match.
+        self.extra_supervised_models_: dict[str, Any] = {}
 
     def _promote(self, df) -> DataFrame:
         """pandas -> Spark promotion (ref spark_entity_matching.py:267-269)."""
@@ -190,10 +194,17 @@ class SparkEntityMatching:
         cands = CS.combine_candidates(per_indexer)
         cands = CS.attach_gt_info(cands, self.gt_)
         out = CS.attach_names(cands, names, self.with_no_matches)
-        if self.supervised_on and self.supervised_model_ is not None:
-            out = self.supervised_model_.transform(
-                out, return_sm_features=p.get("return_sm_features", False)
-            )
+        if self.supervised_on and (
+            self.supervised_model_ is not None or self.extra_supervised_models_
+        ):
+            if self.supervised_model_ is not None:
+                out = self.supervised_model_.transform(
+                    out, return_sm_features=p.get("return_sm_features", False)
+                )
+            for mname, m in self.extra_supervised_models_.items():
+                out = m.transform(
+                    out, score_col_out=f"nm_score_{mname}", with_best_match=False
+                )
         if self.aggregation_layer:
             if callable(self.aggregation_layer):
                 # custom aggregation object/callable (ref spark_entity_matching
@@ -236,6 +247,7 @@ class SparkEntityMatching:
         names_df: DataFrame,
         create_negative_sample_fraction: float = 0.0,
         seed: int = 42,
+        name: str | None = None,
         **kw,
     ) -> "SparkEntityMatching":
         """Train the supervised layer.
@@ -243,6 +255,10 @@ class SparkEntityMatching:
         With ``create_negative_sample_fraction > 0`` the training set goes
         through the full M10 prep (negative sampling + rerank); otherwise
         candidates of a plain transform are labelled directly.
+
+        ``name`` registers an ADDITIONAL named model (SURVEY §2.10 M9):
+        its scores appear as ``nm_score_<name>`` next to the primary model's
+        ``nm_score``/``best_match``.
         """
         from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
 
@@ -260,6 +276,10 @@ class SparkEntityMatching:
             finally:
                 self.supervised_on = prev
         scorer = SupervisedScorer(**kw)
-        self.supervised_model_ = scorer.fit(cands)
+        model = scorer.fit(cands)
+        if name is None:
+            self.supervised_model_ = model
+        else:
+            self.extra_supervised_models_[name] = model
         self.supervised_on = True
         return self

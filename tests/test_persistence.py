@@ -70,3 +70,31 @@ def test_custom_callable_blocking_rejected(spark, tmp_path_factory):
     em.fit(gt)
     with pytest.raises(ValueError, match="blocking_func"):
         save_model(em, str(tmp_path_factory.mktemp("model") / "em2"))
+
+
+def test_named_models_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark import SparkEntityMatching, load_model, save_model
+
+    gt = spark.createDataFrame(
+        [(1, "apple inc"), (2, "netflix nv"), (3, "amazon ltd"), (4, "spotify ab")],
+        "id long, name string",
+    )
+    names = spark.createDataFrame(
+        [(11, "aple inc"), (12, "netflx nv")], "id long, name string"
+    )
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+    )
+    em.fit(gt)
+    em.fit_classifier(names, max_iter=2)
+    em.fit_classifier(names, max_iter=2, name="alt")
+    path = str(tmp_path / "m9")
+    save_model(em, path)
+    em2 = load_model(spark, path)
+    a = em.transform(names).orderBy("uid", "gt_uid").collect()
+    b = em2.transform(names).orderBy("uid", "gt_uid").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert "nm_score_alt" in em2.transform(names).columns

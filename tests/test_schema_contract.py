@@ -97,3 +97,20 @@ def test_canonical_columns_accepted(spark, gt, names):
     assert "entity_id" in out.columns
     got = {r["entity_id"] for r in out.select("entity_id").distinct().collect()}
     assert got == {11, 12}
+
+
+def test_multiple_named_models(spark, gt, names):
+    """M9: a second named classifier adds nm_score_<name> beside the primary
+    model's nm_score/best_match."""
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+    )
+    em.fit(gt)
+    em.fit_classifier(names, max_iter=3)
+    em.fit_classifier(names, max_iter=2, name="alt")
+    out = em.transform(names)
+    cols = set(out.columns)
+    assert {"nm_score", "best_match", "nm_score_alt"} <= cols
+    rows = out.filter(F.col("gt_uid").isNotNull()).collect()
+    assert rows and all(r["nm_score_alt"] is not None for r in rows)

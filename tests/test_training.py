@@ -118,3 +118,14 @@ def test_grouped_stratified_split(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     with pytest.raises(ValueError, match="n_folds"):
         T.grouped_stratified_split(df, group_col="uid", n_folds=1)
+
+
+def test_uid_constant_cols(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10, None), (1, "a", 20, None), (2, "b", 30, 5)],
+        "uid long, name string, score int, extra int",
+    )
+    # name constant within each uid; score varies within uid 1; extra is
+    # null-only for uid 1 (nulls don't count) and single-valued for uid 2
+    assert T.uid_constant_cols(df) == ["name", "extra"]
+    assert T.uid_constant_cols(df, candidates=["score"]) == []
