@@ -151,7 +151,13 @@ class SupervisedScorer:
         from pyspark.ml.classification import GBTClassifier
 
         vocab = None
+        persisted = None
         if self.with_vocabulary:
+            # Two passes over the candidate lineage (vocabulary df-agg, then
+            # featurize) — persist so candidate selection isn't recomputed
+            # (the reference checkpoints here for the same reason, SURVEY §4
+            # X9 / spark_candidate_selection.py:267-272).
+            persisted = cands = cands.persist()
             vocab = Vocabulary.fit(
                 cands,
                 ["preprocessed", "gt_preprocessed"],
@@ -202,4 +208,6 @@ class SupervisedScorer:
             if sized is not assembled:
                 sized.unpersist()
             assembled.unpersist()
+            if persisted is not None:
+                persisted.unpersist()
         return model

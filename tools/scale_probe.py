@@ -90,10 +90,24 @@ def main():
                 minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_n=3)
             )
 
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        emb_inf = (
+            emb.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("vec_id", F.col("vec_id") + F.col("_r") * 10_000_000)
+            .drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+        def ann():
+            from entitymatchingmodel_spark.operators.ann import cosine_topk
+            q = emb.filter(F.col("vec_id") < 20)
+            return cosine_topk(q, emb_inf, "vec_id", "embedding", k=5)
+
         run("cossim_inverted", cossim)
         run("cossim_broadcast", cossim_bc)
         run("sni", sni)
         run("minhash_lsh", minhash)
+        run("ann_gemm_topk", ann)
 
     print("\nscaling ratios (vs 1x):")
     for name, ts in results.items():
