@@ -471,14 +471,17 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbours (scale path of ANN).
 
-    Not SQL-expressible deterministically (xxhash64 centroid sample) ->
-    rows-only check.
+    Fully deterministic (md5-of-id centroid sample, round-before-rank) ->
+    EXACT oracle.
     """
     from entitymatchingmodel_spark.operators.ann import ivf_topk
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(queries, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+    return ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4,
+        score_decimals=6,
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,6 +1429,51 @@ _ORACLE = {
                           row_number() OVER (PARTITION BY uid ORDER BY score DESC, gt_uid DESC) AS rank
                    FROM pairs WHERE score > 0.2)
         SELECT uid, gt_uid, round(score, 6) AS score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "ivf_topk": """
+        WITH eu AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        un AS (
+          SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vu
+          FROM eu WHERE list_dot_product(v, v) > 0
+        ),
+        ch AS (
+          SELECT vec_id, CAST(concat('0x', substring(md5(concat_ws('|', 'ivf42',
+                   CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+          FROM embeddings
+        ),
+        cr AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM ch),
+        cent AS (SELECT cr.rn - 1 AS cent_id, u.vu AS cu
+                 FROM cr JOIN un u USING (vec_id) WHERE cr.rn <= 16),
+        assign AS (
+          SELECT nn_id, cent_id FROM (
+            SELECT u.vec_id AS nn_id, c.cent_id,
+                   row_number() OVER (PARTITION BY u.vec_id
+                     ORDER BY round(list_dot_product(u.vu, c.cu), 6) DESC, c.cent_id) AS r
+            FROM un u CROSS JOIN cent c) WHERE r = 1
+        ),
+        probe AS (
+          SELECT qid, cent_id FROM (
+            SELECT u.vec_id AS qid, c.cent_id,
+                   row_number() OVER (PARTITION BY u.vec_id
+                     ORDER BY round(list_dot_product(u.vu, c.cu), 6) DESC, c.cent_id) AS r
+            FROM un u CROSS JOIN cent c WHERE u.vec_id < 20) WHERE r <= 4
+        ),
+        pairs AS (
+          SELECT p.qid, a.nn_id,
+                 round(list_dot_product(qv.vu, cv.vu), 6) AS score
+          FROM probe p JOIN assign a USING (cent_id)
+          JOIN un qv ON qv.vec_id = p.qid
+          JOIN un cv ON cv.vec_id = a.nn_id
+        ),
+        ranked AS (
+          SELECT qid, nn_id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nn_id) AS rank
+          FROM pairs)
+        SELECT qid, nn_id, score, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
     """,
     "naive_pairs": """

@@ -120,15 +120,23 @@ def ivf_topk(
     nlist: int = 64,
     nprobe: int = 8,
     seed: int = 42,
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file partitioning.
 
     Centroids = a deterministic sample of corpus vectors (cheap, no iterative
-    k-means job; good enough for bucket pruning).  Corpus is assigned to its
-    nearest centroid once; each query probes its ``nprobe`` nearest centroid
-    buckets.  Join is equi on bucket id -> shuffle prunes to nprobe/nlist of
-    the corpus per query.
+    k-means job; good enough for bucket pruning), chosen by an md5 hash of
+    the row id — the same engine-portable scheme as functions/sampling.py, so
+    the whole operator is reproducible across engines/runs/partitionings and
+    oracle-checkable.  Corpus is assigned to its nearest centroid once; each
+    query probes its ``nprobe`` nearest centroid buckets.  Join is equi on
+    bucket id -> shuffle prunes to nprobe/nlist of the corpus per query.
+
+    ``score_decimals`` rounds every cosine (assignment, probe, final) BEFORE
+    its rank window — float-summation-order noise can then never flip a
+    bucket choice or the top-k set (round-before-rank, SURVEY §4 X15).
     """
+    from entitymatchingmodel_spark.functions.sampling import _unit_hash
     def l2_normalize(df: DataFrame, vcol: str) -> DataFrame:
         """Stage unit vectors in their own projection: norms are computed
         once per row, and every downstream cosine is a plain dot product
@@ -140,16 +148,28 @@ def ivf_topk(
         )
         return df.withColumn(vcol, unit)
 
+    hash_order = _unit_hash(F.col(id_col), f"ivf{seed}")
+    wc = Window.orderBy(F.col("_h"), F.col(id_col))
     cents = l2_normalize(
-        corpus.select(F.col(vec_col).alias("_cent"))
-        .orderBy(F.xxhash64(vec_col, F.lit(seed)))
-        .limit(nlist),
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cent"))
+        .withColumn("_h", hash_order)
+        .orderBy("_h", id_col)
+        .limit(nlist)
+        # row_number over the nlist sampled rows (tiny, post-limit) gives
+        # deterministic 0-based centroid ids, unlike monotonically_increasing_id
+        .withColumn("cent_id", F.row_number().over(wc) - 1)
+        .select("cent_id", "_cent"),
         "_cent",
-    ).withColumn("cent_id", F.monotonically_increasing_id())
+    )
     bc = F.broadcast(cents)
 
+    def _maybe_round(c: Column) -> Column:
+        return F.round(c, score_decimals) if score_decimals is not None else c
+
     def nearest(df: DataFrame, id_c: str, vcol: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(bc).withColumn("_cs", _dot(F.col(vcol), F.col("_cent")))
+        scored = df.crossJoin(bc).withColumn(
+            "_cs", _maybe_round(_dot(F.col(vcol), F.col("_cent")))
+        )
         # Partition the top-n window by the row id, not the vector payload —
         # hashing a float array per row as a shuffle key is pure waste.
         w = Window.partitionBy(id_c).orderBy(F.desc("_cs"), F.asc("cent_id"))
@@ -168,7 +188,7 @@ def ivf_topk(
     )
     q_probed = nearest(q, "qid", "_qv", nprobe, "bucket")
     scored = q_probed.join(c_assigned, "bucket").select(
-        "qid", "nn_id", _dot(F.col("_qv"), F.col("_cv")).alias("score")
+        "qid", "nn_id", _maybe_round(_dot(F.col("_qv"), F.col("_cv"))).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nn_id"))
     return (
