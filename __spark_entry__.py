@@ -41,7 +41,10 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full entity-matching pipeline on sf0.001 part names."""
+    """Flagship: the full pipeline on sf0.001 part names — preprocess ->
+    3-indexer candidate selection (word/char cossim + SNI) -> supervised GBT
+    scoring with best-match selection.  (Account aggregation needs an
+    account column; it is exercised by the agg_* contract queries.)"""
     from entitymatchingmodel_spark import SparkEntityMatching
 
     sf_dir = "/root/testdata/sf0.001"
@@ -63,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
         }
     )
     em.fit(gt)
+    em.fit_classifier(names, max_iter=5)
     return em.transform(names)
 
 
