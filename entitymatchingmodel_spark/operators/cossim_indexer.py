@@ -71,6 +71,17 @@ class CosSimIndexerModel:
         self.strategy = strategy
         self._bc = None  # lazy broadcast kernel state
 
+    def unpersist(self) -> None:
+        """Release cached index state — persisted GT weights/vocab and the
+        broadcast kernel.  The reference leaks its GT broadcast on re-fit
+        (spark_cos_sim_matcher.py:721-729, "restart the session instead");
+        here handles are explicit so re-fit reclaims executor memory."""
+        self.gt_weights.unpersist()
+        self.tfidf.vocab.unpersist()
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
+
     def bucketize(self, table_name: str, buckets: int = 64) -> "CosSimIndexerModel":
         """Persist the GT inverted index as a token-bucketed table and use it.
 

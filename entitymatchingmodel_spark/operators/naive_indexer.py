@@ -18,6 +18,9 @@ class NaiveIndexerModel:
         self.gt_uids = gt_uids
         self.max_pairs = max_pairs
 
+    def unpersist(self) -> None:
+        self.gt_uids.unpersist()
+
     def transform(self, names: DataFrame) -> DataFrame:
         if self.max_pairs is not None:
             n = names.count() * self.gt_uids.count()

@@ -63,6 +63,14 @@ class SNIIndexerModel:
         self.input_col = input_col
         self.mapping_func = mapping_func
         self.orig_input_col = orig_input_col or input_col
+        self._last_ranks = None  # persisted rank table of the latest transform
+
+    def unpersist(self) -> None:
+        """Release cached state (re-fit/teardown hygiene, SURVEY §4 X14)."""
+        self.gt_keyed.unpersist()
+        if self._last_ranks is not None:
+            self._last_ranks.unpersist()
+            self._last_ranks = None
 
     def transform(self, names: DataFrame) -> DataFrame:
         """names (uid, preprocessed) -> (uid, gt_uid, score, rank).
@@ -77,7 +85,11 @@ class SNIIndexerModel:
             names.select(key).union(self.gt_keyed.select(key))
         )
         # ranks feed two joins (gt side + names side): materialize once.
-        ranks = global_rank(union_keys, key).persist()
+        # The previous transform's rank table is released here — the cache
+        # would otherwise grow per call on a long-lived model.
+        if self._last_ranks is not None:
+            self._last_ranks.unpersist()
+        ranks = self._last_ranks = global_rank(union_keys, key).persist()
         gt_r = self.gt_keyed.join(ranks, key).select("gt_uid", F.col("srank").alias("gt_rank"))
         nm_r = names.select(S.UID, key).join(ranks, key).select(S.UID, "srank")
         # Explode each name rank into its neighbour positions -> one equi-join.

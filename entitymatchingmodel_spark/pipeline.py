@@ -103,6 +103,20 @@ class SparkEntityMatching:
         # supervised_model_ drives best_rank/best_match.
         self.extra_supervised_models_: dict[str, Any] = {}
 
+    def unpersist(self) -> None:
+        """Release all cached fitted state (GT table, indexer indexes,
+        broadcasts).  Called automatically at the top of :meth:`fit` so
+        re-fitting never leaks executor memory — the reference documents the
+        leak and suggests restarting the session (spark_entity_matching.py:
+        682-691, SURVEY §4 X14); here the handles are managed."""
+        if self.gt_ is not None:
+            self.gt_.unpersist()
+            self.gt_ = None
+        for m in self.indexer_models_.values():
+            if hasattr(m, "unpersist"):
+                m.unpersist()
+        self.indexer_models_ = {}
+
     def _promote(self, df) -> DataFrame:
         """pandas -> Spark promotion (ref spark_entity_matching.py:267-269)."""
         if isinstance(df, DataFrame):
@@ -132,6 +146,7 @@ class SparkEntityMatching:
 
     # ---------------------------------------------------------------- fit
     def fit(self, gt_df) -> "SparkEntityMatching":
+        self.unpersist()  # re-fit must not leak prior state (SURVEY §4 X14)
         gt_df = self._promote(gt_df)
         gt = S.normalize_columns(
             gt_df,

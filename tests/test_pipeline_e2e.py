@@ -68,3 +68,26 @@ def test_scores_are_cosines(result):
 def test_sni_scores(result):
     s = result["score_1"].dropna()
     assert ((s >= 0.5 - 1e-9) & (s <= 1.0 + 1e-9)).all()  # w=1: 1-|i|/2
+
+
+def test_refit_releases_and_rebinds(spark):
+    """X14: fitting again must release prior cached state and produce the
+    new GT's results (the reference leaks broadcasts and suggests a session
+    restart; here the handles are managed)."""
+    gt1 = spark.createDataFrame([(1, "apple inc"), (2, "netflix nv")], "id long, name string")
+    gt2 = spark.createDataFrame([(7, "spotify ab"), (8, "amazon ltd")], "id long, name string")
+    names = spark.createDataFrame([(11, "spotify a.b."), (12, "amazonltd")], "id long, name string")
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1},
+                  {"type": "sni", "window_length": 3}],
+    )
+    em.fit(gt1)
+    old_gt = em.gt_
+    em.transform(names).count()
+    em.fit(gt2)
+    assert em.gt_ is not old_gt
+    assert old_gt.storageLevel.useMemory is False  # released
+    out = em.transform(names)
+    got = {r["gt_entity_id"] for r in out.filter(F.col("gt_uid").isNotNull()).collect()}
+    assert got <= {7, 8} and got  # only new-GT entities
