@@ -32,6 +32,8 @@ def main() -> None:
     # isn't charged session startup costs.
     for t in ("part", "lineitem", "documents", "embeddings", "orders", "customer"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
     # Spin up the Python worker pool (pandas import + Arrow channel per core)
     # so the first pandas-UDF query isn't charged worker startup either.
     (

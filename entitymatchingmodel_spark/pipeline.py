@@ -174,6 +174,8 @@ class SparkEntityMatching:
 
     # ---------------------------------------------------------- transform
     def transform(self, names_df) -> DataFrame:
+        if not self.indexer_models_:
+            raise RuntimeError("transform() called before fit(); fit a ground-truth table first")
         names_df = self._promote(names_df)
         p = self.p
 

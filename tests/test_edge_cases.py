@@ -60,3 +60,12 @@ def test_no_match_rows_flagged_in_training(spark, em):
     flags = {r["entity_id"]: r["no_candidate"] for r in pairs.collect()}
     assert flags[41] is True
     assert flags[40] is False
+
+
+def test_transform_before_fit_raises(spark):
+    from entitymatchingmodel_spark import SparkEntityMatching
+
+    em = SparkEntityMatching(indexers=[{"type": "sni", "window_length": 3}])
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(RuntimeError, match="before fit"):
+        em.transform(df)
