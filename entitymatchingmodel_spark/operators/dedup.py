@@ -202,12 +202,18 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     score_decimals: int | None = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets: (id_a, id_b, jaccard).
 
     Inverted-index formulation: explode shingles, equi-join on shingle,
     count intersections, derive union via |A|+|B|-∩.  Only pairs sharing at
     least one shingle are ever considered.
+
+    ``materialize=True`` persists the exploded shingle table before the
+    self-join: the two join sides are otherwise independent subtrees, each
+    re-tokenizing the full corpus (exchange reuse is not guaranteed for
+    them — verified absent from this plan).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -216,6 +222,8 @@ def ngram_jaccard_pairs(
     ex = sh.select("id", "sz", F.explode_outer("sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()  # see minhash_lsh_pairs note on explode_outer
     )
+    if materialize:
+        ex = ex.persist()
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -396,11 +404,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_near_pairs(
-    sim: DataFrame, bits: int = 32, max_hamming: int = 3, blocks: int = 4
+    sim: DataFrame, bits: int = 32, max_hamming: int = 3, blocks: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on bit-chunks (pigeonhole: a pair
     within max_hamming <= blocks-1 differing bits must agree on >= 1 block),
-    then verify exact Hamming distance natively via bit_count(xor)."""
+    then verify exact Hamming distance natively via bit_count(xor).
+
+    ``materialize=True`` persists the signature input before the self-join
+    (both join sides would otherwise recompute it — same rationale as
+    minhash_lsh_pairs / ngram_jaccard_pairs)."""
+    if materialize:
+        sim = sim.persist()
     chunk = bits // blocks
     mask = (1 << chunk) - 1
     banded = sim.select(
