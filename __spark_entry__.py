@@ -735,6 +735,25 @@ def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("uid", "gt_uid", "fold")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation: language filter -> quality filter ->
+    exact-dedup (keep min doc_id) -> deterministic 50% sample.  One pipeline
+    of native operators; every step is a pure expression or one shuffle."""
+    from entitymatchingmodel_spark.functions.sampling import deterministic_sample
+    from entitymatchingmodel_spark.functions.text import lang_id, quality_score
+    from entitymatchingmodel_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = (
+        docs.filter(lang_id(F.col("text")) == "en")
+        .withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.5)
+    )
+    docs = drop_exact_duplicates(docs, "doc_id", "text")
+    out = deterministic_sample(docs, "doc_id", 0.5, salt="curate")
+    return out.select("doc_id", "quality")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preprocess_names": q_preprocess_names,
@@ -780,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cossim_char_blocked": q_cossim_char_blocked,
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1486,6 +1506,46 @@ _ORACLE = {
         nm AS (SELECT p_partkey AS uid FROM part WHERE p_partkey <= 200)
         SELECT uid, gt_uid, 1.0 AS score, CAST(1 AS INT) AS rank
         FROM nm CROSS JOIN gt
+    """,
+    "curation_pipeline": """
+        WITH tok AS (SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                     FROM documents),
+        hits AS (
+          SELECT doc_id, 'en' AS lang, len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it'))) AS h FROM tok
+          UNION ALL
+          SELECT doc_id, 'de', len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) FROM tok
+          UNION ALL
+          SELECT doc_id, 'fr', len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','que'))) FROM tok
+          UNION ALL
+          SELECT doc_id, 'es', len(list_filter(toks, x -> x IN ('el','la','los','de','y','es','un','una'))) FROM tok
+          UNION ALL
+          SELECT doc_id, 'nl', len(list_filter(toks, x -> x IN ('de','het','een','en','van','is','niet','dat'))) FROM tok
+        ),
+        pick AS (SELECT doc_id, lang, h,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+                 FROM hits),
+        en AS (SELECT t.doc_id, t.text, t.toks
+               FROM tok t JOIN pick p ON t.doc_id = p.doc_id AND p.rn = 1
+               WHERE p.h > 0 AND p.lang = 'en'),
+        q AS (SELECT doc_id, text,
+                     round(
+                       (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+                       * (CASE WHEN list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(toks) BETWEEN 2 AND 12
+                               THEN 1.0 ELSE 0.5 END)
+                       * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+              FROM en),
+        qf AS (SELECT * FROM q WHERE quality >= 0.5),
+        dd AS (SELECT doc_id, quality,
+                      row_number() OVER (PARTITION BY md5(trim(lower(text)))
+                                         ORDER BY doc_id) AS rn
+               FROM qf)
+        SELECT doc_id, quality FROM dd
+        WHERE rn = 1
+          AND CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'curate',
+                CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+              / 268435456.0 < 0.5
     """,
     "grouped_split": f"""
         WITH {_SQL_CANDS},
