@@ -1,7 +1,13 @@
+from entitymatchingmodel_spark.streaming.dedup import drop_exact_duplicates_stream
 from entitymatchingmodel_spark.streaming.stateful import running_totals
 from entitymatchingmodel_spark.streaming.transform import (
     match_stream,
     transform_foreach_batch,
 )
 
-__all__ = ["match_stream", "transform_foreach_batch", "running_totals"]
+__all__ = [
+    "match_stream",
+    "transform_foreach_batch",
+    "running_totals",
+    "drop_exact_duplicates_stream",
+]

@@ -72,3 +72,37 @@ def test_match_stream_preprocesses(spark, fitted):
     out = match_stream(fitted, _name_stream(spark))
     assert out.isStreaming
     assert "preprocessed" in out.columns
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicates within the watermark horizon are suppressed exactly."""
+    from entitymatchingmodel_spark.streaming import drop_exact_duplicates_stream
+
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(1, "Hello World ", "2024-01-01 00:00:00"),
+         (2, "hello world", "2024-01-01 00:00:10"),   # dup of 1 (normalized)
+         (3, "another doc", "2024-01-01 00:00:20")],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    deduped = drop_exact_duplicates_stream(stream, "text", "ts", watermark="1 hour")
+    got = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hashes = [r["content_hash"] for r in got]
+    assert len(got) == 2 and len(set(hashes)) == 2
+    assert {r["text"].strip().lower() for r in got} == {"hello world", "another doc"}
