@@ -754,6 +754,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token ratio, top-bigram cover)."""
+    from entitymatchingmodel_spark.functions.text import repetition_stats
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return repetition_stats(docs, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preprocess_names": q_preprocess_names,
@@ -800,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
         "curation_pipeline": q_curation_pipeline,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1506,6 +1515,25 @@ _ORACLE = {
         nm AS (SELECT p_partkey AS uid FROM part WHERE p_partkey <= 200)
         SELECT uid, gt_uid, 1.0 AS score, CAST(1 AS INT) AS rank
         FROM nm CROSS JOIN gt
+    """,
+    "repetition_stats": """
+        WITH tok AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                     FROM documents),
+        base AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS u, toks FROM tok),
+        bg AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bigram
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS i
+                     FROM base WHERE len(toks) >= 2)),
+        cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+        top AS (SELECT doc_id, c FROM (
+                  SELECT doc_id, c,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS r
+                  FROM cnt) WHERE r = 1)
+        SELECT b.doc_id,
+               round(CASE WHEN b.n > 0 THEN 1.0 - u / CAST(b.n AS DOUBLE) ELSE 0.0 END, 6) AS dup_token_ratio,
+               round(coalesce(2.0 * t.c, 0.0) / CAST(greatest(b.n, 1) AS DOUBLE), 6) AS top_bigram_ratio
+        FROM base b LEFT JOIN top t USING (doc_id)
     """,
     "curation_pipeline": """
         WITH tok AS (SELECT doc_id, text,

@@ -79,6 +79,64 @@ def lang_id(c: Column) -> Column:
     return F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und"))
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_token_ratio``: 1 - |distinct tokens| / |tokens| (0 = no repeats);
+    - ``top_bigram_ratio``: tokens covered by the most frequent word bigram
+      / |tokens| (tie-break: lexicographically smallest bigram).
+
+    Repetitious machine-generated text scores high on both; used with
+    ``quality_score`` as a curation filter.  One explode + one groupBy +
+    one per-doc window — all shuffles are on ``id_col``.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique"),
+        F.when(
+            F.size(toks) >= 2,
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda _, i: F.when(
+                        i + 2 <= F.size(toks),
+                        F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).alias("_bigrams"),
+    )
+    ex = base.select(
+        id_col, "n_tokens", "n_unique", F.explode_outer("_bigrams").alias("bigram")
+    )
+    counts = ex.groupBy(id_col, "n_tokens", "n_unique", "bigram").agg(
+        F.count(F.col("bigram")).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("bigram"))
+    top = counts.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+    return top.select(
+        F.col(id_col),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.col("n_unique") / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.when(F.col("bigram").isNotNull(), 2.0 * F.col("c"))
+            .otherwise(F.lit(0.0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("top_bigram_ratio"),
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats table (used by the driver correctness query)."""
     c = F.col(text_col)
