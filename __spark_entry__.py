@@ -513,6 +513,18 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 15m slide): each event lands
+    in 4 overlapping windows, expanded inside one hash aggregation."""
+    from entitymatchingmodel_spark.operators.events import windowed_agg
+
+    ev = _events(spark, sf_dir)
+    out = windowed_agg(ev, window_duration="1 hour", slide_duration="15 minutes")
+    return out.select(
+        "window_start", "event_type", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity boundary)."""
     from entitymatchingmodel_spark.operators.events import sessionize
@@ -809,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": q_grouped_split,
         "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -1515,6 +1528,14 @@ _ORACLE = {
         nm AS (SELECT p_partkey AS uid FROM part WHERE p_partkey <= 200)
         SELECT uid, gt_uid, 1.0 AS score, CAST(1 AS INT) AS rank
         FROM nm CROSS JOIN gt
+    """,
+    "events_sliding": """
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - CAST(k AS INT) * INTERVAL 15 MINUTE AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events, generate_series(0, 3) AS g(k)
+        GROUP BY 1, 2
     """,
     "repetition_stats": """
         WITH tok AS (SELECT doc_id,

@@ -19,19 +19,28 @@ def windowed_agg(
     key_col: str = "event_type",
     value_col: str = "value",
     window_duration: str = "1 hour",
+    slide_duration: str | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window aggregation: (window_start, key, n, sum).
+    """Event-time window aggregation: (window_start, key, n, sum).
 
-    Works unchanged on a streaming DataFrame; pass ``watermark`` there so
-    state can be evicted for late data.
+    Tumbling by default; pass ``slide_duration`` for sliding windows (each
+    event contributes to window/slide overlapping windows — Spark expands
+    this natively inside the same hash aggregation).  Works unchanged on a
+    streaming DataFrame; pass ``watermark`` there so state can be evicted
+    for late data.
     """
     df = events
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         df.groupBy(
-            F.window(F.col(ts_col), window_duration).alias("w"),
+            win.alias("w"),
             F.col(key_col),
         )
         .agg(
