@@ -36,11 +36,17 @@ def aggregate_accounts(
     name_col: str = S.PREPROCESSED,
     blacklist: list[str] | None = None,
     score_decimals: int | None = 6,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per account: (account, gt_entity_id, agg_score, rep_name).
 
     Deterministic tie-breaks: entity argmax by (agg score desc, gt_entity_id
     desc); representative name = highest contribution, name asc.
+
+    ``extra_group_cols`` adds grouping keys beside the account — the
+    reference groups by ``positive_set`` as well during training evaluation
+    so positive and negative name-sets aggregate separately
+    (ref spark_entity_aggregation.py:158-180).
     """
     if method not in AGG_METHODS:
         raise ValueError(f"method must be one of {AGG_METHODS}")
@@ -48,9 +54,10 @@ def aggregate_accounts(
     bl = list(blacklist or []) + [""]
     df = df.filter(~F.lower(F.col(name_col)).isin([b.lower() for b in bl]))
 
+    gcols = [account_col, *extra_group_cols]
     if method == "mean_score":
         contrib = F.col(score_col)
-        per_entity = df.groupBy(account_col, "gt_entity_id").agg(
+        per_entity = df.groupBy(*gcols, "gt_entity_id").agg(
             F.avg(contrib).alias("_agg_score"),
             F.max(F.struct(F.col(score_col).alias("s"), F.col(name_col).alias("n"))).alias("_rep"),
         )
@@ -59,7 +66,7 @@ def aggregate_accounts(
         # null/0 frequencies contribute nothing but keep the row (ref edge
         # case: freq may be null or 0, test_spark_vs_pandas.py:70-78)
         fs = freq * F.col(score_col)
-        per_entity = df.groupBy(account_col, "gt_entity_id").agg(
+        per_entity = df.groupBy(*gcols, "gt_entity_id").agg(
             (F.sum(fs) / F.sum(freq)).alias("_agg_score"),
             F.max(F.struct(fs.alias("s"), F.col(name_col).alias("n"))).alias("_rep"),
         )
@@ -67,7 +74,7 @@ def aggregate_accounts(
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     per_entity = per_entity.withColumn("_agg_score", score)
-    w = Window.partitionBy(account_col).orderBy(
+    w = Window.partitionBy(*gcols).orderBy(
         F.desc("_agg_score"), F.desc("gt_entity_id")
     )
     return (
@@ -75,6 +82,7 @@ def aggregate_accounts(
         .filter(F.col("_rn") == 1)
         .select(
             F.col(account_col).alias("account"),
+            *extra_group_cols,
             "gt_entity_id",
             F.col("_agg_score").alias("agg_score"),
             F.col("_rep.n").alias("rep_name"),

@@ -100,3 +100,22 @@ def test_deterministic_sampling(spark):
     s = stratified_sample(df, "id", "lang", {"en": 1.0, "de": 0.0})
     langs = {r["lang"] for r in s.collect()}
     assert langs == {"en"}
+
+
+def test_extra_group_cols_positive_set(spark):
+    """Training-eval grouping: positive and negative name-sets aggregate
+    separately within one account (ref spark_entity_aggregation.py:158-180)."""
+    from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
+
+    df = spark.createDataFrame(
+        [("a1", 1, 10, 0.9, "x", True), ("a1", 1, 10, 0.7, "x", True),
+         ("a1", 2, 20, 0.95, "y", False)],
+        "account string, gt_entity_id long, gt_uid long, nm_score double, "
+        "preprocessed string, positive_set boolean",
+    )
+    out = aggregate_accounts(
+        df, method="mean_score", extra_group_cols=("positive_set",)
+    ).collect()
+    got = {(r["account"], r["positive_set"]): (r["gt_entity_id"], r["agg_score"]) for r in out}
+    assert got[("a1", True)] == (1, 0.8)
+    assert got[("a1", False)] == (2, 0.95)
