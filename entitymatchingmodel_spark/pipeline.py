@@ -230,10 +230,15 @@ class SparkEntityMatching:
             else:
                 from entitymatchingmodel_spark.operators.aggregation import aggregate_accounts
 
+                extra = tuple(
+                    c for c in p.get("aggregation_extra_group_cols", ("positive_set",))
+                    if c in out.columns
+                )
                 out = aggregate_accounts(
                     out,
                     method=self.aggregation_method,
                     score_col=p.get("aggregation_score_col", "nm_score" if self.supervised_on else "score_0"),
+                    extra_group_cols=extra,
                 )
         top_n = p.get("top_n")
         if top_n and "best_rank" in out.columns:
