@@ -76,3 +76,14 @@ def test_sni_mapping_func(spark):
     m = SNIIndexer(window_length=3, mapping_func=F.reverse).fit(gt)
     out = {(r["uid"], r["gt_uid"]) for r in m.transform(names).collect()}
     assert any(gt_uid == 1 for (_, gt_uid) in out)
+
+
+def test_sni_even_window_rejected():
+    """Even windows are ambiguous (no center) — constructor must reject
+    (ref tests/unit/test_indexers.py:145 even-window rejection)."""
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+
+    with pytest.raises(ValueError, match="odd"):
+        SNIIndexer(window_length=4)
+    with pytest.raises(ValueError, match="odd"):
+        SNIIndexer(window_length=0)
