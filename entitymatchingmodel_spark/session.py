@@ -43,7 +43,13 @@ def get_spark(
         # AQE converts eligible shuffle joins to broadcast at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs every executor thread inside the driver JVM: N
+        # concurrent task slots' execution memory plus all persisted blocks
+        # share this one heap.  8g measurably GC-thrashes a 32-slot bench
+        # (2-3x wall-clock inflation on later queries); on a real cluster
+        # this is spark.executor.memory territory (reference recommends 30g,
+        # emm/parameters.py:113).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
