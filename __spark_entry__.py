@@ -495,10 +495,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader rejects; read nanos as long (legacy conf) and convert, pinning
     the session to UTC so wall times match the naive oracle timestamps.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from entitymatchingmodel_spark.operators.events import load_events
+
+    return load_events(spark, f"{sf_dir}/events.parquet")
 
 
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,12 +529,12 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entitymatchingmodel_spark.operators.events import sessionize
 
     ev = _events(spark, sf_dir)
-    return sessionize(ev, gap_minutes=30).select(
+    return sessionize(ev, gap_minutes=30, tiebreak_cols=["event_id"]).select(
         "user_id",
         F.col("session_id").cast("long").alias("session_id"),
         "n_events",
-        "session_start",
-        "session_end",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
     )
 
 
@@ -1297,7 +1296,8 @@ _ORACLE = {
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us
         FROM s GROUP BY user_id, session_id
     """,
     "events_json": """

@@ -9,8 +9,28 @@ rule is identical; the streaming variant needs only a watermark).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
+    """Read an events parquet with a session-TZ-normalized timestamp column.
+
+    Handles both testdata encodings seen across driver rounds:
+    - TIMESTAMP(NANOS) parquet, which Spark's vectorized reader rejects —
+      read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
+      convert to micros;
+    - TIMESTAMP(MICROS)/NTZ parquet — read natively and cast to the
+      session-TZ timestamp type.
+
+    Pins the session TZ to UTC so wall times match naive oracle timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(path)
+    if ev.schema[ts_col].dataType.simpleString() == "bigint":
+        return ev.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return ev.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
 
 def windowed_agg(
@@ -56,19 +76,30 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: one row per (user, session).
 
     session boundary = inter-event gap > gap_minutes; session_id is the
     running count of boundaries per user (one shuffle on user, two window
     passes). Streaming twin: ``F.session_window`` with a watermark.
+
+    The gap is computed at full microsecond precision (``unix_micros``) —
+    casting a timestamp to long truncates sub-second precision and can flip
+    session membership when a gap straddles the boundary by <1s.  Tied
+    timestamps don't affect session membership (a 0 gap never opens a
+    session), but ``tiebreak_cols`` makes the window ordering deterministic
+    for downstream per-row consumers.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    micros = F.unix_micros(F.col(ts_col))
+    gap = micros - F.lag(micros).over(w)
     marked = events.withColumn(
-        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+        "_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
     )
-    ws = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+    ws = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = marked.withColumn("session_id", F.sum("_new").over(ws))

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from entitymatchingmodel_spark.operators.events import (
     extract_json_prop,
+    load_events,
     sessionize,
     windowed_agg,
 )
@@ -16,10 +17,20 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return load_events(spark, f"{SF_DIR}/events.parquet")
+
+
+def _stream_events(spark, src):
+    """Streaming read matching the batch loader's ts normalization."""
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts_is_long = raw.schema["ts"].dataType.simpleString() == "bigint"
+    ts_ddl = "long" if ts_is_long else "timestamp_ntz"
+    stream = spark.readStream.schema(
+        f"event_id long, ts {ts_ddl}, user_id long, event_type string, value double, props string"
+    ).parquet(str(src))
+    if ts_is_long:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_windowed_agg_totals(events):
@@ -53,13 +64,7 @@ def test_streaming_windowed_agg_matches_batch(spark, events, tmp_path):
     src.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, src)
     out = windowed_agg(stream, window_duration="1 hour", watermark="2 hours")
     q = (
         out.writeStream.format("memory")
@@ -91,13 +96,7 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
     src = tmp_path / "stateful_src"
     src.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        )
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _stream_events(spark, src)
     q = (
         running_totals(stream)
         .writeStream.format("memory")
