@@ -1292,8 +1292,12 @@ _ORACLE = {
                    FROM events
                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         s AS (SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     -- CAST: DuckDB windowed sum() yields HUGEINT which pandas
+                     -- materializes as float64; Spark emits BIGINT int64.  The
+                     -- driver's value-hash is dtype-strict, so align to BIGINT.
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
               FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
                epoch_us(min(ts)) AS session_start_us,

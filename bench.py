@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,11 +44,18 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Median-of-N per query: single-shot timings on a shared box are noise-
+    # dominated (observed 1.9s<->17.4s swings on identical code between
+    # rounds); the median makes round-over-round deltas meaningful.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
