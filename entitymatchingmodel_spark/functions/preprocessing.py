@@ -2,10 +2,10 @@
 
 Each function is Column -> Column.  All hot-path transforms are native Spark
 expressions (regexp_replace / translate / lower / trim) that stay inside
-whole-stage codegen; the only Python boundary in the whole preprocessing layer
-is abbreviation merging (a genuine multi-pass regex state machine,
-reference abbreviation_util.py:90-139), implemented as an Arrow-batched
-pandas UDF.
+whole-stage codegen; the Python boundaries are abbreviation merging (a genuine
+multi-pass regex state machine, reference abbreviation_util.py:90-139) and the
+NFKD transliteration long-tail (ASCII rows short-circuit), both Arrow-batched
+pandas UDFs.
 
 Pipelines (reference base_name_preprocessor.py:32-80):
   preprocess_name, preprocess_with_punctuation, preprocess_merge_abbr (default),
@@ -23,29 +23,112 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 # ---------------------------------------------------------------------------
-# Accent stripping — native translate() table (Latin-1 Supplement + Latin
-# Extended-A), no UDF.  Multi-char expansions handled by a few regex passes.
+# Accent stripping / transliteration — native translate() tables, no UDF.
+# Covers Latin-1 Supplement + Latin Extended-A, Greek, and Cyrillic (the
+# scripts the reference's unidecode call handles that real GT data contains,
+# ref functions.py:52-53 strip_accents_unicode; non-Latin names are exercised
+# by reference tests/integration/test_entity_matching.py:365-410).
+# Multi-char expansions (ß->ss, θ->th, ж->zh, ...) are literal replace()
+# passes; everything stays inside whole-stage codegen.
 # ---------------------------------------------------------------------------
 _ACCENT_SRC = (
     "ÀÁÂÃÄÅàáâãäåÇçÈÉÊËèéêëÌÍÎÏìíîïÑñÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝÿýŠšŽžŸ"
     "ĀāĂăĄąĆćĈĉĊċČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĦħĨĩĪīĬĭĮįİıĴĵĶķĹĺĻļĽľŁł"
     "ŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŢţŤťŦŧŨũŪūŬŭŮůŰűŲųŴŵŶŷŹźŻż"
+    # Greek -> Latin single-char romanization (ELOT-simplified; digraphs below)
+    "ΑΒΓΔΕΖΗΙΚΛΜΝΞΟΠΡΣΤΥΩαβγδεζηικλμνξοπρστυωςΆΈΉΊΌΎΏάέήίόύώϊϋΐΰΪΫ"
+    # Cyrillic -> Latin single-char (GOST-style; digraphs below)
+    "АБВГДЕЁЗИЙКЛМНОПРСТУФЫЭабвгдеёзийклмнопрстуфыэІіЇїЄєҐґ"
 )
 _ACCENT_DST = (
     "AAAAAAaaaaaaCcEEEEeeeeIIIIiiiiNnOOOOOOooooooUUUUuuuuYyySsZzY"
     "AaAaAaCcCcCcCcDdDdEeEeEeEeEeGgGgGgGgHhHhIiIiIiIiIiJjKkLlLlLlLl"
     "NnNnNnOoOoOoRrRrRrSsSsSsTtTtTtUuUuUuUuUuUuWwYyZzZz"
+    "ABGDEZEIKLMNXOPRSTUOabgdezeiklmnxoprstuosAEEIOUOaeeiouoiuiuIU"
+    "ABVGDEEZIIKLMNOPRSTUFYEabvgdeeziiklmnoprstufyeIiIiEeGg"
 )
 assert len(_ACCENT_SRC) == len(_ACCENT_DST)
 
-_MULTI = [("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"), ("Þ", "Th"), ("þ", "th"), ("Ð", "D"), ("ð", "d")]
+# Characters transliterated to the empty string (Cyrillic hard/soft signs).
+_DELETE_CHARS = "ъЪьЬ"
+
+_MULTI = [
+    ("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+    ("Þ", "Th"), ("þ", "th"), ("Ð", "D"), ("ð", "d"),
+    # Greek digraphs
+    ("Θ", "Th"), ("θ", "th"), ("Φ", "Ph"), ("φ", "ph"),
+    ("Χ", "Kh"), ("χ", "kh"), ("Ψ", "Ps"), ("ψ", "ps"),
+    # Cyrillic digraphs
+    ("Ж", "Zh"), ("ж", "zh"), ("Х", "Kh"), ("х", "kh"),
+    ("Ц", "Ts"), ("ц", "ts"), ("Ч", "Ch"), ("ч", "ch"),
+    ("Щ", "Shch"), ("щ", "shch"), ("Ш", "Sh"), ("ш", "sh"),
+    ("Ю", "Yu"), ("ю", "yu"), ("Я", "Ya"), ("я", "ya"),
+]
 
 
 def strip_accents(c: Column) -> Column:
-    """Transliterate accented Latin chars to ASCII (ref functions.py:52-53)."""
+    """Transliterate accented Latin, Greek, and Cyrillic to ASCII.
+
+    Reference: emm/preprocessing/functions.py:52-53 (strip_accents_unicode,
+    via unidecode).  Scripts outside these tables pass through unchanged;
+    see ``strip_accents_unicode`` for the pandas-UDF fallback step.
+    """
     for src, dst in _MULTI:
         c = F.replace(c, F.lit(src), F.lit(dst))
-    return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    return F.translate(c, _ACCENT_SRC + _DELETE_CHARS, _ACCENT_DST)
+
+
+# Python mirror of the native tables, for the long-tail UDF below
+# (handles chars that only reach the tables after NFKD decomposition,
+# e.g. polytonic Greek ὼ -> ω -> o).
+_PY_TRANS = str.maketrans(
+    {**{s: d for s, d in zip(_ACCENT_SRC, _ACCENT_DST)},
+     **dict(_MULTI),
+     **{ch: None for ch in _DELETE_CHARS}}
+)
+
+try:
+    from unidecode import unidecode as _unidecode  # optional; full parity
+except ImportError:
+    _unidecode = None
+
+
+def _transliterate_str(x: str | None) -> str | None:
+    """NFKD-decompose, strip combining marks, apply the translit tables.
+
+    ASCII fast path: strings already transliterated by the native pass
+    return immediately (the common case — the JVM tables run first)."""
+    if x is None or x.isascii():
+        return x
+    if _unidecode is not None:
+        return _unidecode(x)
+    import unicodedata
+
+    x = "".join(
+        ch
+        for ch in unicodedata.normalize("NFKD", x)
+        if not unicodedata.combining(ch)
+    )
+    return x.translate(_PY_TRANS)
+
+
+@pandas_udf(StringType())
+def _nfkd_fallback_udf(s: pd.Series) -> pd.Series:
+    return s.map(_transliterate_str)
+
+
+def strip_accents_unicode(c: Column) -> Column:
+    """Full-Unicode transliteration (ref functions.py:52-53
+    strip_accents_unicode, via unidecode).
+
+    Two passes: the native translate/replace tables first (Latin, Greek,
+    Cyrillic — all JVM-side), then an Arrow-batched UDF that NFKD-decomposes
+    whatever remains (polytonic Greek, compatibility forms, other scripts)
+    and re-applies the tables.  Rows that are ASCII after the native pass
+    short-circuit in the UDF, so the Python cost is Arrow transfer only
+    for clean-Latin corpora.
+    """
+    return _nfkd_fallback_udf(strip_accents(c))
 
 
 def strip_hyphens(c: Column) -> Column:
@@ -54,13 +137,14 @@ def strip_hyphens(c: Column) -> Column:
 
 
 def strip_punctuation(c: Column) -> Column:
-    """Punctuation -> space (ref functions.py:56-58; Java regex \\p{Punct})."""
-    return F.regexp_replace(c, "[\\p{Punct}$=“”¨]", " ")
+    """Punctuation -> space (ref functions.py:56-58; Java regex \\p{Punct},
+    plus common non-ASCII quote marks \\p{Punct} misses)."""
+    return F.regexp_replace(c, "[\\p{Punct}$=“”„«»‹›¨]", " ")
 
 
 def insert_space_around_punctuation(c: Column) -> Column:
     """`` $1 `` around punctuation (ref functions.py:59-62)."""
-    return F.regexp_replace(c, "([\\p{Punct}$=“”¨])", " $1 ")
+    return F.regexp_replace(c, "([\\p{Punct}$=“”„«»‹›¨])", " $1 ")
 
 
 def handle_lower_trim(c: Column) -> Column:
@@ -185,11 +269,11 @@ def merge_legal_form_abbreviations(c: Column) -> Column:
 # Named pipelines (ref base_name_preprocessor.py:32-80)
 # ---------------------------------------------------------------------------
 PIPELINES: dict[str, list] = {
-    # pure-native pipeline: accent-strip, punctuation, lower, whitespace
+    # accent-strip, punctuation, lower, whitespace
     "preprocess_name": [
         replace_none,
         remove_newline,
-        strip_accents,
+        strip_accents_unicode,
         replace_punctuation,
         strip_hyphens,
         strip_punctuation,
@@ -199,7 +283,7 @@ PIPELINES: dict[str, list] = {
     "preprocess_with_punctuation": [
         replace_none,
         remove_newline,
-        strip_accents,
+        strip_accents_unicode,
         replace_punctuation,
         insert_space_around_punctuation,
         handle_lower_trim,
@@ -209,7 +293,7 @@ PIPELINES: dict[str, list] = {
     "preprocess_merge_abbr": [
         replace_none,
         remove_newline,
-        strip_accents,
+        strip_accents_unicode,
         replace_punctuation,
         merge_ampersand,
         merge_abbreviations,
@@ -222,7 +306,7 @@ PIPELINES: dict[str, list] = {
     "preprocess_merge_abbr_v0": [
         replace_none,
         remove_newline,
-        strip_accents,
+        strip_accents_unicode,
         merge_abbreviations,
         strip_hyphens,
         strip_punctuation,
@@ -232,7 +316,7 @@ PIPELINES: dict[str, list] = {
     "preprocess_merge_legal_abbr": [
         replace_none,
         remove_newline,
-        strip_accents,
+        strip_accents_unicode,
         replace_punctuation,
         merge_ampersand,
         merge_legal_form_abbreviations,
