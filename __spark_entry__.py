@@ -263,6 +263,7 @@ def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "uid", "gt_uid", "f_norm_ed", "f_token_sort", "f_token_set",
         "f_name_cut", "f_abbr_match", "f_abs_len_diff", "f_len_ratio",
+        "f_ratio", "f_partial_ratio", "f_wratio",
     )
 
 
@@ -959,6 +960,10 @@ _ORACLE = {
                CAST(gt_r - r AS INT) AS rank
         FROM nmr JOIN gtr ON abs(gt_r - r) <= 2
     """,
+    # The f_ratio / f_partial_ratio / f_wratio oracle mirrors the pure-Python
+    # rapidfuzz-parity implementation: indel similarity via the same
+    # bit-parallel LCS (Allison-Dix) expressed with list_reduce over BIGINT
+    # bit vectors (exact for strings <= 62 chars; test names are <= 12).
     "pair_features": """
         WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
         nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),
@@ -972,7 +977,85 @@ _ORACLE = {
                  list_distinct(list_filter(regexp_split_to_array(lower(b),'[^a-z0-9]+'), x -> x<>'')) AS tb,
                  array_to_string(list_sort(list_filter(regexp_split_to_array(lower(a),'[^a-z0-9]+'), x -> x<>'')), ' ') AS sa,
                  array_to_string(list_sort(list_filter(regexp_split_to_array(lower(b),'[^a-z0-9]+'), x -> x<>'')), ' ') AS sb
-               FROM prs)
+               FROM prs),
+        tks AS (SELECT *,
+                 array_to_string(list_sort(list_intersect(ta, tb)), ' ') AS sect,
+                 array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))), ' ') AS d1,
+                 array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x))), ' ') AS d2
+               FROM tk),
+        tkc AS (SELECT * EXCLUDE (d1, d2),
+                 CASE WHEN sect='' THEN d1 WHEN d1='' THEN sect ELSE sect || ' ' || d1 END AS c1,
+                 CASE WHEN sect='' THEN d2 WHEN d2='' THEN sect ELSE sect || ' ' || d2 END AS c2
+               FROM tks),
+        plain AS (
+          SELECT uid, gt_uid, u.fam AS fam, u.x AS x, u.y AS y
+          FROM tkc, unnest([
+            {'fam': 'r',   'x': a,    'y': b},
+            {'fam': 'ts',  'x': sa,   'y': sb},
+            {'fam': 'se1', 'x': sect, 'y': c1},
+            {'fam': 'se2', 'x': sect, 'y': c2},
+            {'fam': 'se3', 'x': c1,   'y': c2}
+          ]) AS t(u)
+        ),
+        pfam AS (
+          SELECT uid, gt_uid, fam,
+                 CASE WHEN length(x0) <= length(y0) THEN x0 ELSE y0 END AS x,
+                 CASE WHEN length(x0) <= length(y0) THEN y0 ELSE x0 END AS y
+          FROM (SELECT uid, gt_uid, u.fam AS fam, u.x AS x0, u.y AS y0
+                FROM tkc, unnest([
+                  {'fam': 'p',   'x': a,    'y': b},
+                  {'fam': 'pts', 'x': sa,   'y': sb},
+                  {'fam': 'ps1', 'x': sect, 'y': c1},
+                  {'fam': 'ps2', 'x': sect, 'y': c2},
+                  {'fam': 'ps3', 'x': c1,   'y': c2}
+                ]) AS t(u))
+        ),
+        pjobs AS (
+          SELECT uid, gt_uid, fam, x,
+                 substr(y, greatest(0, off) + 1, off + length(x) - greatest(0, off)) AS y
+          FROM pfam, unnest(range(1 - length(x), length(y))) AS o(off)
+          WHERE length(x) > 0
+        ),
+        jobs AS (SELECT * FROM plain UNION ALL SELECT * FROM pjobs),
+        sc AS (
+          SELECT uid, gt_uid, fam, max(
+            CASE WHEN length(x) + length(y) = 0 THEN 100.0
+                 ELSE 200.0 * (length(x) - bit_count(list_reduce(
+                        list_prepend((1::BIGINT << length(x)) - 1,
+                          list_transform(range(1, length(y)+1), j ->
+                            CAST(list_sum(list_transform(range(1, length(x)+1), k ->
+                              CASE WHEN substr(x,k,1) = substr(y,j,1)
+                                   THEN (1::BIGINT << (k-1)) ELSE 0::BIGINT END)) AS BIGINT))),
+                        (V, P) -> ((V + (V & P)) | (V - (V & P))) & ((1::BIGINT << length(x)) - 1))))
+                      / (length(x) + length(y))
+            END) AS s
+          FROM jobs GROUP BY uid, gt_uid, fam
+        ),
+        pv AS (
+          SELECT uid, gt_uid,
+            max(CASE WHEN fam='r'   THEN s END) AS r,
+            max(CASE WHEN fam='ts'  THEN s END) AS ts,
+            max(CASE WHEN fam='se1' THEN s END) AS se1,
+            max(CASE WHEN fam='se2' THEN s END) AS se2,
+            max(CASE WHEN fam='se3' THEN s END) AS se3,
+            max(CASE WHEN fam='p'   THEN s END) AS p,
+            max(CASE WHEN fam='pts' THEN s END) AS pts,
+            max(CASE WHEN fam='ps1' THEN s END) AS ps1,
+            max(CASE WHEN fam='ps2' THEN s END) AS ps2,
+            max(CASE WHEN fam='ps3' THEN s END) AS ps3
+          FROM sc GROUP BY uid, gt_uid
+        ),
+        fz AS (
+          SELECT t.*, pv.r, pv.ts,
+            greatest(pv.se1, pv.se2, pv.se3) AS tset,
+            coalesce(pv.p,   CASE WHEN length(t.a)=0  AND length(t.b)=0  THEN 100.0 ELSE 0.0 END) AS p,
+            coalesce(pv.pts, CASE WHEN length(t.sa)=0 AND length(t.sb)=0 THEN 100.0 ELSE 0.0 END) AS pts,
+            greatest(
+              coalesce(pv.ps1, CASE WHEN length(t.sect)=0 AND length(t.c1)=0 THEN 100.0 ELSE 0.0 END),
+              coalesce(pv.ps2, CASE WHEN length(t.sect)=0 AND length(t.c2)=0 THEN 100.0 ELSE 0.0 END),
+              coalesce(pv.ps3, CASE WHEN length(t.c1)=0  AND length(t.c2)=0 THEN 100.0 ELSE 0.0 END)) AS ptset
+          FROM tkc t JOIN pv USING (uid, gt_uid)
+        )
         SELECT uid, gt_uid,
                round(CASE WHEN greatest(length(a), length(b)) = 0 THEN 1.0
                      ELSE 1.0 - levenshtein(a,b)/CAST(greatest(length(a),length(b)) AS DOUBLE) END, 6) AS f_norm_ed,
@@ -984,8 +1067,17 @@ _ORACLE = {
                CAST(array_to_string(list_transform(tb, t -> substr(t,1,1)), '') = replace(lower(a),' ','')
                     OR array_to_string(list_transform(ta, t -> substr(t,1,1)), '') = replace(lower(b),' ','') AS INT)::DOUBLE AS f_abbr_match,
                CAST(abs(length(a) - length(b)) AS DOUBLE) AS f_abs_len_diff,
-               round(least(length(a),length(b))/CAST(greatest(length(a),length(b),1) AS DOUBLE), 6) AS f_len_ratio
-        FROM tk
+               round(least(length(a),length(b))/CAST(greatest(length(a),length(b),1) AS DOUBLE), 6) AS f_len_ratio,
+               round(r, 6) AS f_ratio,
+               round(p, 6) AS f_partial_ratio,
+               round(CASE WHEN length(a) = 0 OR length(b) = 0 THEN 0.0
+                          WHEN CAST(greatest(length(a),length(b)) AS DOUBLE) / least(length(a),length(b)) < 1.5
+                            THEN greatest(r, greatest(ts, tset) * 0.95)
+                          WHEN CAST(greatest(length(a),length(b)) AS DOUBLE) / least(length(a),length(b)) < 8
+                            THEN greatest(r, p * 0.9, greatest(pts, ptset) * 0.95 * 0.9)
+                          ELSE greatest(r, p * 0.6, greatest(pts, ptset) * 0.95 * 0.6)
+                     END, 6) AS f_wratio
+        FROM fz
     """,
     "rank_features": f"""
         WITH {_SQL_CANDS},

@@ -14,6 +14,8 @@ Feature parity map (ref features_name.py):
   abbr_match     <- initials-of-one == other        (ref abbreviation_util)
   abs_len_diff, len_ratio                            (native)
   jaro_winkler   <- pandas UDF (no native equivalent)
+  ratio / partial_ratio / w_ratio <- pandas UDF (rapidfuzz-parity indel
+                    similarity via bit-parallel LCS; 0..100 scale)
 
 Rank features (ref features_rank.py:31-97): score rounded to 5 decimals FIRST
 (ref rounds before ranking, features_rank.py:27-31), then rank / dist_to_max /
@@ -26,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from entitymatchingmodel_spark.functions.tokenize import word_tokens
 
@@ -132,9 +134,125 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+# ---------------------------------------------------------------------------
+# rapidfuzz-parity ratios (ref features_name.py:97-141 wires fuzz.ratio,
+# fuzz.partial_ratio, fuzz.WRatio into pandas_feature_extractor.py:97-99).
+# Pure-Python reimplementation of the public algorithms — indel similarity
+# via bit-parallel LCS (Allison-Dix), fuzzywuzzy/rapidfuzz WRatio weighting.
+# Scale 0..100 like the reference columns.
+# ---------------------------------------------------------------------------
+
+def _lcs_len(s1: str, s2: str) -> int:
+    """Bit-parallel LCS length (Allison-Dix); O(len2) bigint ops."""
+    m = len(s1)
+    if m == 0 or not s2:
+        return 0
+    mask = (1 << m) - 1
+    match: dict[str, int] = {}
+    for k, ch in enumerate(s1):
+        match[ch] = match.get(ch, 0) | (1 << k)
+    v = mask
+    for ch in s2:
+        u = v & match.get(ch, 0)
+        v = ((v + u) | (v - u)) & mask
+    return m - bin(v).count("1")
+
+
+def _indel_ratio(s1: str, s2: str) -> float:
+    """fuzz.ratio: normalized indel similarity, 0..100."""
+    total = len(s1) + len(s2)
+    if total == 0:
+        return 100.0
+    return 200.0 * _lcs_len(s1, s2) / total
+
+
+def _partial_ratio_py(s1: str, s2: str) -> float:
+    """fuzz.partial_ratio: best indel ratio of the shorter string vs any
+    alignment window of the longer (windows may hang off either end)."""
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    m, n = len(s1), len(s2)
+    if m == 0:
+        return 100.0 if n == 0 else 0.0
+    best = 0.0
+    for off in range(1 - m, n):
+        w = s2[max(0, off): off + m]
+        r = _indel_ratio(s1, w)
+        if r > best:
+            best = r
+            if best == 100.0:
+                break
+    return best
+
+
+def _token_strings(s1: str, s2: str):
+    """(sorted-join1, sorted-join2, sect, combined1, combined2) for the
+    token_sort / token_set formulations (whitespace tokens; inputs are
+    preprocessed names, already lowercased)."""
+    t1, t2 = s1.split(), s2.split()
+    sa, sb = " ".join(sorted(t1)), " ".join(sorted(t2))
+    x1, x2 = set(t1), set(t2)
+    sect = " ".join(sorted(x1 & x2))
+    d1 = " ".join(sorted(x1 - x2))
+    d2 = " ".join(sorted(x2 - x1))
+    c1 = sect if not d1 else (d1 if not sect else sect + " " + d1)
+    c2 = sect if not d2 else (d2 if not sect else sect + " " + d2)
+    return sa, sb, sect, c1, c2
+
+
+def _wratio_py(s1: str, s2: str) -> float:
+    """fuzz.WRatio: weighted max of full / token-sort / token-set ratios,
+    switching to partial variants for length-mismatched strings (public
+    fuzzywuzzy/rapidfuzz weighting: 0.95 token scale, 0.9/0.6 partial)."""
+    if not s1 or not s2:
+        return 0.0
+    l1, l2 = len(s1), len(s2)
+    lr = max(l1, l2) / min(l1, l2)
+    end = _indel_ratio(s1, s2)
+    sa, sb, sect, c1, c2 = _token_strings(s1, s2)
+    if lr < 1.5:
+        ts = _indel_ratio(sa, sb)
+        tset = max(
+            _indel_ratio(sect, c1), _indel_ratio(sect, c2), _indel_ratio(c1, c2)
+        )
+        return max(end, max(ts, tset) * 0.95)
+    ps = 0.9 if lr < 8 else 0.6
+    p = _partial_ratio_py(s1, s2)
+    pts = _partial_ratio_py(sa, sb)
+    ptset = max(
+        _partial_ratio_py(sect, c1),
+        _partial_ratio_py(sect, c2),
+        _partial_ratio_py(c1, c2),
+    )
+    return max(end, p * ps, max(pts, ptset) * 0.95 * ps)
+
+
+_FUZZ_SCHEMA = StructType(
+    [
+        StructField("ratio", DoubleType()),
+        StructField("partial_ratio", DoubleType()),
+        StructField("wratio", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_FUZZ_SCHEMA)
+def fuzz_ratios_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    rows = [
+        (
+            _indel_ratio(x, y),
+            _partial_ratio_py(x, y),
+            _wratio_py(x, y),
+        )
+        for x, y in zip(a.fillna(""), b.fillna(""))
+    ]
+    return pd.DataFrame(rows, columns=["ratio", "partial_ratio", "wratio"])
+
+
 PAIR_FEATURES = [
     "f_norm_ed", "f_token_sort", "f_token_set", "f_name_cut",
     "f_abbr_match", "f_abs_len_diff", "f_len_ratio", "f_jaro",
+    "f_ratio", "f_partial_ratio", "f_wratio",
 ]
 
 
@@ -143,9 +261,11 @@ def pair_features(
     name_col: str = "preprocessed",
     gt_name_col: str = "gt_preprocessed",
     include_jaro: bool = True,
+    include_fuzz: bool = True,
     decimals: int | None = 6,
 ) -> DataFrame:
-    """Append the f_* pair-feature columns."""
+    """Append the f_* pair-feature columns (11-feature parity with the
+    reference's name-feature set, pandas_feature_extractor.py:91-103)."""
     a, b = F.col(name_col), F.col(gt_name_col)
 
     def r(c: Column) -> Column:
@@ -164,6 +284,20 @@ def pair_features(
         out = out.withColumn("f_jaro", r(jaro_winkler_udf(a, b)))
     else:
         out = out.withColumn("f_jaro", F.lit(0.0))
+    if include_fuzz:
+        out = (
+            out.withColumn("_fz", fuzz_ratios_udf(a, b))
+            .withColumn("f_ratio", r(F.col("_fz.ratio")))
+            .withColumn("f_partial_ratio", r(F.col("_fz.partial_ratio")))
+            .withColumn("f_wratio", r(F.col("_fz.wratio")))
+            .drop("_fz")
+        )
+    else:
+        out = (
+            out.withColumn("f_ratio", F.lit(0.0))
+            .withColumn("f_partial_ratio", F.lit(0.0))
+            .withColumn("f_wratio", F.lit(0.0))
+        )
     return out
 
 
