@@ -217,38 +217,65 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets: (id_a, id_b, jaccard).
 
-    Inverted-index formulation: explode shingles, equi-join on shingle,
-    count intersections, derive union via |A|+|B|-∩.  Only pairs sharing at
-    least one shingle are ever considered.
+    PPJoin-style prefix filtering (exact — no candidates are lost):
 
-    ``materialize=True`` persists the exploded shingle table before the
-    self-join: the two join sides are otherwise independent subtrees, each
-    re-tokenizing the full corpus (exchange reuse is not guaranteed for
-    them — verified absent from this plan).
+    1. Rank every doc's shingles by ascending global document frequency
+       (rarest first, deterministic shingle tie-break).
+    2. A pair with jaccard >= t must share a shingle within each side's
+       first ``|s| - ceil(t*|s|) + 1`` shingles in that order (AllPairs/
+       PPJoin prefix theorem), so the self-join runs on PREFIX shingles
+       only.
+    3. Verify candidates exactly with a native ``array_intersect`` over the
+       full shingle arrays.
+
+    This is the 100 TB formulation: a stop-shingle appearing in a large
+    fraction of the corpus ranks last within every doc and never enters a
+    prefix unless a doc consists almost entirely of hot shingles — the
+    quadratic join-bucket blowup of the naive inverted-index join cannot
+    happen.  Costs one extra shuffle (the df-rank window on doc id) versus
+    the naive plan; candidate verification is codegen'd array ops.
+
+    ``materialize=True`` persists the shingle tables feeding the self-join
+    (both sides would otherwise recompute the full tokenize + rank).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    if materialize:
+        sh = sh.persist()
     ex = sh.select("id", "sz", F.explode_outer("sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()  # see minhash_lsh_pairs note on explode_outer
     )
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix = (
+        ex.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle")
+    )
     if materialize:
-        ex = ex.persist()
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, "shingle")
+        prefix = prefix.persist()
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                            F.col("sz").alias("sz_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                        F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     if score_decimals is not None:
         jac = F.round(jac, score_decimals)
     return (
-        inter.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
