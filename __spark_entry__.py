@@ -366,6 +366,16 @@ def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.5)
 
 
+def q_embed_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup pairs (the 100 TB path: no driver
+    collect of the corpus; one shuffle on bucket id).  Checked against the
+    SAME exact all-pairs oracle as embed_near_pairs."""
+    from entitymatchingmodel_spark.operators.dedup import embedding_near_pairs_bucketed
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000))
+    return embedding_near_pairs_bucketed(emb, "vec_id", "embedding", threshold=0.5)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint + heuristic language id."""
     from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
@@ -792,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "embed_near_pairs": q_embed_near_pairs,
+        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1234,6 +1245,15 @@ _ORACLE = {
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
     """,
     "embed_near_pairs": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 2000)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+    """,
+    # same EXACT all-pairs oracle: the bucketed variant must not lose pairs
+    "embed_near_pairs_bucketed": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings WHERE vec_id < 2000)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

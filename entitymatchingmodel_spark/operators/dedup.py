@@ -291,6 +291,7 @@ def embedding_near_pairs(
     vec_col: str,
     threshold: float = 0.9,
     score_decimals: int | None = 6,
+    max_collect_rows: int = 2_000_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — exact.
 
@@ -304,14 +305,22 @@ def embedding_near_pairs(
     is ~50x slower: higher-order array functions evaluate interpreted,
     per element, and recompute both norms for every pair.
 
-    Scale posture: valid while one side fits in executor memory
-    (n_vectors x dim x 8B — ~5 GB for 10M x 64).  Past that, pre-bucket
-    with ``ann.ivf_topk`` centroids or random-hyperplane LSH and run this
-    within buckets; this function is the in-bucket verify step.
+    Scale guard: the broadcast side must fit in driver + executor memory,
+    so corpora larger than ``max_collect_rows`` are refused with a
+    ``ValueError`` pointing at :func:`embedding_near_pairs_bucketed`
+    (the 100 TB path — centroid-bucketed, no driver collect of the corpus).
     """
     import numpy as np
 
     spark = df.sparkSession
+    n = df.limit(max_collect_rows + 1).count()
+    if n > max_collect_rows:
+        raise ValueError(
+            f"embedding_near_pairs collects the corpus to the driver; got "
+            f"> {max_collect_rows} rows. Use embedding_near_pairs_bucketed "
+            f"(IVF-bucketed, fully distributed) or raise max_collect_rows "
+            f"if the corpus genuinely fits in memory."
+        )
     pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     ids = pdf["id"].to_numpy()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
@@ -345,6 +354,107 @@ def embedding_near_pairs(
 
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
         run, schema=out_schema
+    )
+
+
+def embedding_near_pairs_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    probe_margin: float = 0.2,
+    seed: int = 42,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Near-dup pairs via IVF-style centroid bucketing — the 100 TB path.
+
+    1. ``nlist`` centroids are a deterministic md5-ordered sample of corpus
+       vectors (the same engine-portable scheme as ``ann.ivf_topk``); only
+       these ``nlist`` rows are ever collected to the driver.
+    2. One ``mapInPandas`` pass assigns every vector to its best centroid
+       bucket AND every bucket within ``probe_margin`` cosine of the best
+       (multi-probe) — pairs straddling a bucket boundary are still
+       co-bucketed as long as their centroid-cosine gap is within the
+       margin.
+    3. Per-bucket all-pairs GEMM via ``applyInPandas`` (the exact verify
+       step, identical numpy arithmetic to :func:`embedding_near_pairs`),
+       then a pair-level dedup since multi-probe can form a pair in more
+       than one bucket.
+
+    Shuffle = one exchange on bucket id; the quadratic work is bounded per
+    bucket.  Recall: exact for pairs whose members share an assigned
+    bucket; with cosine threshold t and margin m, a qualifying pair is
+    only missed if its centroid-cosine gap exceeds m — raise
+    ``probe_margin`` (or ``nlist`` resolution) to trade compute for
+    recall.  Near-identical vectors (the dedup regime, t >= 0.9) have
+    near-identical centroid cosines and co-bucket at any sane margin.
+    """
+    import numpy as np
+
+    from entitymatchingmodel_spark.functions.sampling import _unit_hash
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents_rows = (
+        base.withColumn("_h", _unit_hash(F.col("id"), f"embnp{seed}"))
+        .orderBy("_h", "id")
+        .limit(nlist)
+        .select("v")
+        .collect()
+    )
+    cmat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cents_rows])
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = cmat / np.where(cn == 0, np.nan, cn)
+    bc = spark.sparkContext.broadcast(cmat)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def assign(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            an = np.linalg.norm(a, axis=1, keepdims=True)
+            a = a / np.where(an == 0, np.nan, an)
+            sims = a @ cm.T  # (batch, nlist)
+            best = np.nanmax(sims, axis=1, keepdims=True)
+            keep = sims >= best - probe_margin  # multi-probe cover
+            ri, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "bucket": bi.astype("int32"),
+                    "id": pdf["id"].to_numpy()[ri],
+                    "v": pdf["v"].to_numpy()[ri],
+                }
+            )
+
+    assigned = base.mapInPandas(assign, f"bucket int, id {id_t}, v {vec_t}")
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        normed = mat / np.where(norms == 0, np.nan, norms)
+        sims = normed @ normed.T
+        if score_decimals is not None:
+            sims = np.round(sims, score_decimals)
+        upper = ids[:, None] < ids[None, :]
+        ai, bi = np.nonzero(upper & (sims >= threshold))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cosine": sims[ai, bi]}
+        )
+
+    return (
+        assigned.groupBy("bucket")
+        .applyInPandas(bucket_pairs, f"id_a {id_t}, id_b {id_t}, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -1,0 +1,60 @@
+"""embedding_near_pairs: size guard + IVF-bucketed variant."""
+
+import math
+import random
+
+import pytest
+
+from entitymatchingmodel_spark.operators.dedup import (
+    embedding_near_pairs,
+    embedding_near_pairs_bucketed,
+)
+
+
+def _corpus(n=300, dim=16, n_dups=10, seed=7):
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(dim)]))
+    # planted near-duplicates: tiny perturbations of existing vectors
+    for j in range(n_dups):
+        base_id = j * 7
+        v = [x + rnd.gauss(0, 0.01) for x in rows[base_id][1]]
+        rows.append((n + j, v))
+    return rows
+
+
+def test_size_guard_refuses_large_collect(spark):
+    df = spark.range(50).selectExpr("id", "array(cast(id as float), 1.0F) as v")
+    with pytest.raises(ValueError, match="bucketed"):
+        embedding_near_pairs(df, "id", "v", max_collect_rows=10)
+
+
+def test_bucketed_matches_exact_on_planted_dups(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs(df, "id", "v", threshold=0.9).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs_bucketed(
+            df, "id", "v", threshold=0.9, nlist=8
+        ).collect()
+    }
+    assert len(exact) >= 10  # all planted dups found by the exact baseline
+    assert bucketed == exact
+
+
+def test_bucketed_dedupes_multi_probe_pairs(spark):
+    # two identical vectors equidistant from everything: multi-probe puts
+    # them in several buckets; the pair must still appear exactly once
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [-1.0, 0.1])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = embedding_near_pairs_bucketed(
+        df, "id", "v", threshold=0.99, nlist=4, probe_margin=2.0
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert pairs == [(1, 2)]
+    assert out[0]["cosine"] == 1.0
