@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from entitymatchingmodel_spark.operators.features import LEGAL_FORM_TERMS
+
+# suffix matcher shared verbatim by the Spark operator and the lef_match
+# oracle (leftmost-first alternation, longest term first)
+_LEF_RE_SQL = "(?:^|\\s)(" + "|".join(LEGAL_FORM_TERMS) + ")$"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -431,8 +437,8 @@ def q_lef_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entitymatchingmodel_spark.operators.features import lef_features
 
     part = _t(spark, sf_dir, "part")
-    fa = F.array(F.lit("bv"), F.lit("ltd"), F.lit("gmbh"), F.lit(""))
-    fb = F.array(F.lit("bv"), F.lit("inc"), F.lit(""), F.lit("bv ltd"))
+    fa = F.array(F.lit("bv"), F.lit("ltd"), F.lit("kabushiki kaisha"), F.lit(""))
+    fb = F.array(F.lit("bv"), F.lit("sp z o o"), F.lit(""), F.lit("bv ltd"))
     base = part.select(
         F.col("p_partkey").alias("uid"),
         F.concat_ws(" ", F.lower("p_name"),
@@ -1493,32 +1499,34 @@ _ORACLE = {
                CAST(abs(len(s1) - len(s2)) AS DOUBLE) AS f_num_word_difference
         FROM hm, vcl, cml
     """,
-    "lef_match": """
+    # suffix-stripping LEF semantics (longest-first alternation, two stacked
+    # suffixes, reading order) — the regex alternation is generated from the
+    # SAME term list the Spark operator uses (operators/features.py
+    # LEGAL_FORM_TERMS), so both engines match identically.
+    "lef_match": f"""
         WITH base AS (SELECT p_partkey AS uid, lower(p_name) AS nm,
                         CAST(p_partkey % 4 AS INT) AS ia,
                         CAST((p_partkey // 4) % 4 AS INT) AS ib FROM part),
         nm2 AS (SELECT uid,
-                 concat_ws(' ', nm, (['bv','ltd','gmbh',''])[ia+1]) AS name1,
-                 concat_ws(' ', nm, (['bv','inc','','bv ltd'])[ib+1]) AS name2 FROM base),
-        lf AS (SELECT uid,
-                 coalesce(array_to_string(list_sort(list_intersect(
-                   list_distinct(list_filter(regexp_split_to_array(name1, '[^a-z0-9]+'), x -> x <> '')),
-                   ['ab','ad','ag','aps','as','bv','bvba','co','corp','cv','doo','ead','eurl',
-                    'gmbh','inc','kft','kg','kk','llc','llp','lp','ltd','nv','oao','ohg','ooo',
-                    'oy','oyj','pao','plc','pte','pty','pvt','rt','sa','sarl','sas','se','sl',
-                    'snc','spa','spol','srl','sro','ug','ulc','vof'])), ':'), '') AS lef1,
-                 coalesce(array_to_string(list_sort(list_intersect(
-                   list_distinct(list_filter(regexp_split_to_array(name2, '[^a-z0-9]+'), x -> x <> '')),
-                   ['ab','ad','ag','aps','as','bv','bvba','co','corp','cv','doo','ead','eurl',
-                    'gmbh','inc','kft','kg','kk','llc','llp','lp','ltd','nv','oao','ohg','ooo',
-                    'oy','oyj','pao','plc','pte','pty','pvt','rt','sa','sarl','sas','se','sl',
-                    'snc','spa','spol','srl','sro','ug','ulc','vof'])), ':'), '') AS lef2
+                 concat_ws(' ', nm, (['bv','ltd','kabushiki kaisha',''])[ia+1]) AS name1,
+                 concat_ws(' ', nm, (['bv','sp z o o','','bv ltd'])[ib+1]) AS name2 FROM base),
+        lx AS (SELECT uid,
+                 regexp_extract(name1, '{{LEFRE}}', 1) AS a1,
+                 regexp_extract(regexp_replace(name1, '{{LEFRE}}', ''), '{{LEFRE}}', 1) AS a2,
+                 regexp_extract(name2, '{{LEFRE}}', 1) AS b1,
+                 regexp_extract(regexp_replace(name2, '{{LEFRE}}', ''), '{{LEFRE}}', 1) AS b2
                FROM nm2),
+        lf AS (SELECT uid,
+                 CASE WHEN a1 = '' THEN '' WHEN a2 = '' THEN a1 ELSE a2 || ':' || a1 END AS lef1,
+                 CASE WHEN b1 = '' THEN '' WHEN b2 = '' THEN b1 ELSE b2 || ':' || b1 END AS lef2
+               FROM lx),
         cat AS (SELECT uid, lef1, lef2,
                  CASE WHEN lef1 = '' AND lef2 = '' THEN 'lef1_lef2_missing'
                       WHEN lef1 = '' THEN 'lef1_missing'
                       WHEN lef2 = '' THEN 'lef2_missing'
                       WHEN lef1 = lef2 THEN 'identical'
+                      WHEN list_sort(string_split(lef1, ':')) = list_sort(string_split(lef2, ':'))
+                           THEN 'identical'
                       WHEN len(list_intersect(string_split(lef1, ':'), string_split(lef2, ':'))) > 0
                            THEN 'partial_match'
                       ELSE 'no_match' END AS f_lef_match
@@ -1528,7 +1536,7 @@ _ORACLE = {
                     WHEN 'no_match' THEN -1.0 WHEN 'lef1_missing' THEN 0.0
                     WHEN 'lef2_missing' THEN 0.0 ELSE 0.25 END AS f_lef_score
         FROM cat
-    """,
+    """.replace("{LEFRE}", _LEF_RE_SQL),
     "country_match": """
         WITH gt AS (SELECT p_name AS name, min(p_partkey) AS gt_uid FROM part GROUP BY p_name),
         nm AS (SELECT p_partkey AS uid, p_name AS name FROM part),

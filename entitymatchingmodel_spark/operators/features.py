@@ -437,18 +437,44 @@ def extra_equality_feature(df: DataFrame, col: str, gt_col: str | None = None) -
 # Legal-entity-form features (ref emm/features/features_lef.py:160-210)
 # ---------------------------------------------------------------------------
 
-# Curated public legal-form token list (same source list as
-# functions/preprocessing.py _LEGAL_FORMS; single-token forms only — token-
-# level detection).  Replaces the reference's cleanco dependency.
-LEGAL_FORM_TOKENS = sorted(
-    "bv nv vof cv bvba gmbh ag kg ug ohg ab as aps oy oyj sa sas sarl sl srl "
-    "spa sro plc ltd llc llp lp inc corp co kk pty pte pvt ulc se eurl snc "
-    "kft rt doo ad ead ooo pao oao spol".split()
+# Curated public legal-form term list, replacing the reference's cleanco
+# termdata (features_lef.py:28-58).  Includes multi-word forms; terms are
+# matched as NAME SUFFIXES (the reference's cleanco default: suffix=True,
+# prefix/middle=False, custom_basename_and_lef features_lef.py:61-129),
+# longest-first, up to two stacked suffix terms ('acme bv ltd' -> 'bv:ltd').
+LEGAL_FORM_TERMS = sorted(
+    [
+        # multi-word forms (lowercased, punctuation-stripped — the shape
+        # these take after this repo's preprocessing pipelines)
+        "kabushiki kaisha", "yugen kaisha", "sp z o o", "sp z oo",
+        "spolka z ograniczona odpowiedzialnoscia", "spolka akcyjna",
+        "pty ltd", "pvt ltd", "co ltd", "co kg", "gmbh co kg",
+        "public limited company", "limited liability company",
+        "limited liability partnership", "limited partnership",
+        "besloten vennootschap", "naamloze vennootschap",
+        "societe anonyme", "societe a responsabilite limitee",
+        "sociedad anonima", "sociedad limitada", "sa de cv", "s de rl de cv",
+        "societa per azioni", "societa a responsabilita limitata",
+        "aktiengesellschaft", "kommanditgesellschaft", "aktiebolag",
+        "s r o", "d o o", "o o o", "a s", "k s", "s a", "n v", "b v",
+        # single-token forms
+        "bv", "nv", "vof", "cv", "bvba", "gmbh", "ag", "kg", "ug", "ohg",
+        "ab", "as", "aps", "oy", "oyj", "sa", "sas", "sarl", "sl", "srl",
+        "spa", "sro", "plc", "ltd", "llc", "llp", "lp", "inc", "corp", "co",
+        "kk", "pty", "pte", "pvt", "ulc", "se", "eurl", "snc", "kft", "rt",
+        "doo", "ad", "ead", "ooo", "pao", "oao", "spol",
+    ],
+    key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
+
+# Suffix matcher: leftmost-first alternation ordered longest-first, so the
+# longest legal form wins ('kabushiki kaisha' before 'kaisha'-less tokens).
+_LEF_SUFFIX_RE = "(?:^|\\s)(" + "|".join(LEGAL_FORM_TERMS) + ")$"
 
 LEF_CATEGORIES = [
     "identical", "partial_match", "no_match",
     "lef1_missing", "lef2_missing", "lef1_lef2_missing",
+    "lef1_unknown", "lef2_unknown", "lef1_lef2_unknown",
 ]
 
 # Numeric encoding for tree models (engine-specific; the reference feeds the
@@ -456,14 +482,103 @@ LEF_CATEGORIES = [
 _LEF_SCORE = {
     "identical": 1.0, "partial_match": 0.5, "no_match": -1.0,
     "lef1_missing": 0.0, "lef2_missing": 0.0, "lef1_lef2_missing": 0.25,
+    "lef1_unknown": 0.0, "lef2_unknown": 0.0, "lef1_lef2_unknown": 0.25,
+}
+
+# Business types by legal form (ref features_lef.py:35-58 types_by_lef_dict,
+# inverting cleanco's terms_by_type).  Curated public mapping for the common
+# forms; anything outside maps to the 'unknown_lef' tier, mirroring
+# get_business_type (features_lef.py:152-167).
+UNKNOWN_LEF = "unknown_lef"
+TYPES_BY_LEF: dict[str, list[str]] = {
+    "ltd": ["limited"], "limited": ["limited"], "plc": ["limited"],
+    "public limited company": ["limited"], "co ltd": ["limited"],
+    "pty ltd": ["limited"], "pvt ltd": ["limited"], "pte": ["limited"],
+    "llc": ["limited liability"], "limited liability company": ["limited liability"],
+    "llp": ["limited liability partnership"],
+    "limited liability partnership": ["limited liability partnership"],
+    "lp": ["partnership"], "limited partnership": ["partnership"],
+    "kg": ["partnership"], "cv": ["partnership"], "vof": ["partnership"],
+    "kommanditgesellschaft": ["partnership"], "snc": ["partnership"],
+    "k s": ["partnership"], "ohg": ["partnership"],
+    "bv": ["private"], "b v": ["private"], "besloten vennootschap": ["private"],
+    "gmbh": ["private"], "sarl": ["private"], "sl": ["private"],
+    "srl": ["private"], "sro": ["private"], "s r o": ["private"],
+    "sp z o o": ["private"], "sp z oo": ["private"],
+    "spolka z ograniczona odpowiedzialnoscia": ["private"],
+    "societe a responsabilite limitee": ["private"],
+    "societa a responsabilita limitata": ["private"],
+    "sociedad limitada": ["private"], "eurl": ["private"],
+    "d o o": ["private"], "doo": ["private"], "ug": ["private"],
+    "nv": ["public"], "n v": ["public"], "naamloze vennootschap": ["public"],
+    "ag": ["public"], "aktiengesellschaft": ["public"], "sa": ["public"],
+    "s a": ["public"], "societe anonyme": ["public"],
+    "sociedad anonima": ["public"], "spa": ["public"],
+    "societa per azioni": ["public"], "ab": ["public"], "aktiebolag": ["public"],
+    "as": ["public"], "a s": ["public"], "oyj": ["public"], "kk": ["public"],
+    "kabushiki kaisha": ["public"], "spolka akcyjna": ["public"],
+    "inc": ["corporation"], "corp": ["corporation"], "co": ["corporation"],
+    "sa de cv": ["corporation"], "s de rl de cv": ["limited liability"],
 }
 
 
 def extract_lef(c: Column) -> Column:
-    """Sorted ':'-joined legal-form tokens found in a (preprocessed) name."""
-    toks = F.array_distinct(_toks(c))
-    return F.array_join(
-        F.array_sort(F.array_intersect(toks, F.lit(LEGAL_FORM_TOKENS))), ":"
+    """':'-joined legal-form suffix terms of a (preprocessed) name, in
+    reading order; up to two stacked suffixes, longest term first at each
+    step (ref features_lef.py:61-151 extract_lef / custom_basename_and_lef
+    with the cleanco default suffix=True)."""
+    l1 = F.regexp_extract(c, _LEF_SUFFIX_RE, 1)
+    stripped = F.regexp_replace(c, _LEF_SUFFIX_RE, "")
+    l2 = F.regexp_extract(stripped, _LEF_SUFFIX_RE, 1)
+    return (
+        F.when(l1 == "", "")
+        .when(l2 == "", l1)
+        .otherwise(F.concat_ws(":", l2, l1))
+    )
+
+
+def business_type(lef: Column) -> Column:
+    """':'-joined business types for a ':'-joined lef string (first-seen
+    order, deduplicated), 'unknown_lef' for unmapped forms (ref
+    features_lef.py:152-167 get_business_type)."""
+    keys = list(TYPES_BY_LEF)
+    bt_map = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.array(*[F.lit(v) for v in TYPES_BY_LEF[k]]) for k in keys]),
+    )
+    types = F.flatten(
+        F.transform(
+            F.split(lef, ":"),
+            lambda t: F.coalesce(bt_map[t], F.array(F.lit(UNKNOWN_LEF))),
+        )
+    )
+    # '' stays '' so the missing tier is classified before the unknown tier
+    return F.when(lef == "", "").otherwise(
+        F.array_join(F.array_distinct(types), ":")
+    )
+
+
+def _lef_category(l1: Column, l2: Column, with_unknown: bool) -> Column:
+    """matching_legal_terms (ref features_lef.py:170-202): missing tiers,
+    optional unknown tiers (business-type comparisons only), identical on
+    equal strings OR equal sorted term multisets, partial on overlap."""
+    a1, a2 = F.split(l1, ":"), F.split(l2, ":")
+    cat = (
+        F.when((l1 == "") & (l2 == ""), "lef1_lef2_missing")
+        .when(l1 == "", "lef1_missing")
+        .when(l2 == "", "lef2_missing")
+    )
+    if with_unknown:
+        cat = (
+            cat.when((l1 == UNKNOWN_LEF) & (l2 == UNKNOWN_LEF), "lef1_lef2_unknown")
+            .when(l1 == UNKNOWN_LEF, "lef1_unknown")
+            .when(l2 == UNKNOWN_LEF, "lef2_unknown")
+        )
+    return (
+        cat.when(l1 == l2, "identical")
+        .when(F.array_sort(a1) == F.array_sort(a2), "identical")
+        .when(F.arrays_overlap(a1, a2), "partial_match")
+        .otherwise("no_match")
     )
 
 
@@ -471,32 +586,33 @@ def lef_features(
     df: DataFrame,
     name_col: str = "preprocessed",
     gt_name_col: str = "gt_preprocessed",
+    include_business_type: bool = False,
 ) -> DataFrame:
-    """Append lef1, lef2, f_lef_match (category) and f_lef_score (numeric).
-
-    Category semantics mirror ref features_lef.py:170-202
-    (matching_legal_terms), minus the cleanco 'unknown' tier — token-list
-    detection has no unknown forms.
+    """Append lef1, lef2, f_lef_match (category) and f_lef_score (numeric);
+    with ``include_business_type`` also bt1, bt2, f_bt_match, f_bt_score
+    (the tier where cleanco's 'unknown' category appears, ref
+    features_lef.py:216-266 calc_lef_features business_type=True).
     """
-    l1, l2 = extract_lef(F.col(name_col)), extract_lef(F.col(gt_name_col))
-    a1, a2 = F.split(l1, ":"), F.split(l2, ":")
-    cat = (
-        F.when((l1 == "") & (l2 == ""), "lef1_lef2_missing")
-        .when(l1 == "", "lef1_missing")
-        .when(l2 == "", "lef2_missing")
-        .when(l1 == l2, "identical")
-        .when(F.arrays_overlap(a1, a2), "partial_match")
-        .otherwise("no_match")
-    )
     score_map = F.create_map(
         *[F.lit(x) for kv in _LEF_SCORE.items() for x in kv]
     )
-    return (
-        df.withColumn("lef1", l1)
-        .withColumn("lef2", l2)
-        .withColumn("f_lef_match", cat)
-        .withColumn("f_lef_score", score_map[cat])
+    l1, l2 = extract_lef(F.col(name_col)), extract_lef(F.col(gt_name_col))
+    out = df.withColumn("lef1", l1).withColumn("lef2", l2)
+    cat = _lef_category(F.col("lef1"), F.col("lef2"), with_unknown=False)
+    out = out.withColumn("f_lef_match", cat).withColumn(
+        "f_lef_score", score_map[F.col("f_lef_match")]
     )
+    if include_business_type:
+        out = (
+            out.withColumn("bt1", business_type(F.col("lef1")))
+            .withColumn("bt2", business_type(F.col("lef2")))
+            .withColumn(
+                "f_bt_match",
+                _lef_category(F.col("bt1"), F.col("bt2"), with_unknown=True),
+            )
+            .withColumn("f_bt_score", score_map[F.col("f_bt_match")])
+        )
+    return out
 
 
 RANK_FEATURES = ["f_rank", "f_dist_to_max", "f_dist_to_min", "f_ptp", "f_diff_to_next", "f_diff_to_prev"]

@@ -60,12 +60,21 @@ def test_extra_equality_three_states(spark):
     ("n1", "n2", "cat", "lef1", "lef2"),
     [
         ("acme bv", "acme bv", "identical", "bv", "bv"),
-        ("acme bv ltd", "acme ltd bv", "identical", "bv:ltd", "bv:ltd"),
+        # stacked suffixes extract in reading order; same multiset -> identical
+        ("acme bv ltd", "acme ltd bv", "identical", "bv:ltd", "ltd:bv"),
         ("acme bv", "acme ltd", "no_match", "bv", "ltd"),
         ("acme bv ltd", "acme bv", "partial_match", "bv:ltd", "bv"),
         ("acme", "acme bv", "lef1_missing", "", "bv"),
         ("acme bv", "acme", "lef2_missing", "bv", ""),
         ("acme", "acme", "lef1_lef2_missing", "", ""),
+        # multi-word forms (M4 parity: cleanco-style multi-token terms)
+        ("hitachi kabushiki kaisha", "hitachi kabushiki kaisha",
+         "identical", "kabushiki kaisha", "kabushiki kaisha"),
+        ("orlen sp z o o", "orlen sp z o o", "identical", "sp z o o", "sp z o o"),
+        ("hitachi kabushiki kaisha", "hitachi kk", "no_match",
+         "kabushiki kaisha", "kk"),
+        # suffix-only detection: a legal token mid-name is NOT a lef
+        ("bv holdings acme", "acme bv", "lef1_missing", "", "bv"),
     ],
 )
 def test_lef_categories(spark, n1, n2, cat, lef1, lef2):
@@ -75,3 +84,24 @@ def test_lef_categories(spark, n1, n2, cat, lef1, lef2):
     assert row["lef1"] == lef1
     assert row["lef2"] == lef2
     assert row["f_lef_score"] is not None
+
+
+@pytest.mark.parametrize(
+    ("n1", "n2", "bt_cat"),
+    [
+        # kabushiki kaisha and kk are both 'public' -> business types match
+        # even though the legal forms differ (the cleanco unknown/bt tier)
+        ("hitachi kabushiki kaisha", "hitachi kk", "identical"),
+        ("acme bv", "acme gmbh", "identical"),          # both private
+        ("acme bv", "acme nv", "no_match"),             # private vs public
+        ("acme spol", "acme ead", "lef1_lef2_unknown"),  # unmapped forms
+        ("acme spol", "acme bv", "lef1_unknown"),
+        ("acme bv", "acme spol", "lef2_unknown"),
+        ("acme", "acme spol", "lef1_missing"),           # missing beats unknown
+    ],
+)
+def test_business_type_tiers(spark, n1, n2, bt_cat):
+    df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
+    row = lef_features(df, include_business_type=True).collect()[0]
+    assert row["f_bt_match"] == bt_cat, (row["bt1"], row["bt2"])
+    assert row["f_bt_score"] is not None
