@@ -41,7 +41,15 @@ def aggregate_accounts(
     """One row per account: (account, gt_entity_id, agg_score, rep_name).
 
     Deterministic tie-breaks: entity argmax by (agg score desc, gt_entity_id
-    desc); representative name = highest contribution, name asc.
+    desc); representative name = highest contribution, ties broken by name
+    DESC (``F.max(struct(score, name))`` takes the lexicographically
+    greatest name among equal scores).
+
+    Blacklist semantics mirror the reference (base_entity_aggregation.py:
+    166-167 + spark_entity_aggregation.py:188-193): entries are normalized
+    once — abbreviations merged, lowercased — then compared EXACTLY against
+    the (already-lowercase) preprocessed name column; the column itself is
+    not re-lowercased.  Empty names are always excluded.
 
     ``extra_group_cols`` adds grouping keys beside the account — the
     reference groups by ``positive_set`` as well during training evaluation
@@ -50,9 +58,11 @@ def aggregate_accounts(
     """
     if method not in AGG_METHODS:
         raise ValueError(f"method must be one of {AGG_METHODS}")
+    from entitymatchingmodel_spark.functions.preprocessing import _merge_abbr_str
+
     df = cands.filter(F.col("gt_uid").isNotNull() & F.col(score_col).isNotNull())
-    bl = list(blacklist or []) + [""]
-    df = df.filter(~F.lower(F.col(name_col)).isin([b.lower() for b in bl]))
+    bl = [_merge_abbr_str(b or "").lower() for b in (blacklist or [])] + [""]
+    df = df.filter(~F.col(name_col).isin(bl))
 
     gcols = [account_col, *extra_group_cols]
     if method == "mean_score":

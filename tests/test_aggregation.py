@@ -119,3 +119,34 @@ def test_extra_group_cols_positive_set(spark):
     got = {(r["account"], r["positive_set"]): (r["gt_entity_id"], r["agg_score"]) for r in out}
     assert got[("a1", True)] == (1, 0.8)
     assert got[("a1", False)] == (2, 0.95)
+
+
+def test_blacklist_exact_match_semantics(spark, cands):
+    """Reference parity (base_entity_aggregation.py:166-167,
+    spark_entity_aggregation.py:188-193): blacklist entries are normalized
+    once (abbreviations merged, lowercased) and then matched EXACTLY against
+    the preprocessed column — the column is not re-lowercased."""
+    # 'B. V. Alpha'? No — entries like 'Alpha BV' normalize to 'alpha bv'
+    out = aggregate_accounts(cands, blacklist=["Alpha BV"]).collect()
+    names = {r["rep_name"] for r in out}
+    assert "alpha bv" not in names  # normalized entry filtered the row
+    # an entry that only matches case-insensitively does NOT filter:
+    # the column keeps non-lowercase values distinct from the entry
+    df = spark.createDataFrame(
+        [("a", 1, 10, 0.9, "Alpha BV", 1.0), ("a", 1, 10, 0.5, "other", 1.0)],
+        "account string, gt_entity_id long, gt_uid long, nm_score double, "
+        "preprocessed string, counterparty_account_count_distinct double",
+    )
+    out2 = aggregate_accounts(df, blacklist=["Alpha BV"]).collect()
+    # entry normalized to 'alpha bv' != column value 'Alpha BV' -> row kept
+    assert out2[0]["rep_name"] == "Alpha BV"
+
+
+def test_rep_name_tie_breaks_desc(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10, 0.5, "aaa", 1.0), ("a", 1, 10, 0.5, "zzz", 1.0)],
+        "account string, gt_entity_id long, gt_uid long, nm_score double, "
+        "preprocessed string, counterparty_account_count_distinct double",
+    )
+    out = aggregate_accounts(df, method="mean_score").collect()
+    assert out[0]["rep_name"] == "zzz"  # max(struct) -> name DESC on ties
