@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 
 def load_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
-    """Read an events parquet with a session-TZ-normalized timestamp column.
+    """Read an events parquet, MUTATING two session-wide confs as a side
+    effect: ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC``.  Any later query in the same
+    session with local-time semantics will see UTC; call sites that need a
+    different TZ must restore it themselves.
 
     Handles both testdata encodings seen across driver rounds:
     - TIMESTAMP(NANOS) parquet, which Spark's vectorized reader rejects —

@@ -21,14 +21,20 @@ def events(spark):
 
 
 def _stream_events(spark, src):
-    """Streaming read matching the batch loader's ts normalization."""
+    """Streaming read matching the batch loader's ts normalization.
+
+    Self-contained: pins the same confs load_events pins (nanosAsLong for
+    the schema sniff, UTC so the NTZ->timestamp cast is order-independent),
+    and derives the stream ts DDL from the sniffed batch dtype instead of
+    assuming NTZ for every non-long encoding."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    ts_is_long = raw.schema["ts"].dataType.simpleString() == "bigint"
-    ts_ddl = "long" if ts_is_long else "timestamp_ntz"
+    ts_ddl = raw.schema["ts"].dataType.simpleString()
     stream = spark.readStream.schema(
         f"event_id long, ts {ts_ddl}, user_id long, event_type string, value double, props string"
     ).parquet(str(src))
-    if ts_is_long:
+    if ts_ddl == "bigint":
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
