@@ -200,6 +200,27 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star (O(log n) rounds,
+    diameter-independent — the adversarial-chain-safe variant); checked
+    against the SAME oracle as dup_clusters."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        duplicate_clusters_star,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return duplicate_clusters_star(ids, pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (curation op): engine-portable
     hash membership, per-language quotas over documents."""
@@ -832,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop": q_dedup_drop,
         "noised_names": q_noised_names,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_star": q_dup_clusters_star,
         "stratified_sample": q_stratified_sample,
         "cossim_char_blocked": q_cossim_char_blocked,
         "naive_pairs": q_naive_pairs,
@@ -1176,6 +1198,31 @@ _ORACLE = {
         SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est
     """,
     "dup_clusters": f"""
+        WITH RECURSIVE {_SQL_MINHASH},
+        bkeys AS (SELECT doc_id, hash_idx // 4 AS band,
+                         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS bkey
+                  FROM minh GROUP BY doc_id, band),
+        cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey
+               WHERE a.doc_id < b.doc_id),
+        est AS (SELECT p.id_a, p.id_b,
+                       sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END) / 32.0 AS ej
+                FROM cp p
+                JOIN minh x ON x.doc_id = p.id_a
+                JOIN minh y ON y.doc_id = p.id_b AND y.hash_idx = x.hash_idx
+                GROUP BY p.id_a, p.id_b),
+        und AS (SELECT id_a AS s, id_b AS d FROM est WHERE ej >= 0.5
+                UNION SELECT id_b, id_a FROM est WHERE ej >= 0.5),
+        reach AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+        ),
+        mins AS (SELECT s, min(d) AS mn FROM reach GROUP BY s)
+        SELECT doc.doc_id, least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS cluster_id
+        FROM documents doc LEFT JOIN mins m ON m.s = doc.doc_id
+    """,
+    "dup_clusters_star": f"""
         WITH RECURSIVE {_SQL_MINHASH},
         bkeys AS (SELECT doc_id, hash_idx // 4 AS band,
                          md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS bkey

@@ -479,10 +479,13 @@ def duplicate_clusters(
     Algorithm: iterative min-label propagation — each round every node takes
     the min label among itself and its neighbours; converges in O(graph
     diameter) rounds (near-dup components are short chains in practice).
-    Each round is one join + one groupBy; labels persist per round and the
-    loop exits on a converged-count check.  For adversarially long chains
-    at extreme scale, switch to the large-star/small-star variant — same
-    join primitives, O(log n) rounds.
+    Each round is one join + one groupBy; labels are localCheckpoint'ed per
+    round — iterative DataFrames COMPOSE logical plans, and without plan
+    truncation Catalyst analysis grows without bound with the round count
+    (persist caches data, not the plan).  The loop exits on a
+    converged-count check.  For adversarially long chains use
+    :func:`duplicate_clusters_star` — same output contract, O(log n)
+    rounds.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -490,7 +493,9 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")).persist()
+    labels = ids.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -500,7 +505,7 @@ def duplicate_clusters(
         new_labels = (
             labels.join(neigh, "src", "left")
             .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), "src")
@@ -508,12 +513,89 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def duplicate_clusters_star(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(id, cluster_id) — connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", public algorithm).  Same output contract as
+    :func:`duplicate_clusters` (cluster_id = component min; singletons
+    included), but converges in O(log n) rounds regardless of graph
+    diameter — the scale-safe choice for adversarially long dup chains
+    where min-label propagation needs O(diameter) rounds.
+
+    Each round is two hash-aggregate + join passes over the edge list plus
+    an exact fixed-point check.  Edges are localCheckpoint'ed per round:
+    star rounds COMPOSE plans (round k's plan nests k-1 rounds), so without
+    plan truncation Catalyst analysis blows up exponentially — persist()
+    caches data but not the logical plan.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighbourhood; m(u) = min(N(u) + {u}); for v > u emit (v, m)
+        s = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient v < u; m(u) = min(N(u)); emit (x, m) for x in N(u) + {u}
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        joined = o.join(m, "u")
+        out = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    edges = small_star(large_star(sym)).localCheckpoint()
+    for _ in range(max_iterations):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    out = (
+        ids.select(F.col(id_col).alias("u"))
+        .join(labels, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("lbl", "u").alias("cluster_id"),
+        )
+    )
+    sym.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""Connected-components variants: min-label propagation vs large-/small-star."""
+
+import random
+
+from entitymatchingmodel_spark.operators.dedup import (
+    duplicate_clusters,
+    duplicate_clusters_star,
+)
+
+
+def _union_find(n_ids, edges):
+    parent = list(range(n_ids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # cluster id = min member id
+    comp = {}
+    for i in range(n_ids):
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    return {i: min(members) for r, members in comp.items() for i in members}
+
+
+def _check(spark, n, edges, fn, **kw):
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(None, None)],
+        "id_a long, id_b long",
+    ).dropna()
+    got = {r["id"]: r["cluster_id"] for r in fn(ids, pairs, **kw).collect()}
+    assert got == _union_find(n, edges)
+
+
+def test_star_matches_union_find_random_graph(spark):
+    rnd = random.Random(3)
+    n = 120
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, n, edges, duplicate_clusters_star)
+    _check(spark, n, edges, duplicate_clusters)
+
+
+def test_star_converges_on_long_chain_in_log_rounds(spark):
+    """A 120-node path has diameter 119: min-label propagation needs ~119
+    rounds (more than its max_iterations default), while large-/small-star
+    needs O(log n) — it must produce the exact components well within 15
+    rounds."""
+    n = 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    _check(spark, n, edges, duplicate_clusters_star, max_iterations=15)
+
+
+def test_star_singletons_and_empty_edges(spark):
+    _check(spark, 5, [], duplicate_clusters_star)
