@@ -1347,7 +1347,7 @@ _ORACLE = {
     """,
     "text_stats": """
         WITH tok AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
                  list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '') AS toks,
                  length(text) AS n_chars
           FROM documents
@@ -1359,7 +1359,10 @@ _ORACLE = {
                      / CAST(length(toks) AS DOUBLE), 6) AS stopword_ratio,
                round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                      / CAST(length(toks) AS DOUBLE), 6) AS avg_token_len,
-               CAST(length(list_distinct(toks)) AS INT) AS n_unique_tokens
+               CAST(length(list_distinct(toks)) AS INT) AS n_unique_tokens,
+               CAST(length(regexp_extract_all(text,
+                 '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'
+                 )) AS INT) AS n_bpe_tokens
         FROM tok
     """,
     "ann_cosine_topk": """

@@ -32,6 +32,21 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the subset Java regex and
+# RE2 treat identically (no lookahead, ASCII classes): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+# Alternation is leftmost-first in both engines, so counts match the oracle.
+_BPE_SPLIT_RE = "'(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s+"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Approximate LLM token count: number of BPE PRE-tokens (the split a
+    GPT-2-style tokenizer applies before byte-pair merges).  An upper-ish
+    proxy for real BPE counts without shipping a merges table; native
+    regexp, no UDF."""
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_SPLIT_RE), 0))
+
+
 def stopword_ratio(c: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     toks = tokens(c)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
@@ -148,4 +163,5 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
         F.round(avg_token_len(c), 6).alias("avg_token_len"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+        bpe_token_count(c).cast("int").alias("n_bpe_tokens"),
     )

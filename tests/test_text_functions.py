@@ -24,3 +24,19 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[3]["top_bigram_ratio"] == 0.0
     assert rows[4]["dup_token_ratio"] == 0.75         # 1 - 1/4
     assert rows[4]["top_bigram_ratio"] == 1.5         # 2*3/4 (overlapping)
+
+
+def test_bpe_token_count_hand_cases(spark):
+    from entitymatchingmodel_spark.functions.text import bpe_token_count
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("Hello world, it's 2024!", 7),  # Hello/ world/,/ it/'s/ 2024/!
+        ("foo", 1),
+        ("", 0),
+        ("a  b", 3),  # letter run, whitespace run, letter run
+    ]
+    df = spark.createDataFrame(cases, "text string, expected int")
+    out = df.select("expected", bpe_token_count(F.col("text")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expected"], r
