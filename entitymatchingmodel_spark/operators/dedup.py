@@ -605,32 +605,36 @@ def duplicate_clusters_star(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash) — per-document SimHash over word tokens, fully native.
 
-    For each bit position: sum(+1/-1 over tokens by that bit of the token
-    hash), take the sign.  Array higher-order functions; no UDF.  Token
-    hashes are staged in their own projection so the md5 work is not
-    duplicated across the ``bits`` aggregate expressions (same CSE issue as
-    ``minhash_signatures``).
+    Explode distinct tokens, hash each once, then ONE hash-aggregate per
+    doc computing the ``bits`` per-bit +1/-1 vote sums as plain ``sum()``
+    aggregates (sign -> bit).  Same rationale as ``minhash_signatures``:
+    array higher-order functions (``aggregate`` over the token array per
+    bit) evaluate interpreted, per element; plain aggregates stay inside
+    whole-stage codegen, and the map-side partial aggregation collapses to
+    one row per doc before the exchange.
+
+    Docs with no tokens keep a row via ``explode_outer`` and hash to 0
+    (votes 0 -> all bits 0), matching the previous semantics.
     """
     toks = F.array_distinct(word_tokens(F.lower(F.col(text_col))))
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: md5_int(t)).alias("_hashes"),
+    ex = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("_t")).select(
+        "id", md5_int(F.col("_t")).alias("_h")
     )
-    hashes = F.col("_hashes")
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.pmod(F.shiftright(h, i), F.lit(2)) == 1, 1).otherwise(-1),
-        )
-        for i in range(bits)
-    ]
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.pmod(F.shiftright(F.col("_h"), i), F.lit(2)) == 1, 1)
+                .when(F.col("_h").isNotNull(), -1)
+                .otherwise(0)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
     sim = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(bits):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return staged.select("id", sim.cast("long").alias("simhash"))
+    return votes.select("id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(

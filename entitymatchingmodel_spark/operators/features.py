@@ -126,12 +126,17 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
 
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            _jaro_winkler_py(x or "", y or "")
-            for x, y in zip(a.fillna(""), b.fillna(""))
-        ]
-    )
+    # Candidate pairs repeat name pairs heavily (one GT name against many
+    # query rows and vice versa); memoize per batch.
+    memo: dict[tuple[str, str], float] = {}
+    out = []
+    for x, y in zip(a.fillna(""), b.fillna("")):
+        k = (x, y)
+        r = memo.get(k)
+        if r is None:
+            r = memo[k] = _jaro_winkler_py(x, y)
+        out.append(r)
+    return pd.Series(out)
 
 
 # ---------------------------------------------------------------------------
@@ -238,14 +243,20 @@ _FUZZ_SCHEMA = StructType(
 
 @pandas_udf(_FUZZ_SCHEMA)
 def fuzz_ratios_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-    rows = [
-        (
-            _indel_ratio(x, y),
-            _partial_ratio_py(x, y),
-            _wratio_py(x, y),
-        )
-        for x, y in zip(a.fillna(""), b.fillna(""))
-    ]
+    # Memoized per batch: candidate pairs repeat name pairs heavily, and
+    # the three ratios share no state otherwise.
+    memo: dict[tuple[str, str], tuple[float, float, float]] = {}
+    rows = []
+    for x, y in zip(a.fillna(""), b.fillna("")):
+        k = (x, y)
+        r = memo.get(k)
+        if r is None:
+            r = memo[k] = (
+                _indel_ratio(x, y),
+                _partial_ratio_py(x, y),
+                _wratio_py(x, y),
+            )
+        rows.append(r)
     return pd.DataFrame(rows, columns=["ratio", "partial_ratio", "wratio"])
 
 
