@@ -91,6 +91,11 @@ class SparkEntityMatching:
             "country_col": p.get("country_col"),
         }
         self.carry_on_cols = p.get("carry_on_cols", [])
+        # ref base_entity_matching.py parameter of the same name: adds the
+        # legal-entity-form feature to the supervised layer
+        self.with_legal_entity_forms_match = p.get(
+            "with_legal_entity_forms_match", False
+        )
         # Target rows/partition for input sizing (ref parameters.py:48,
         # spark_utils.py:63-76 auto_repartitioning; SURVEY §4 X7).
         self.partition_size = p.get("partition_size", 5000)
@@ -297,6 +302,7 @@ class SparkEntityMatching:
                 cands = self.transform(names_df)
             finally:
                 self.supervised_on = prev
+        kw.setdefault("use_lef", self.with_legal_entity_forms_match)
         scorer = SupervisedScorer(**kw)
         model = scorer.fit(cands)
         if name is None:

@@ -73,3 +73,18 @@ def test_supervised_example_trains_and_ranks(spark, model):
     assert best == {"Apl": 1, "Microbloft": 2, "googol": 3}
     model.supervised_on = False  # restore fixture state
     model.supervised_model_ = None
+
+
+def test_curated_example_stats(spark):
+    """Mirror of reference tests/integration/test_readme_example.py:
+    every name-to-match gets a best candidate and the correct-match count
+    clears the same ~89% bar the reference pins (1600/1800)."""
+    from entitymatchingmodel_spark.sources.example_data import example
+
+    n_gt, n_noised, n_test, n_best, n_correct, n_incorrect = example(spark)
+    assert n_gt == 62
+    assert n_noised == n_gt
+    assert n_test == n_gt
+    assert n_best == n_test          # every test name matched
+    assert n_correct >= 0.85 * n_best, (n_correct, n_best)
+    assert n_correct + n_incorrect == n_best
