@@ -44,6 +44,20 @@ def test_minhash_signatures_single_shuffle_no_interpreted_hofs(spark):
     assert "partial_min" in plan, "map-side partial aggregation missing"
 
 
+def test_simhash_single_shuffle_no_interpreted_hofs(spark):
+    """SimHash mirrors the minhash shape: one hash-aggregate shuffle of
+    codegen'd sum() vote aggregates, no per-element interpreted HOFs."""
+    from entitymatchingmodel_spark.operators.dedup import simhash
+    from entitymatchingmodel_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = simhash(docs, "doc_id", "text")
+    assert exchange_count(out) <= 1
+    plan = explain_str(out)
+    assert "partial_sum" in plan, "map-side partial aggregation missing"
+    assert "aggregate(" not in plan, "vote sums must be sum() aggregates"
+
+
 def test_broadcast_cossim_transform_has_no_shuffle_after_vectorize(spark):
     gt = (
         spark.read.parquet(f"{SF_DIR}/part.parquet")
