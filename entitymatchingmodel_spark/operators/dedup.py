@@ -575,15 +575,20 @@ def duplicate_clusters_star(
         )
         return out
 
+    # Exact fixed-point check, cheapened: both edge sets are distinct, so
+    # equal counts + (new \ old) empty implies set equality — the exceptAll
+    # job only runs in the (usually final) round where counts already match.
     edges = small_star(large_star(sym)).localCheckpoint()
+    n_edges = edges.count()
     for _ in range(max_iterations):
         new_edges = small_star(large_star(edges)).localCheckpoint()
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
+        n_new = new_edges.count()
+        converged = (
+            n_new == n_edges
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
-        edges = new_edges
-        if changed == 0:
+        edges, n_edges = new_edges, n_new
+        if converged:
             break
     labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
     out = (
