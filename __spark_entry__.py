@@ -403,6 +403,37 @@ def q_embed_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs_bucketed(emb, "vec_id", "embedding", threshold=0.5)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (beyond-reference training-data op): scrub
+    synthesized emails/IPs/phones/card numbers appended deterministically
+    to each document."""
+    from entitymatchingmodel_spark.functions.pii import scrub_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +31 6 1234 5678 ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 card 4111111111111111"),
+    )
+    return scrub_documents(docs.withColumn("text", dirty), "doc_id", "text")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (beyond-reference training-data op):
+    5-gram overlap of each document against a held-out 'benchmark' slice
+    (every 20th doc)."""
+    from entitymatchingmodel_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    rest = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    return benchmark_contamination(rest, bench, "doc_id", "text", ngram=5)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint + heuristic language id."""
     from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
@@ -831,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_pairs": q_embed_near_pairs,
         "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
         "text_stats": q_text_stats,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1313,6 +1346,59 @@ _ORACLE = {
                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+    """,
+    "pii_scrub": """
+        WITH dirty AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +31 6 1234 5678 ip 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 card 4111111111111111' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                 '\\b\\d{13,19}\\b', '[NUMBER]', 'g'),
+                 '\\+?\\(?\\d[\\d\\s().-]{8,}\\d', '[PHONE]', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '\\b\\d{13,19}\\b')) AS INT) AS n_long_digits,
+               CAST(len(regexp_extract_all(text, '\\+?\\(?\\d[\\d\\s().-]{8,}\\d')) AS INT) AS n_phone
+        FROM dirty
+    """,
+    "contamination": """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 5
+                   THEN list_transform(range(1, len(toks) - 3),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                   ELSE [] END) AS shingles
+          FROM tok
+        ),
+        dsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 <> 0),
+        bsh AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        agg AS (
+          SELECT d.doc_id,
+                 count(*) AS n_shingles,
+                 sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+          FROM dsh d LEFT JOIN bsh b USING (shingle)
+          GROUP BY d.doc_id
+        )
+        SELECT doc.doc_id AS id,
+               CAST(coalesce(a.n_shingles, 0) AS INT) AS n_shingles,
+               CAST(coalesce(a.n_contaminated, 0) AS INT) AS n_contaminated,
+               CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0.0
+                    ELSE round(a.n_contaminated / CAST(a.n_shingles AS DOUBLE), 6)
+               END AS contamination
+        FROM documents doc LEFT JOIN agg a USING (doc_id)
+        WHERE doc.doc_id % 20 <> 0
     """,
     "doc_fingerprint": """
         WITH tok AS (SELECT doc_id,
