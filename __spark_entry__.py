@@ -930,7 +930,18 @@ _SQL_CANDS = """
 
 # Shared CTE: word-shingle MinHash signatures (32 hashes, 3-word shingles,
 # md5-derived 28-bit base hash, universal-hash family mod 2^61-1).
-_SQL_MINHASH = """
+# The permutation constants are generated by the SAME Python function the
+# Spark operator uses (dedup.perm_constants), inlined as a VALUES list.
+def _perm_values_sql() -> str:
+    from entitymatchingmodel_spark.operators.dedup import perm_constants
+
+    rows = ", ".join(
+        f"({i}, {perm_constants(i)[0]}, {perm_constants(i)[1]})" for i in range(32)
+    )
+    return f"(VALUES {rows}) AS t(hash_idx, c1, c2)"
+
+
+_SQL_MINHASH = f"""
         tokarr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
                      '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
@@ -938,11 +949,13 @@ _SQL_MINHASH = """
                             unnest(generate_series(1, greatest(len(toks)-2, 0))) AS i
                      FROM tokarr)),
         hv AS (SELECT doc_id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h FROM sh),
-        grid AS (SELECT doc_id, CAST(i AS INT) AS hash_idx, h FROM hv, generate_series(0,31) AS g(i)),
-        minh AS (SELECT doc_id, hash_idx,
-                        min(((2*hash_idx+1)*h + (hash_idx*2654435761) % 2305843009213693951)
-                            % 2305843009213693951) AS minhash
-                 FROM grid GROUP BY doc_id, hash_idx)
+        perm AS (SELECT CAST(hash_idx AS INT) AS hash_idx, c1, c2 FROM {_perm_values_sql()}),
+        grid AS (SELECT doc_id, hash_idx, c2, (xor(h, h >> 16) * c1) % 4294967296 AS x1
+                 FROM hv, perm),
+        grid2 AS (SELECT doc_id, hash_idx, (xor(x1, x1 >> 15) * c2) % 4294967296 AS x2
+                  FROM grid),
+        minh AS (SELECT doc_id, hash_idx, min(xor(x2, x2 >> 16)) AS minhash
+                 FROM grid2 GROUP BY doc_id, hash_idx)
 """
 
 _ORACLE = {

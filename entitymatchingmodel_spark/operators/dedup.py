@@ -22,19 +22,41 @@ from entitymatchingmodel_spark.functions.tokenize import word_tokens
 # shared helpers
 # ---------------------------------------------------------------------------
 
-MERSENNE_P = (1 << 61) - 1  # prime modulus for the universal hash family
-
-
 def md5_int(c: Column) -> Column:
     """Deterministic 28-bit integer hash of a string (engine-portable)."""
     return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
 
 
+def perm_constants(i: int) -> tuple[int, int]:
+    """Deterministic per-permutation multipliers (splitmix64 of the index):
+    c1 odd 32-bit, c2 odd 31-bit."""
+    z = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+    z ^= z >> 31
+    return (z & 0xFFFFFFFF) | 1, ((z >> 32) & 0x7FFFFFFF) | 1
+
+
 def _hash_family(h: Column, seed: int) -> Column:
-    """Universal hash h_i(x) = (a_i * x + b_i) mod p  (a,b from a fixed PRNG)."""
-    a = 2 * seed + 1  # odd multiplier
-    b = seed * 0x9E3779B1 % MERSENNE_P
-    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+    """Permutation hash: murmur-style xor-shift-multiply finalizer of the
+    28-bit base hash with per-permutation constants.
+
+    A linear ``(a*x + b) mod p`` family is NOT usable here: with 28-bit
+    inputs and any multiplier small enough to avoid 64-bit ANSI overflow,
+    the product rarely wraps the modulus, the map stays order-preserving,
+    every "permutation" picks the same argmin shingle, and the MinHash
+    estimate degenerates to the binary "do the docs share the globally
+    minimal shingle" (observed: est_jaccard exactly 1.0 for every LSH
+    candidate).  The finalizer scrambles order properly; every
+    intermediate stays under 2^63, safe for Spark 4 ANSI arithmetic, and
+    the same expression evaluates identically in DuckDB (xor / >> / %).
+    """
+    c1, c2 = perm_constants(seed)
+    x = h.bitwiseXOR(F.shiftright(h, 16))
+    x = F.pmod(x * F.lit(c1), F.lit(1 << 32))
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    x = F.pmod(x * F.lit(c2), F.lit(1 << 32))
+    return x.bitwiseXOR(F.shiftright(x, 16))
 
 
 def word_shingles(c: Column, n: int) -> Column:

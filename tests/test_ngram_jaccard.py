@@ -73,3 +73,33 @@ def test_hot_shingle_still_found_when_it_must_be(spark):
     rows = [(1, "hot"), (2, "hot"), (3, "hot extra stuff padding")]
     got = _run(spark, rows, threshold=0.5)
     assert (1, 2, 1.0) in got
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    """Regression for the degenerate linear hash family: with a*x+b mod p
+    and small multipliers the product never wraps, every permutation picks
+    the same argmin shingle, and est_jaccard collapses to {0, 1}.  A real
+    permutation family must produce graded estimates near the true
+    jaccard for partially-overlapping docs."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(30):
+        # each doc shares 30 of 40+10 distinct words with its neighbour
+        words = base[:30] + [f"u{d}x{j}" for j in range(10)]
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    sigs = minhash_signatures(df, "id", "text", num_hashes=32, shingle_n=1)
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=2).collect()
+    # true jaccard between any two docs: 30 shared / 50 union = 0.6
+    assert pairs, "no candidates found for 0.6-jaccard docs"
+    ests = [p["est_jaccard"] for p in pairs]
+    assert all(0.2 <= e <= 0.95 for e in ests), ests  # graded, never 1.0
+    mean_est = sum(ests) / len(ests)
+    assert abs(mean_est - 0.6) < 0.15, mean_est
