@@ -1,4 +1,7 @@
-from entitymatchingmodel_spark.streaming.dedup import drop_exact_duplicates_stream
+from entitymatchingmodel_spark.streaming.dedup import (
+    drop_exact_duplicates_stream,
+    sessionize_stream,
+)
 from entitymatchingmodel_spark.streaming.stateful import running_totals
 from entitymatchingmodel_spark.streaming.transform import (
     match_stream,
@@ -10,4 +13,5 @@ __all__ = [
     "transform_foreach_batch",
     "running_totals",
     "drop_exact_duplicates_stream",
+    "sessionize_stream",
 ]

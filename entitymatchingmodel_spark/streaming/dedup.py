@@ -33,3 +33,39 @@ def drop_exact_duplicates_stream(
         hash_col, F.md5(F.trim(F.lower(F.col(text_col))))
     ).withWatermark(ts_col, watermark)
     return hashed.dropDuplicatesWithinWatermark([hash_col])
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap sessionization via the native ``session_window`` —
+    the Structured Streaming twin of ``operators.events.sessionize`` (same
+    gap rule; the batch variant numbers sessions per user, here each
+    session is keyed by its window).
+
+    Output: (key, session_start, session_end, n_events) where
+    ``session_end`` is the LAST EVENT time (session_window.end minus the
+    gap), matching the batch operator's convention.
+
+    State shape at scale: one state-store entry per open session per key;
+    the watermark closes sessions whose gap has provably expired, so state
+    is bounded by (active keys x open sessions), not by history.
+    """
+    from pyspark.sql import functions as F
+
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            (F.col("session_window.end") - F.expr(f"INTERVAL {gap_minutes} minutes")).alias("session_end"),
+            "n_events",
+        )
+    )

@@ -106,3 +106,48 @@ def test_streaming_exact_dedup(spark, tmp_path):
     hashes = [r["content_hash"] for r in got]
     assert len(got) == 2 and len(set(hashes)) == 2
     assert {r["text"].strip().lower() for r in got} == {"hello world", "another doc"}
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window sessionization must agree with the batch sessionize
+    operator on (user, session_start, session_end, n_events)."""
+    import os
+
+    from entitymatchingmodel_spark.operators.events import sessionize
+    from entitymatchingmodel_spark.streaming import sessionize_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # session A
+        (1, "2024-01-01 02:00:00"),                               # session B (gap > 30m)
+        (2, "2024-01-01 01:00:00"), (2, "2024-01-01 01:20:00"),  # session C
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    got = []
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda b, i: (got.clear(), got.extend(b.collect())))
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert streamed == batch, (streamed, batch)
