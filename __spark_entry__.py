@@ -434,6 +434,29 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(rest, bench, "doc_id", "text", ngram=5)
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (custom operator Spark lacks; DuckDB has native
+    ASOF JOIN as the oracle): each event joined to the user's most recent
+    purchase at-or-before it, 1h tolerance."""
+    from entitymatchingmodel_spark.operators.events import asof_join, load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, "user_id", "ts", ["purchase_value"],
+                    tolerance_seconds=3600)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint + heuristic language id."""
     from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
@@ -864,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "events_asof": q_events_asof,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1412,6 +1436,18 @@ _ORACLE = {
                END AS contamination
         FROM documents doc LEFT JOIN agg a USING (doc_id)
         WHERE doc.doc_id % 20 <> 0
+    """,
+    "events_asof": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events),
+        r AS (SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+               epoch_us(l.ts) AS ts_us,
+               CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+                    THEN epoch_us(r.ts) END AS asof_ts_us,
+               CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+                    THEN round(r.purchase_value, 6) END AS asof_purchase_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "doc_fingerprint": """
         WITH tok AS (SELECT doc_id,

@@ -122,3 +122,82 @@ def extract_json_prop(
 ) -> DataFrame:
     """Native JSON extraction (get_json_object — JVM-side, codegen)."""
     return events.withColumn(out, F.get_json_object(F.col(props_col), path))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the value columns of the
+    most recent right row with ``right.ts <= left.ts`` for the same key
+    (DuckDB/pandas ``ASOF JOIN`` semantics; Spark has no native operator).
+
+    Scalable formulation — NOT a range join: tag both inputs, union them,
+    and take ``last(value, ignorenulls=True)`` over a per-key window
+    ordered by (ts, tag) with right rows sorting first at equal
+    timestamps.  One shuffle on the key, no per-row range expansion, and
+    the window is a running frame (rows between unbounded preceding and
+    current row), which Spark evaluates in a single pass per partition.
+
+    ``tolerance_seconds`` nulls out matches older than the tolerance,
+    like pandas ``merge_asof(tolerance=...)``.
+
+    Right rows should be unique per (key, ts); at duplicate timestamps
+    the LAST in (ts, tag) order wins, which is deterministic only if the
+    caller pre-aggregates duplicates away.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(key_col) if c == key_col else F.col(ts_col) if c == ts_col
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_tag"),
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last("_r_ts", ignorenulls=True).over(w)
+    out = u.select(
+        *lcols,
+        "_tag",
+        matched_ts.alias("_m_ts"),
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ],
+    ).filter(F.col("_tag") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("_m_ts").isNotNull()
+            & (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_m_ts"))
+               <= tolerance_seconds * 1_000_000)
+        )
+        out = out.select(
+            *lcols,
+            F.when(in_tol, F.col("_m_ts")).alias("asof_ts"),
+            *[F.when(in_tol, F.col(f"asof_{v}")).alias(f"asof_{v}") for v in value_cols],
+        )
+    else:
+        out = out.select(
+            *lcols,
+            F.col("_m_ts").alias("asof_ts"),
+            *[F.col(f"asof_{v}") for v in value_cols],
+        )
+    return out

@@ -125,3 +125,37 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
     )
     want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_asof_join_hand_cases(spark):
+    from entitymatchingmodel_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30"), (1, "2024-01-01 00:05:00"),
+         (1, "2024-01-01 00:20:00"), (2, "2024-01-01 00:10:00"),
+         (3, "2024-01-01 00:10:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10.0), (1, "2024-01-01 00:10:00", 20.0),
+         (2, "2024-01-01 00:10:00", 30.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {
+        (r["user_id"], str(r["ts"])): r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    assert out[(1, "2024-01-01 00:00:30")] is None   # nothing before
+    assert out[(1, "2024-01-01 00:05:00")] == 10.0   # backward match
+    assert out[(1, "2024-01-01 00:20:00")] == 20.0   # most recent wins
+    assert out[(2, "2024-01-01 00:10:00")] == 30.0   # equal ts inclusive
+    assert out[(3, "2024-01-01 00:10:00")] is None   # no right rows for key
+
+    tol = {
+        (r["user_id"], str(r["ts"])): r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"],
+                           tolerance_seconds=300).collect()
+    }
+    assert tol[(1, "2024-01-01 00:20:00")] is None   # 10 min > 5 min tolerance
+    assert tol[(1, "2024-01-01 00:05:00")] == 10.0   # 4 min within tolerance
