@@ -457,6 +457,32 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (custom operator — Spark would plan the naive
+    inequality join as a nested loop): every event matched back to its
+    containing session interval.  Self-consistency: each event lands in
+    exactly one session."""
+    from entitymatchingmodel_spark.operators.events import (
+        interval_join,
+        load_events,
+        sessionize,
+    )
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    sessions = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        sessions, "user_id", "ts", "session_start", "session_end",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint + heuristic language id."""
     from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
@@ -888,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1436,6 +1463,24 @@ _ORACLE = {
                END AS contamination
         FROM documents doc LEFT JOIN agg a USING (doc_id)
         WHERE doc.doc_id % 20 <> 0
+    """,
+    "events_interval_join": """
+        WITH g AS (SELECT event_id, user_id, ts,
+                          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT event_id, user_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+              FROM g),
+        iv AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+               FROM s GROUP BY user_id, session_id)
+        SELECT e.event_id, e.user_id, iv.session_id,
+               epoch_us(e.ts) AS ts_us
+        FROM events e JOIN iv ON e.user_id = iv.user_id
+                             AND e.ts BETWEEN iv.session_start AND iv.session_end
     """,
     "events_asof": """
         WITH l AS (SELECT event_id, user_id, ts FROM events),

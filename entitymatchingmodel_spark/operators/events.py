@@ -201,3 +201,42 @@ def asof_join(
             *[F.col(f"asof_{v}") for v in value_cols],
         )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Range join: each point row matched to every interval row of the same
+    key with ``start <= ts <= end`` (inclusive).
+
+    Spark plans a naive inequality join as BroadcastNestedLoop — quadratic
+    per key.  This formulation stays an EQUI-join: intervals explode to
+    every coarse time bucket they cover (``sequence`` of bucket ids),
+    points carry their single bucket, the join runs on (key, bucket), and
+    an exact containment filter follows.  A (point, interval) pair can
+    only meet in the point's bucket, so no dedup step is needed.  Work is
+    bounded by interval-duration / bucket size, not by row counts.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    p = points.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us))
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(bucket_us)),
+                F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    joined = p.join(iv, [key_col, "_b"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_b")

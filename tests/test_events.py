@@ -159,3 +159,32 @@ def test_asof_join_hand_cases(spark):
     }
     assert tol[(1, "2024-01-01 00:20:00")] is None   # 10 min > 5 min tolerance
     assert tol[(1, "2024-01-01 00:05:00")] == 10.0   # 4 min within tolerance
+
+
+def test_interval_join_exact_containment_no_nested_loop(spark):
+    from entitymatchingmodel_spark.operators.events import interval_join
+    from entitymatchingmodel_spark.plans import explain_str
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (1, "2024-01-01 02:00:00"),
+         (1, "2024-01-01 03:30:01"), (2, "2024-01-01 00:30:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (1, 20, "2024-01-01 01:30:00", "2024-01-01 03:30:00"),
+         (2, 30, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "user_id long, iv_id long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+    out = interval_join(points, ivs, "user_id", "ts", "s", "e")
+    got = {(r["user_id"], str(r["ts"]), r["iv_id"]) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01 00:30:00", 10),
+        (1, "2024-01-01 02:00:00", 20),   # multi-bucket interval covered
+        (2, "2024-01-01 00:30:00", 30),   # key isolation
+        # (1, 03:30:01) is 1s past interval 20's end -> no match
+    }
+    plan = explain_str(out)
+    assert "NestedLoop" not in plan, "range join must stay an equi-join"
