@@ -483,6 +483,22 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: (day, event_type) ->
+    per-day subtotals -> grand total in ONE pass via native
+    ``rollup`` (Catalyst Expand + single hash aggregation — no
+    re-aggregation job per level)."""
+    from entitymatchingmodel_spark.operators.events import load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.select(day, "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint + heuristic language id."""
     from entitymatchingmodel_spark.functions.text import fingerprint, lang_id
@@ -915,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
+        "events_rollup": q_events_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1463,6 +1480,12 @@ _ORACLE = {
                END AS contamination
         FROM documents doc LEFT JOIN agg a USING (doc_id)
         WHERE doc.doc_id % 20 <> 0
+    """,
+    "events_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (day, event_type)
     """,
     "events_interval_join": """
         WITH g AS (SELECT event_id, user_id, ts,
