@@ -457,6 +457,30 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof(direction='forward') parity):
+    each event joined to the user's NEXT purchase at-or-after it, 1h
+    tolerance.  DuckDB native ASOF with the inequality flipped is the
+    oracle."""
+    from entitymatchingmodel_spark.operators.events import asof_join, load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, "user_id", "ts", ["purchase_value"],
+                    tolerance_seconds=3600, direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
+    )
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (custom operator — Spark would plan the naive
     inequality join as a nested loop): every event matched back to its
@@ -930,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "events_asof": q_events_asof,
+        "events_asof_forward": q_events_asof_forward,
         "events_interval_join": q_events_interval_join,
         "events_rollup": q_events_rollup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1516,6 +1541,18 @@ _ORACLE = {
                CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
                     THEN round(r.purchase_value, 6) END AS asof_purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "events_asof_forward": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events),
+        r AS (SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+               epoch_us(l.ts) AS ts_us,
+               CASE WHEN r.ts IS NOT NULL AND epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+                    THEN epoch_us(r.ts) END AS asof_ts_us,
+               CASE WHEN r.ts IS NOT NULL AND epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+                    THEN round(r.purchase_value, 6) END AS asof_purchase_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
     """,
     "doc_fingerprint": """
         WITH tok AS (SELECT doc_id,

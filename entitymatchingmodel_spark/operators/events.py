@@ -124,6 +124,18 @@ def extract_json_prop(
     return events.withColumn(out, F.get_json_object(F.col(props_col), path))
 
 
+def dedup_right_latest(
+    right: DataFrame, key_col: str, ts_col: str, value_cols: list[str]
+) -> DataFrame:
+    """Collapse duplicate (key, ts) right-side rows deterministically for
+    :func:`asof_join`: keep the lexicographically largest value tuple per
+    timestamp (``max(struct(values))`` — one hash aggregate, engine-stable
+    tie-break regardless of input order/partitioning)."""
+    vs = F.max(F.struct(*[F.col(v).alias(v) for v in value_cols])).alias("_v")
+    agg = right.groupBy(key_col, ts_col).agg(vs)
+    return agg.select(key_col, ts_col, *[F.col(f"_v.{v}").alias(v) for v in value_cols])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -131,31 +143,56 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the value columns of the
-    most recent right row with ``right.ts <= left.ts`` for the same key
-    (DuckDB/pandas ``ASOF JOIN`` semantics; Spark has no native operator).
+    """As-of join: each left row gets the value columns of the matching
+    right row for the same key (DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` semantics; Spark has no native operator).
+
+    ``direction``:
+    - ``backward`` (default): most recent right row with ``r.ts <= l.ts``;
+    - ``forward``: earliest right row with ``r.ts >= l.ts``;
+    - ``nearest``: whichever of the two is closer in absolute time
+      (tolerance is applied per side first; ties go backward, matching
+      pandas ``merge_asof(direction="nearest")``).
 
     Scalable formulation — NOT a range join: tag both inputs, union them,
-    and take ``last(value, ignorenulls=True)`` over a per-key window
-    ordered by (ts, tag) with right rows sorting first at equal
-    timestamps.  One shuffle on the key, no per-row range expansion, and
-    the window is a running frame (rows between unbounded preceding and
-    current row), which Spark evaluates in a single pass per partition.
+    and take ``last(match_struct, ignorenulls=True)`` over a per-key
+    window ordered by (ts, tag) with right rows sorting first at equal
+    timestamps (order reversed for forward).  One shuffle on the key, no
+    per-row range expansion, and each window is a running frame (rows
+    between unbounded preceding and current row) evaluated in a single
+    pass per partition; ``nearest`` costs a second sort of the same
+    exchange, not a second shuffle.
 
-    ``tolerance_seconds`` nulls out matches older than the tolerance,
+    The matched timestamp AND all value columns are extracted from ONE
+    struct carried through the window, so every output column comes from
+    the same matched right row even when right-side value columns contain
+    NULLs (an independent ``last(col, ignorenulls)`` per column would
+    stitch values from different rows — diverging from DuckDB/pandas,
+    which take the single matched row including its NULLs).
+
+    ``tolerance_seconds`` nulls out matches farther than the tolerance,
     like pandas ``merge_asof(tolerance=...)``.
 
     Right rows should be unique per (key, ts); at duplicate timestamps
-    the LAST in (ts, tag) order wins, which is deterministic only if the
-    caller pre-aggregates duplicates away.
+    the winner is order-dependent — pre-aggregate with
+    :func:`dedup_right_latest` (or your own groupBy) for determinism.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     lcols = [c for c in left.columns]
+    # One struct per right row: non-null exactly for right rows, so
+    # last(_r, ignorenulls=True) returns the whole matched row at once.
+    r_struct_t = (
+        "struct<_ts:timestamp,"
+        + ",".join(f"`{v}`:{right.schema[v].dataType.simpleString()}" for v in value_cols)
+        + ">"
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tagged = right.select(
         *[
@@ -164,43 +201,81 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_tag"),
-        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
-        F.col(ts_col).alias("_r_ts"),
+        F.struct(
+            F.col(ts_col).alias("_ts"), *[F.col(v).alias(v) for v in value_cols]
+        ).alias("_r"),
     )
     u = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched_ts = F.last("_r_ts", ignorenulls=True).over(w)
-    out = u.select(
-        *lcols,
-        "_tag",
-        matched_ts.alias("_m_ts"),
-        *[
-            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
-            for v in value_cols
-        ],
-    ).filter(F.col("_tag") == 1)
-    if tolerance_seconds is not None:
-        in_tol = (
-            F.col("_m_ts").isNotNull()
-            & (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_m_ts"))
-               <= tolerance_seconds * 1_000_000)
+
+    def matched(dir_: str):
+        if dir_ == "backward":
+            order = [F.col(ts_col).asc(), F.col("_tag").asc()]
+        else:  # forward: scan in descending ts; right rows first at equal ts
+            order = [F.col(ts_col).desc(), F.col("_tag").asc()]
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.select(
-            *lcols,
-            F.when(in_tol, F.col("_m_ts")).alias("asof_ts"),
-            *[F.when(in_tol, F.col(f"asof_{v}")).alias(f"asof_{v}") for v in value_cols],
-        )
+        return F.last("_r", ignorenulls=True).over(w)
+
+    def in_tol(m, dir_):
+        gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(m["_ts"])
+        if dir_ == "forward":
+            gap = -gap
+        ok = m.isNotNull()
+        if tolerance_seconds is not None:
+            ok = ok & (gap <= tolerance_seconds * 1_000_000)
+        return F.when(ok, m)
+
+    if direction in ("backward", "forward"):
+        out = u.select(*lcols, "_tag", in_tol(matched(direction), direction).alias("_m"))
     else:
-        out = out.select(
-            *lcols,
-            F.col("_m_ts").alias("asof_ts"),
-            *[F.col(f"asof_{v}") for v in value_cols],
+        stage = u.select(
+            *lcols, "_tag",
+            in_tol(matched("backward"), "backward").alias("_mb"),
+            in_tol(matched("forward"), "forward").alias("_mf"),
         )
-    return out
+        bgap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_mb._ts"))
+        fgap = F.unix_micros(F.col("_mf._ts")) - F.unix_micros(F.col(ts_col))
+        pick = (
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(fgap < bgap, F.col("_mf"))
+            .otherwise(F.col("_mb"))  # tie -> backward, as pandas
+        )
+        out = stage.select(*lcols, "_tag", pick.alias("_m"))
+    return out.filter(F.col("_tag") == 1).select(
+        *lcols,
+        F.col("_m._ts").alias("asof_ts"),
+        *[F.col(f"_m.{v}").alias(f"asof_{v}") for v in value_cols],
+    )
+
+
+def _auto_bucket_us(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_explode: int = 256,
+) -> int:
+    """Derive the interval-join bucket width from the data: the p95
+    interval duration (so 95% of intervals explode to <= ~2 bucket rows),
+    floored so the LONGEST interval explodes to at most ``max_explode``
+    rows, and never below one minute.  One tiny two-column aggregate job
+    over the interval side — cheap next to the join it sizes, and it makes
+    a pathological months-long interval unable to silently inflate the
+    explode (the caller-tuned fixed bucket could explode it to thousands
+    of rows)."""
+    dur = F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col))
+    row = intervals.select(
+        F.max(dur).alias("mx"), F.percentile_approx(dur, 0.95).alias("p95")
+    ).first()
+    if row is None or row["mx"] is None:
+        return 60 * 1_000_000
+    minute_us = 60 * 1_000_000
+    p95 = max(int(row["p95"] or 0), minute_us)
+    floor_us = int(row["mx"]) // max_explode + 1
+    return max(p95, floor_us)
 
 
 def interval_join(
@@ -210,7 +285,7 @@ def interval_join(
     ts_col: str,
     start_col: str,
     end_col: str,
-    bucket_minutes: int = 60,
+    bucket_minutes: int | None = None,
 ) -> DataFrame:
     """Range join: each point row matched to every interval row of the same
     key with ``start <= ts <= end`` (inclusive).
@@ -222,8 +297,17 @@ def interval_join(
     an exact containment filter follows.  A (point, interval) pair can
     only meet in the point's bucket, so no dedup step is needed.  Work is
     bounded by interval-duration / bucket size, not by row counts.
+
+    ``bucket_minutes=None`` (default) auto-sizes the bucket from the
+    interval-duration distribution (:func:`_auto_bucket_us`: p95 duration,
+    floored so the longest interval explodes to a bounded row count);
+    pass an explicit value only when the duration profile is known.
+    Bucket width never changes the RESULT — only the explode/join shape.
     """
-    bucket_us = bucket_minutes * 60 * 1_000_000
+    if bucket_minutes is None:
+        bucket_us = _auto_bucket_us(intervals, start_col, end_col)
+    else:
+        bucket_us = bucket_minutes * 60 * 1_000_000
     p = points.withColumn(
         "_b", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_us))
     )

@@ -188,3 +188,123 @@ def test_interval_join_exact_containment_no_nested_loop(spark):
     }
     plan = explain_str(out)
     assert "NestedLoop" not in plan, "range join must stay an equi-join"
+
+
+def test_asof_join_null_values_come_from_matched_row(spark):
+    """All output columns must come from the SAME matched right row, even
+    when a right value column is NULL there (DuckDB/pandas take the single
+    matched row including its NULLs; independent last(col, ignorenulls)
+    per column would stitch values from different rows)."""
+    from entitymatchingmodel_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10.0, "a"),
+         (1, "2024-01-01 00:05:00", None, None)],   # matched row has NULLs
+        "user_id long, ts string, value double, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, "user_id", "ts", ["value", "tag"]).collect()[0]
+    assert str(r["asof_ts"]) == "2024-01-01 00:05:00"
+    assert r["asof_value"] is None and r["asof_tag"] is None
+
+
+def test_asof_join_forward_and_nearest(spark):
+    from entitymatchingmodel_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:04:00"), (1, "2024-01-01 00:09:00"),
+         (1, "2024-01-01 00:30:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10.0), (1, "2024-01-01 00:10:00", 20.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    fwd = {
+        str(r["ts"]): r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"],
+                           direction="forward").collect()
+    }
+    assert fwd["2024-01-01 00:04:00"] == 20.0   # earliest at-or-after
+    assert fwd["2024-01-01 00:09:00"] == 20.0
+    assert fwd["2024-01-01 00:30:00"] is None   # nothing after
+
+    near = {
+        str(r["ts"]): r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"],
+                           direction="nearest").collect()
+    }
+    assert near["2024-01-01 00:04:00"] == 10.0  # 3m back < 6m fwd
+    assert near["2024-01-01 00:09:00"] == 20.0  # 1m fwd < 8m back
+    assert near["2024-01-01 00:30:00"] == 20.0  # only backward exists
+
+    # nearest with per-side tolerance: 00:09 loses its forward match when
+    # tolerance excludes nothing nearer than backward
+    near_tol = {
+        str(r["ts"]): r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"],
+                           direction="nearest", tolerance_seconds=30).collect()
+    }
+    assert near_tol["2024-01-01 00:09:00"] is None  # both sides > 30s away
+
+
+def test_asof_equal_backward_forward_tie_goes_backward(spark):
+    from entitymatchingmodel_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:04:00", 1.0), (1, "2024-01-01 00:06:00", 2.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, "user_id", "ts", ["value"],
+                  direction="nearest").collect()[0]
+    assert r["asof_value"] == 1.0  # 1m either way -> backward wins (pandas)
+
+
+def test_dedup_right_latest_deterministic(spark):
+    from entitymatchingmodel_spark.operators.events import dedup_right_latest
+
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10.0), (1, "2024-01-01 00:01:00", 30.0),
+         (1, "2024-01-01 00:02:00", 5.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        str(r["ts"]): r["value"]
+        for r in dedup_right_latest(right, "user_id", "ts", ["value"]).collect()
+    }
+    assert got == {"2024-01-01 00:01:00": 30.0, "2024-01-01 00:02:00": 5.0}
+
+
+def test_interval_join_auto_bucket_bounds_explode(spark):
+    """A months-long outlier interval must not explode to thousands of
+    rows: the auto bucket floors at max_duration/max_explode."""
+    from entitymatchingmodel_spark.operators.events import (
+        _auto_bucket_us,
+        interval_join,
+    )
+
+    ivs = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (1, 2, "2024-01-01 00:00:00", "2024-06-01 00:00:00")],  # ~5 months
+        "user_id long, iv_id long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+    bucket_us = _auto_bucket_us(ivs, "s", "e", max_explode=256)
+    max_dur_us = (152 * 24 * 3600) * 1_000_000
+    assert bucket_us >= max_dur_us // 256, "longest interval must explode <= max_explode+1 rows"
+
+    points = spark.createDataFrame(
+        [(1, "2024-03-01 12:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["ts"].isoformat(), r["iv_id"]) for r in
+           interval_join(points, ivs, "user_id", "ts", "s", "e").collect()}
+    assert got == {("2024-03-01T12:00:00", 2),
+                   ("2024-01-01T00:30:00", 1), ("2024-01-01T00:30:00", 2)}
