@@ -552,20 +552,25 @@ def _sni_pairs_with_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vocab_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary hit/miss features (SURVEY §2.10 M2) over SNI pairs."""
+    """Vocabulary hit/miss features (SURVEY §2.10 M2) over SNI pairs.
+
+    Fully distributed path: the tier table never leaves the cluster —
+    ``fit_tiers`` keeps it as a DataFrame and the feature step broadcast-
+    joins it (the literal-array ``Vocabulary.fit`` twin stays for small
+    vocabularies)."""
     from entitymatchingmodel_spark.operators.features import (
         VOCAB_FEATURES,
         Vocabulary,
-        vocabulary_features,
+        vocabulary_features_joined,
     )
 
     pairs = _sni_pairs_with_names(spark, sf_dir)
     _, names = _part_gt_names(spark, sf_dir)
-    vocab = Vocabulary.fit(
+    tiers = Vocabulary.fit_tiers(
         names.select("preprocessed").distinct(), ["preprocessed"],
         very_common_min_df=0.05, common_min_df=0.001,
     )
-    out = vocabulary_features(pairs, vocab)
+    out = vocabulary_features_joined(pairs, tiers, ["uid", "gt_uid"])
     return out.select("uid", "gt_uid", *VOCAB_FEATURES)
 
 

@@ -35,21 +35,31 @@ def benchmark_contamination(
     shingles and report 0 contamination over 0 shingles.
     """
     bcol = bench_text_col or text_col
+    # Join on a 64-bit hash of the shingle, not the raw n-gram string: a
+    # 5-gram averages tens of bytes while the hash is 8, cutting broadcast
+    # and probe bytes several-fold at corpus scale.  xxhash64 of NULL input
+    # degenerates to the seed (not NULL), so null shingles (docs shorter
+    # than the n-gram) are guarded explicitly to keep the per-doc count
+    # right.  A cross-document hash collision marks one extra shingle
+    # contaminated (P < n_doc_shingles * n_bench_shingles / 2^64 —
+    # negligible, and decontamination is a conservative filter anyway).
+    sh_hash = F.when(F.col("shingle").isNotNull(), F.xxhash64("shingle"))
     doc_sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode_outer(word_shingles(F.col(text_col), ngram)).alias("shingle"),
-    )
+    ).select("id", sh_hash.alias("_sh"))
     bench_sh = (
         benchmark.select(
             F.explode_outer(word_shingles(F.col(bcol), ngram)).alias("shingle")
         )
         .filter(F.col("shingle").isNotNull())
+        .select(F.xxhash64("shingle").alias("_sh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    joined = doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    joined = doc_sh.join(F.broadcast(bench_sh), "_sh", "left")
     agg = joined.groupBy("id").agg(
-        F.count(F.col("shingle")).alias("n_shingles"),
+        F.count(F.col("_sh")).alias("n_shingles"),
         F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
     )
     ratio = F.when(

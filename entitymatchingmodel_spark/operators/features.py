@@ -374,6 +374,43 @@ class Vocabulary:
         common = [r["token"] for r in rows if r["token"] not in vs]
         return cls(very, common)
 
+    @classmethod
+    def fit_tiers(
+        cls,
+        df: DataFrame,
+        columns: list[str],
+        very_common_min_df: float = 0.01,
+        common_min_df: float = 0.0001,
+    ) -> DataFrame:
+        """Distributed twin of :meth:`fit`: returns the tier table as a
+        DataFrame ``(token, tier)`` with tier 2 = very_common, 1 = common —
+        NO token list is ever collected to the driver (only the scalar
+        distinct-name count).  Feed it to
+        :func:`vocabulary_features_joined`, which broadcast-joins it
+        instead of inlining literal arrays — the 100 TB path when a small
+        ``common_min_df`` makes the tier lists millions of tokens.
+        """
+        if common_min_df >= very_common_min_df:
+            raise ValueError("common_min_df must be smaller than very_common_min_df")
+        names = None
+        for c in columns:
+            part = df.select(F.col(c).alias("_n"))
+            names = part if names is None else names.unionAll(part)
+        names = names.filter(F.col("_n").isNotNull()).distinct()
+        n_docs = names.count()
+        tok_df = (
+            names.select(F.explode_outer(_vocab_tokens(F.col("_n"))).alias("token"))
+            .filter(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+        )
+        return tok_df.filter(F.col("df") >= common_min_df * n_docs).select(
+            "token",
+            F.when(F.col("df") >= very_common_min_df * n_docs, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("tier"),
+        )
+
 
 def vocabulary_features(
     df: DataFrame,
@@ -426,6 +463,89 @@ def vocabulary_features(
         ratio.alias("f_ratio_overlap_words"),
         F.abs(F.col("_n1") - F.col("_n2")).cast("double").alias("f_num_word_difference"),
     ).drop("_hits", "_misses", "_n1", "_n2")
+
+
+def vocabulary_features_joined(
+    df: DataFrame,
+    tiers: DataFrame,
+    row_keys: list[str],
+    name_col: str = "preprocessed",
+    gt_name_col: str = "gt_preprocessed",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Same 9 vocabulary features as :func:`vocabulary_features`, but the
+    tier lookup is a BROADCAST JOIN on the ``(token, tier)`` table from
+    :meth:`Vocabulary.fit_tiers` instead of literal in-plan arrays — no
+    token list ever reaches the driver or the plan.
+
+    Shape: hits/misses and the three overlap features stay native array
+    expressions on the input rows; only the six tier counts go through
+    explode -> broadcast tier join -> conditional-sum aggregation on
+    ``row_keys`` -> one join back.  Costs one extra shuffle pair on
+    ``row_keys`` versus the literal variant, in exchange for a plan whose
+    size is independent of vocabulary size — the right trade at 100 TB
+    where a min_df of 1e-4 can mean millions of tier tokens.
+
+    ``row_keys`` must uniquely identify input rows (e.g. ``[uid, gt_uid]``
+    for candidate pairs).  Rows whose token arrays are NULL (null names)
+    get NULL tier counts, matching the literal variant's ``size(null)``
+    semantics.
+    """
+    s1 = _vocab_tokens(F.col(name_col))
+    s2 = _vocab_tokens(F.col(gt_name_col))
+    base = (
+        df.withColumn("_hits", F.array_intersect(s1, s2))
+        .withColumn("_misses", F.array_except(F.array_union(s1, s2), F.array_intersect(s1, s2)))
+        .withColumn("_n1", F.size(s1))
+        .withColumn("_n2", F.size(s2))
+    )
+    tagged = F.concat(
+        F.transform("_hits", lambda t: F.struct(t.alias("token"), F.lit(1).alias("is_hit"))),
+        F.transform("_misses", lambda t: F.struct(t.alias("token"), F.lit(0).alias("is_hit"))),
+    )
+    tok = base.select(
+        *row_keys, F.explode_outer(tagged).alias("_tk")
+    ).select(*row_keys, F.col("_tk.token").alias("token"), F.col("_tk.is_hit").alias("is_hit"))
+    j = tok.join(F.broadcast(tiers), "token", "left")
+
+    def cnt(hit: int, pref: str) -> list:
+        is_side = F.col("is_hit") == hit
+        return [
+            F.sum(F.when(is_side & (F.col("tier") == 2), 1).otherwise(0))
+            .cast("double").alias(f"f_very_common_{pref}"),
+            F.sum(F.when(is_side & (F.col("tier") == 1), 1).otherwise(0))
+            .cast("double").alias(f"f_common_{pref}"),
+            F.sum(
+                F.when(is_side & F.col("token").isNotNull() & F.col("tier").isNull(), 1)
+                .otherwise(0)
+            ).cast("double").alias(f"f_rare_{pref}"),
+        ]
+
+    counts = j.groupBy(*row_keys).agg(*cnt(1, "hit"), *cnt(0, "miss"))
+    out = base.join(counts, row_keys)
+
+    null_arrays = F.col("_hits").isNull() | F.col("_misses").isNull()
+    n_hits = F.size(F.col("_hits"))
+    n_total = n_hits + F.size(F.col("_misses"))
+    ratio = F.when(n_total == 0, F.lit(None).cast("double")).otherwise(
+        n_hits / n_total.cast("double")
+    )
+    if decimals is not None:
+        ratio = F.round(ratio, decimals)
+    tier_cols = [
+        f"f_{t}_{p}" for p in ("hit", "miss") for t in ("very_common", "common", "rare")
+    ]
+    return out.select(
+        *[c for c in out.columns if c not in ("_hits", "_misses", "_n1", "_n2") and c not in tier_cols],
+        *[
+            F.when(null_arrays, F.lit(None).cast("double"))
+            .otherwise(F.col(c)).alias(c)
+            for c in tier_cols
+        ],
+        n_hits.cast("double").alias("f_n_overlap_words"),
+        ratio.alias("f_ratio_overlap_words"),
+        F.abs(F.col("_n1") - F.col("_n2")).cast("double").alias("f_num_word_difference"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -105,3 +105,40 @@ def test_business_type_tiers(spark, n1, n2, bt_cat):
     row = lef_features(df, include_business_type=True).collect()[0]
     assert row["f_bt_match"] == bt_cat, (row["bt1"], row["bt2"])
     assert row["f_bt_score"] is not None
+
+
+def test_vocabulary_joined_matches_literal_path(spark):
+    """The broadcast-join tier path must produce exactly the literal-array
+    path's features, with no collect and a pinned broadcast join."""
+    from entitymatchingmodel_spark.operators.features import (
+        VOCAB_FEATURES,
+        vocabulary_features_joined,
+    )
+    from entitymatchingmodel_spark.plans import explain_str
+
+    names = spark.createDataFrame(
+        [("alpha beta one",), ("alpha beta two",), ("alpha three",), ("alpha four",)],
+        "preprocessed string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 10, "alpha beta corp", "alpha gamma corp"),
+         (2, 20, "alpha three", "alpha beta two"),
+         (3, 30, "", "alpha four")],
+        "uid long, gt_uid long, preprocessed string, gt_preprocessed string",
+    )
+    v = Vocabulary.fit(names, ["preprocessed"], very_common_min_df=0.9, common_min_df=0.4)
+    tiers = Vocabulary.fit_tiers(names, ["preprocessed"],
+                                 very_common_min_df=0.9, common_min_df=0.4)
+    assert {(r["token"], r["tier"]) for r in tiers.collect()} == {("alpha", 2), ("beta", 1)}
+
+    lit_rows = {
+        r["uid"]: tuple(r[c] for c in VOCAB_FEATURES)
+        for r in vocabulary_features(pairs, v).collect()
+    }
+    out = vocabulary_features_joined(pairs, tiers, ["uid", "gt_uid"])
+    join_rows = {
+        r["uid"]: tuple(r[c] for c in VOCAB_FEATURES) for r in out.collect()
+    }
+    assert join_rows == lit_rows
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
