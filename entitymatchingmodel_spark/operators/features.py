@@ -127,14 +127,17 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     # Candidate pairs repeat name pairs heavily (one GT name against many
-    # query rows and vice versa); memoize per batch.
+    # query rows and vice versa); memoize per batch.  Uses the verified
+    # rapidfuzz fast path when available (see _load_rapidfuzz below —
+    # defined later in the module, resolved at worker call time).
+    jw = _RAPIDFUZZ[1].similarity if _RAPIDFUZZ is not None else _jaro_winkler_py
     memo: dict[tuple[str, str], float] = {}
     out = []
     for x, y in zip(a.fillna(""), b.fillna("")):
         k = (x, y)
         r = memo.get(k)
         if r is None:
-            r = memo[k] = _jaro_winkler_py(x, y)
+            r = memo[k] = jw(x, y)
         out.append(r)
     return pd.Series(out)
 
@@ -232,6 +235,53 @@ def _wratio_py(s1: str, s2: str) -> float:
     return max(end, p * ps, max(pts, ptset) * 0.95 * ps)
 
 
+# ---------------------------------------------------------------------------
+# Optional rapidfuzz fast path.  The reference takes exactly these ratios
+# from C++ rapidfuzz (features_name.py:97-141 via pandas_feature_extractor
+# .py:91-103); the pure-Python implementations above are the always-present
+# parity fallback.  rapidfuzz is enabled ONLY if the installed version
+# reproduces the pure-Python values on an embedded self-check corpus
+# covering every WRatio branch — parity is VERIFIED at import, not assumed,
+# so a rapidfuzz behavior change degrades to the (slower, exact) fallback
+# instead of silently breaking oracle exactness.  Same optional-import
+# pattern as unidecode in functions/preprocessing.py:90-104.
+# ---------------------------------------------------------------------------
+
+_SELF_CHECK_PAIRS = [
+    ("", ""), ("", "abc"), ("abc", "abc"),
+    ("kitten", "sitting"), ("acme holdings bv", "holdings acme b v"),
+    ("new york mets", "new york meats"),          # lr < 1.5 token branch
+    ("abc", "abc def ghi jk"),                    # 1.5 <= lr < 8 partial
+    ("ab", "the quick brown fox jumps over it"),  # lr >= 8 branch
+    ("dixon", "dicksonx"), ("martha", "marhta"),  # jaro transposition/prefix
+    ("café münchen", "cafe munchen"),             # non-ascii
+]
+
+
+def _load_rapidfuzz():
+    try:
+        from rapidfuzz import fuzz
+        from rapidfuzz.distance import JaroWinkler
+    except Exception:
+        return None
+    try:
+        for s1, s2 in _SELF_CHECK_PAIRS:
+            ok = (
+                abs(fuzz.ratio(s1, s2) - _indel_ratio(s1, s2)) < 1e-9
+                and abs(fuzz.partial_ratio(s1, s2) - _partial_ratio_py(s1, s2)) < 1e-9
+                and abs(fuzz.WRatio(s1, s2) - _wratio_py(s1, s2)) < 1e-9
+                and abs(JaroWinkler.similarity(s1, s2) - _jaro_winkler_py(s1, s2)) < 1e-9
+            )
+            if not ok:
+                return None
+    except Exception:
+        return None
+    return fuzz, JaroWinkler
+
+
+_RAPIDFUZZ = _load_rapidfuzz()
+
+
 _FUZZ_SCHEMA = StructType(
     [
         StructField("ratio", DoubleType()),
@@ -245,17 +295,18 @@ _FUZZ_SCHEMA = StructType(
 def fuzz_ratios_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     # Memoized per batch: candidate pairs repeat name pairs heavily, and
     # the three ratios share no state otherwise.
+    if _RAPIDFUZZ is not None:
+        fz = _RAPIDFUZZ[0]
+        fns = (fz.ratio, fz.partial_ratio, fz.WRatio)
+    else:
+        fns = (_indel_ratio, _partial_ratio_py, _wratio_py)
     memo: dict[tuple[str, str], tuple[float, float, float]] = {}
     rows = []
     for x, y in zip(a.fillna(""), b.fillna("")):
         k = (x, y)
         r = memo.get(k)
         if r is None:
-            r = memo[k] = (
-                _indel_ratio(x, y),
-                _partial_ratio_py(x, y),
-                _wratio_py(x, y),
-            )
+            r = memo[k] = (fns[0](x, y), fns[1](x, y), fns[2](x, y))
         rows.append(r)
     return pd.DataFrame(rows, columns=["ratio", "partial_ratio", "wratio"])
 

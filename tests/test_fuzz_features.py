@@ -71,3 +71,40 @@ def test_spark_values_match_python(spark):
         assert r["f_ratio"] == _indel_ratio(a, b)
         assert r["f_partial_ratio"] == _partial_ratio_py(a, b)
         assert r["f_wratio"] == _wratio_py(a, b)
+
+
+def test_rapidfuzz_gate_is_verified_or_absent():
+    """The fast path may only be enabled when the installed rapidfuzz
+    reproduces the pure-Python reference values on the self-check corpus."""
+    from entitymatchingmodel_spark.operators import features as feat
+
+    if feat._RAPIDFUZZ is None:
+        # absent or parity-failed: the pure-Python fallback carries on
+        assert feat._load_rapidfuzz() is feat._RAPIDFUZZ or feat._load_rapidfuzz() is None
+    else:
+        fz, jw = feat._RAPIDFUZZ
+        for s1, s2 in feat._SELF_CHECK_PAIRS:
+            assert abs(fz.ratio(s1, s2) - feat._indel_ratio(s1, s2)) < 1e-9
+            assert abs(fz.WRatio(s1, s2) - feat._wratio_py(s1, s2)) < 1e-9
+
+
+def test_rapidfuzz_parity_random_corpus():
+    """Broad equality between the two paths (runs only where rapidfuzz is
+    installed; the sandbox ships without it and skips)."""
+    import pytest
+
+    rf = pytest.importorskip("rapidfuzz")
+    from rapidfuzz.distance import JaroWinkler
+
+    from entitymatchingmodel_spark.operators import features as feat
+
+    import random
+    rng = random.Random(7)
+    words = ["acme", "global", "holdings", "bv", "ltd", "intl", "zx", "corp"]
+    for _ in range(300):
+        s1 = " ".join(rng.choices(words, k=rng.randint(0, 5)))
+        s2 = " ".join(rng.choices(words, k=rng.randint(0, 9)))
+        assert abs(rf.fuzz.ratio(s1, s2) - feat._indel_ratio(s1, s2)) < 1e-9
+        assert abs(rf.fuzz.partial_ratio(s1, s2) - feat._partial_ratio_py(s1, s2)) < 1e-9
+        assert abs(rf.fuzz.WRatio(s1, s2) - feat._wratio_py(s1, s2)) < 1e-9
+        assert abs(JaroWinkler.similarity(s1, s2) - feat._jaro_winkler_py(s1, s2)) < 1e-9
