@@ -798,16 +798,11 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_supervised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full supervised layer: GBT-scored candidates + best-match flags.
-
-    Not SQL-expressible (gradient-boosted model) -> rows-only check.
-    """
-    from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
-
+def _supervised_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labelled candidate frame shared by the supervised contract queries."""
     part = _t(spark, sf_dir, "part")
     cands = _cossim_cands(spark, sf_dir)
-    cands = (
+    return (
         cands.join(
             part.select(F.col("p_partkey").alias("uid"), F.col("p_name").alias("preprocessed")),
             "uid",
@@ -827,8 +822,42 @@ def q_supervised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SUP_MODEL_CACHE: dict = {}
+
+
+def q_supervised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supervised layer: GBT training + scored candidates + best-match
+    flags.  Deliberately NOT cached — this query times the one-off fit.
+
+    Not SQL-expressible (gradient-boosted model) -> rows-only check.
+    """
+    from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
+
+    cands = _supervised_cands(spark, sf_dir)
     model = SupervisedScorer(score_col="score", max_iter=8).fit(cands)
+    _SUP_MODEL_CACHE[(id(spark), sf_dir)] = model
     out = model.transform(cands)
+    return out.select("uid", "gt_uid", "nm_score", "best_rank", "best_match")
+
+
+def q_supervised_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring-only supervised layer: the fitted GBT is cached across calls
+    so this query times the PER-BATCH scoring cost users pay at 100x —
+    all-JVM feature expressions + tree eval — separately from the one-off
+    boosting iterations ``supervised_scores`` measures.
+
+    Not SQL-expressible (gradient-boosted model) -> rows-only check.
+    """
+    from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
+
+    key = (id(spark), sf_dir)
+    if key not in _SUP_MODEL_CACHE:
+        _SUP_MODEL_CACHE[key] = SupervisedScorer(score_col="score", max_iter=8).fit(
+            _supervised_cands(spark, sf_dir)
+        )
+    out = _SUP_MODEL_CACHE[key].transform(_supervised_cands(spark, sf_dir))
     return out.select("uid", "gt_uid", "nm_score", "best_rank", "best_match")
 
 
@@ -949,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mean_score": q_agg_mean_score,
         "agg_max_freq": q_agg_max_freq,
         "supervised_scores": q_supervised_scores,
+        "supervised_score_only": q_supervised_score_only,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,

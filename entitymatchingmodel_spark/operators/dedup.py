@@ -129,8 +129,10 @@ def minhash_signatures(
     Docs with no shingles (empty text) keep a row via ``explode_outer`` and
     yield an all-null signature, matching the previous semantics.
 
-    Hash values stay below 2^61 (28-bit base * 6-bit multiplier + b < p),
-    safe under Spark 4 ANSI overflow checking.
+    Permutations use the murmur-style finalizer family (``_hash_family``):
+    every intermediate stays under 2^63 (32-bit value times 31-bit odd
+    constant), safe under Spark 4 ANSI overflow checking, and the same
+    xor/shift/mod expression evaluates identically in DuckDB.
     """
     sh = word_shingles(F.col(text_col), shingle_n)
     ex = df.select(
@@ -236,6 +238,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     score_decimals: int | None = 6,
     materialize: bool = True,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets: (id_a, id_b, jaccard).
 
@@ -258,7 +261,11 @@ def ngram_jaccard_pairs(
     the naive plan; candidate verification is codegen'd array ops.
 
     ``materialize=True`` persists the shingle tables feeding the self-join
-    (both sides would otherwise recompute the full tokenize + rank).
+    (both sides would otherwise recompute the full tokenize + rank).  The
+    cached blocks intentionally outlive the returned (lazy) plan; pass
+    ``persist_handles`` to receive the persisted DataFrames and
+    ``unpersist()`` them after the result is consumed — otherwise repeated
+    calls in a long-lived session hold blocks until LRU eviction.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -266,6 +273,8 @@ def ngram_jaccard_pairs(
     ).withColumn("sz", F.size("sh"))
     if materialize:
         sh = sh.persist()
+        if persist_handles is not None:
+            persist_handles.append(sh)
     ex = sh.select("id", "sz", F.explode_outer("sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()  # see minhash_lsh_pairs note on explode_outer
     )
@@ -279,6 +288,8 @@ def ngram_jaccard_pairs(
     )
     if materialize:
         prefix = prefix.persist()
+        if persist_handles is not None:
+            persist_handles.append(prefix)
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
@@ -484,11 +495,35 @@ def embedding_near_pairs_bucketed(
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+def _iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round plan truncation for the iterative component loops.
+
+    ``reliable=False`` (default): ``localCheckpoint`` — executor-local
+    blocks, fine on local mode and for fault-free runs, but an executor
+    loss on a real cluster loses the checkpointed partitions mid-loop.
+    ``reliable=True``: reliable ``checkpoint(eager=True)`` to the
+    session's checkpoint dir (``spark.sparkContext.setCheckpointDir`` —
+    HDFS/object store on a cluster), surviving executor loss at the cost
+    of a write per round.  Raises with guidance if no dir is set.
+    """
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoint=True requires "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) "
+            "to be called first (HDFS/S3/... on a cluster)."
+        )
+    return df.checkpoint(eager=True)
+
+
 def duplicate_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "id",
     max_iterations: int = 50,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(id, cluster_id) — connected components of the near-dup pair graph.
 
@@ -515,19 +550,20 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
-    labels = ids.select(
-        F.col(id_col).alias("src"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    labels = _iter_checkpoint(
+        ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")),
+        reliable_checkpoint,
+    )
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        new_labels = _iter_checkpoint(
             labels.join(neigh, "src", "left")
-            .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
-            .localCheckpoint()
+            .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")),
+            reliable_checkpoint,
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), "src")
@@ -547,6 +583,7 @@ def duplicate_clusters_star(
     pairs: DataFrame,
     id_col: str = "id",
     max_iterations: int = 30,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(id, cluster_id) — connected components via alternating large-star /
     small-star (Kiveris et al., "Connected Components in MapReduce and
@@ -600,10 +637,10 @@ def duplicate_clusters_star(
     # Exact fixed-point check, cheapened: both edge sets are distinct, so
     # equal counts + (new \ old) empty implies set equality — the exceptAll
     # job only runs in the (usually final) round where counts already match.
-    edges = small_star(large_star(sym)).localCheckpoint()
+    edges = _iter_checkpoint(small_star(large_star(sym)), reliable_checkpoint)
     n_edges = edges.count()
     for _ in range(max_iterations):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
+        new_edges = _iter_checkpoint(small_star(large_star(edges)), reliable_checkpoint)
         n_new = new_edges.count()
         converged = (
             n_new == n_edges

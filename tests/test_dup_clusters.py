@@ -60,3 +60,27 @@ def test_star_converges_on_long_chain_in_log_rounds(spark):
 
 def test_star_singletons_and_empty_edges(spark):
     _check(spark, 5, [], duplicate_clusters_star)
+
+
+def test_reliable_checkpoint_flag(spark, tmp_path):
+    """reliable_checkpoint=True writes to the session checkpoint dir and
+    produces the same clusters; without a dir set it raises with guidance."""
+    import pytest
+
+    rng = random.Random(3)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    # adversarial long chain forces several rounds through the checkpoint
+    edges += [(i, i + 1) for i in range(30, 55)]
+
+    old = spark.sparkContext.getCheckpointDir()
+    assert old is None or "reliable_ckpt" not in str(old)
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        _check(spark, n, edges, duplicate_clusters_star, reliable_checkpoint=True)
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    try:
+        _check(spark, n, edges, duplicate_clusters_star, reliable_checkpoint=True)
+        _check(spark, n, edges, duplicate_clusters, reliable_checkpoint=True)
+    finally:
+        spark.sparkContext.setCheckpointDir(old)
