@@ -701,6 +701,55 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin proof as a CONTRACT query (not just a unit
+    test): the native ``session_window`` streaming aggregation runs over the
+    same events file via ``readStream`` + ``availableNow`` trigger into a
+    memory sink, and must hash-match the SAME DuckDB gap-session oracle the
+    batch ``sessionize`` uses (minus per-user session numbering, which
+    streaming keys by window instead).  Complete output mode so the final
+    batch holds every session; the memory sink materializes on the driver —
+    a harness-side device only, the aggregation itself is the bounded-state
+    streaming plan documented in streaming/dedup.py.
+    """
+    from entitymatchingmodel_spark.streaming import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file stream source requires a DIRECTORY (testdata ships events as
+    # a single parquet file); expose it through a stable symlink dir.
+    src_dir = f"/tmp/emm_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    if stream.schema["ts"].dataType.simpleString() == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = sessionize_stream(stream, gap_minutes=30)
+    name = "q_streaming_sessions_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native JSON prop extraction + per-type aggregate."""
     from entitymatchingmodel_spark.operators.events import extract_json_prop
@@ -1010,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "streaming_sessions": q_streaming_sessions,
         "events_json": q_events_json,
         "dedup_drop": q_dedup_drop,
         "noised_names": q_noised_names,
@@ -1743,6 +1793,24 @@ _ORACLE = {
                        AS session_id
               FROM g)
         SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us
+        FROM s GROUP BY user_id, session_id
+    """,
+    # same gap-session semantics as events_sessions, without the per-user
+    # session numbering (streaming keys sessions by window, not ordinal)
+    "streaming_sessions": """
+        WITH g AS (SELECT user_id, ts,
+                          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+              FROM g)
+        SELECT user_id, count(*) AS n_events,
                epoch_us(min(ts)) AS session_start_us,
                epoch_us(max(ts)) AS session_end_us
         FROM s GROUP BY user_id, session_id
