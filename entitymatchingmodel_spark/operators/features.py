@@ -639,12 +639,38 @@ LEGAL_FORM_TERMS = sorted(
         "societa per azioni", "societa a responsabilita limitata",
         "aktiengesellschaft", "kommanditgesellschaft", "aktiebolag",
         "s r o", "d o o", "o o o", "a s", "k s", "s a", "n v", "b v",
+        # r4 breadth toward cleanco's terms_by_type coverage (public data):
+        "private limited company", "proprietary limited",
+        "societe par actions simplifiee", "societe en nom collectif",
+        "societe en commandite simple", "societe cooperative",
+        "sociedade anonima", "sociedade limitada",
+        "sociedad de responsabilidad limitada",
+        "societa in accomandita semplice", "societa in nome collettivo",
+        "societa cooperativa", "kabushiki gaisha", "godo kaisha",
+        "gomei kaisha", "goshi kaisha", "yugen gaisha",
+        "kommanditgesellschaft auf aktien",
+        "gesellschaft mit beschrankter haftung",
+        "eingetragene genossenschaft", "eingetragener verein",
+        "vennootschap onder firma", "commanditaire vennootschap",
+        "spolka komandytowa", "spolka jawna", "spolka partnerska",
+        "sendirian berhad", "joint stock company",
+        "open joint stock company", "closed joint stock company",
+        "anonim sirketi", "limited sirketi",
+        "s p a", "s r l", "s a s", "s a r l", "l l c", "p l c",
+        "s c a", "s c s", "s l", "e v", "u a", "a d", "d d",
         # single-token forms
         "bv", "nv", "vof", "cv", "bvba", "gmbh", "ag", "kg", "ug", "ohg",
         "ab", "as", "aps", "oy", "oyj", "sa", "sas", "sarl", "sl", "srl",
         "spa", "sro", "plc", "ltd", "llc", "llp", "lp", "inc", "corp", "co",
         "kk", "pty", "pte", "pvt", "ulc", "se", "eurl", "snc", "kft", "rt",
         "doo", "ad", "ead", "ooo", "pao", "oao", "spol",
+        # r4 single-token breadth (cleanco-common forms)
+        "limited", "incorporated", "corporation", "company",
+        "ltda", "lda", "cia", "cie", "hf", "ehf", "bhd", "sdn", "tbk",
+        "kgaa", "mbh", "gesmbh", "sasu", "sca", "scs", "sci", "scop",
+        "zrt", "nyrt", "bt", "vzw", "asbl", "cvba", "scrl", "sprl",
+        "ivs", "amba", "yk", "gk", "tov", "zao", "pjsc", "ojsc", "cjsc",
+        "jsc", "psc", "fze", "fzco", "wll", "gie", "vos", "shpk", "dooel",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -701,6 +727,45 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "kabushiki kaisha": ["public"], "spolka akcyjna": ["public"],
     "inc": ["corporation"], "corp": ["corporation"], "co": ["corporation"],
     "sa de cv": ["corporation"], "s de rl de cv": ["limited liability"],
+    # r4 additions (public cleanco terms_by_type mapping)
+    "limited": ["limited"], "private limited company": ["limited"],
+    "proprietary limited": ["limited"], "sendirian berhad": ["limited"],
+    "bhd": ["limited"], "sdn": ["limited"], "limited sirketi": ["limited"],
+    "ltda": ["limited"], "lda": ["limited"], "wll": ["limited liability"],
+    "l l c": ["limited liability"],
+    "incorporated": ["corporation"], "corporation": ["corporation"],
+    "company": ["corporation"], "cia": ["corporation"], "cie": ["corporation"],
+    "p l c": ["limited"], "s l": ["private"], "s r l": ["private"],
+    "sprl": ["private"], "scrl": ["private"], "bvba": ["private"],
+    "cvba": ["private"], "mbh": ["private"], "gesmbh": ["private"],
+    "gesellschaft mit beschrankter haftung": ["private"],
+    "sociedad de responsabilidad limitada": ["private"],
+    "sociedade limitada": ["private"], "ivs": ["private"], "sasu": ["private"],
+    "s p a": ["public"], "sociedade anonima": ["public"],
+    "societe par actions simplifiee": ["public"], "sas": ["public"],
+    "s a s": ["public"], "kabushiki gaisha": ["public"], "tbk": ["public"],
+    "hf": ["public"], "zrt": ["public"], "nyrt": ["public"],
+    "anonim sirketi": ["public"], "pjsc": ["public"], "ojsc": ["public"],
+    "cjsc": ["public"], "jsc": ["public"], "psc": ["public"],
+    "zao": ["public"], "oao": ["public"], "pao": ["public"],
+    "joint stock company": ["public"],
+    "open joint stock company": ["public"],
+    "closed joint stock company": ["public"],
+    "godo kaisha": ["limited liability"], "gk": ["limited liability"],
+    "yugen gaisha": ["private"], "yk": ["private"], "ehf": ["private"],
+    "gomei kaisha": ["partnership"], "goshi kaisha": ["partnership"],
+    "vennootschap onder firma": ["partnership"],
+    "commanditaire vennootschap": ["partnership"],
+    "spolka komandytowa": ["partnership"], "spolka jawna": ["partnership"],
+    "spolka partnerska": ["partnership"], "vos": ["partnership"],
+    "s c s": ["partnership"], "scs": ["partnership"],
+    "societe en nom collectif": ["partnership"],
+    "societe en commandite simple": ["partnership"],
+    "societa in accomandita semplice": ["partnership"],
+    "societa in nome collettivo": ["partnership"],
+    "kommanditgesellschaft auf aktien": ["partnership"],
+    "kgaa": ["partnership"], "s c a": ["partnership"], "sca": ["partnership"],
+    "bt": ["partnership"],
 }
 
 

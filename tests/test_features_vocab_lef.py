@@ -142,3 +142,21 @@ def test_vocabulary_joined_matches_literal_path(spark):
     assert join_rows == lit_rows
     plan = explain_str(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+@pytest.mark.parametrize("name,lef", [
+    ("acme manufacturing limited", "limited"),
+    ("acme sociedade anonima", "sociedade anonima"),
+    ("acme kabushiki gaisha", "kabushiki gaisha"),
+    ("acme s p a", "s p a"),
+    ("acme gesellschaft mit beschrankter haftung",
+     "gesellschaft mit beschrankter haftung"),
+    ("acme sdn bhd", "sdn:bhd"),          # stacked suffixes, reading order
+    ("acme spolka jawna", "spolka jawna"),
+    ("acme pjsc", "pjsc"),
+])
+def test_lef_r4_term_breadth(spark, name, lef):
+    from entitymatchingmodel_spark.operators.features import extract_lef
+
+    df = spark.createDataFrame([(name,)], "n string")
+    assert df.select(extract_lef(F.col("n")).alias("l")).collect()[0]["l"] == lef
