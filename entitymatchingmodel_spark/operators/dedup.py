@@ -396,7 +396,7 @@ def embedding_near_pairs_bucketed(
     vec_col: str,
     threshold: float = 0.9,
     nlist: int = 16,
-    probe_margin: float = 0.2,
+    probe_margin: float | None = None,
     seed: int = 42,
     score_decimals: int | None = 6,
 ) -> DataFrame:
@@ -418,15 +418,23 @@ def embedding_near_pairs_bucketed(
     Shuffle = one exchange on bucket id; the quadratic work is bounded per
     bucket.  Recall: exact for pairs whose members share an assigned
     bucket; with cosine threshold t and margin m, a qualifying pair is
-    only missed if its centroid-cosine gap exceeds m — raise
-    ``probe_margin`` (or ``nlist`` resolution) to trade compute for
-    recall.  Near-identical vectors (the dedup regime, t >= 0.9) have
-    near-identical centroid cosines and co-bucket at any sane margin.
+    only missed if its centroid-cosine gap exceeds m.  For unit vectors
+    that gap is bounded: |cos(a,c) - cos(b,c)| = |(a-b)·c| <= ||a-b|| =
+    sqrt(2 - 2·cos(a,b)) <= sqrt(2 - 2t), so ``probe_margin=None``
+    (default) derives m = sqrt(2 - 2t) and the output provably EQUALS the
+    exact all-pairs result — no data-dependent recall.  Pass a smaller
+    explicit margin to trade exactness for less multi-probe fan-out (the
+    dedup regime t >= 0.9 derives a modest m ~ 0.45 anyway; low
+    thresholds derive wide margins and cost correspondingly more).
     """
+    import math
+
     import numpy as np
 
     from entitymatchingmodel_spark.functions.sampling import _unit_hash
 
+    if probe_margin is None:
+        probe_margin = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cents_rows = (

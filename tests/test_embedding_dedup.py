@@ -58,3 +58,33 @@ def test_bucketed_dedupes_multi_probe_pairs(spark):
     pairs = [(r["id_a"], r["id_b"]) for r in out]
     assert pairs == [(1, 2)]
     assert out[0]["cosine"] == 1.0
+
+
+def test_bucketed_derived_margin_is_exact_at_low_threshold(spark):
+    """probe_margin=None derives sqrt(2-2t), which provably covers every
+    qualifying pair's centroid-cosine gap -> bucketed output == exact
+    all-pairs output even at a LOW threshold (the regime where a fixed
+    small margin is recall-lossy and data-dependent)."""
+    import random
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        embedding_near_pairs,
+        embedding_near_pairs_bucketed,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs(df, "id", "v", threshold=0.3).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_pairs_bucketed(
+            df, "id", "v", threshold=0.3, nlist=8
+        ).collect()
+    }
+    assert bucketed == exact and len(exact) > 0
