@@ -1015,31 +1015,45 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is deliberate: the driver's correctness file has held at
+    most 50 rows per round, so queries are listed most-in-need-of-a-check
+    first — (1) the three with no CORRECTNESS_r03 row + the new round-4
+    queries, (2) operators whose implementation changed this round, (3)
+    long-stable queries, with the tail reserved for entries whose operator
+    is independently covered by a checked sibling (or whose check is
+    rows-only anyway), so a tail cutoff loses the least signal."""
     return {
+        # --- tier 1: unchecked in r03 / new in r4 ---
+        "curation_pipeline": q_curation_pipeline,
+        "repetition_stats": q_repetition_stats,
+        "events_sliding": q_events_sliding,
+        "events_asof_forward": q_events_asof_forward,
+        "streaming_sessions": q_streaming_sessions,
+        "supervised_score_only": q_supervised_score_only,
+        # --- tier 2: implementation changed in r4 ---
+        "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
+        "contamination": q_contamination,
+        "vocab_features": q_vocab_features,
+        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
+        "lef_match": q_lef_match,
+        "pair_features": q_pair_features,
+        "dup_clusters": q_dup_clusters,
+        "dup_clusters_star": q_dup_clusters_star,
+        # --- tier 3: stable ---
         "preprocess_names": q_preprocess_names,
         "tfidf_vocab": q_tfidf_vocab,
         "cossim_word_topk": q_cossim_word_topk,
-        "cossim_broadcast_topk": q_cossim_broadcast_topk,
         "sni_window": q_sni_window,
-        "pair_features": q_pair_features,
         "rank_features": q_rank_features,
         "best_match": q_best_match,
         "agg_mean_score": q_agg_mean_score,
         "agg_max_freq": q_agg_max_freq,
-        "supervised_scores": q_supervised_scores,
-        "supervised_score_only": q_supervised_score_only,
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
         "embed_near_pairs": q_embed_near_pairs,
-        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
-        "contamination": q_contamination,
-        "events_asof": q_events_asof,
-        "events_asof_forward": q_events_asof_forward,
-        "events_interval_join": q_events_interval_join,
         "events_rollup": q_events_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1049,8 +1063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "audio_stats": q_audio_stats,
-        "vocab_features": q_vocab_features,
-        "lef_match": q_lef_match,
         "country_match": q_country_match,
         "threshold_curves": q_threshold_curves,
         "auc": q_auc,
@@ -1059,19 +1071,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
-        "streaming_sessions": q_streaming_sessions,
         "events_json": q_events_json,
-        "dedup_drop": q_dedup_drop,
-        "noised_names": q_noised_names,
-        "dup_clusters": q_dup_clusters,
-        "dup_clusters_star": q_dup_clusters_star,
         "stratified_sample": q_stratified_sample,
         "cossim_char_blocked": q_cossim_char_blocked,
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
-        "curation_pipeline": q_curation_pipeline,
-        "repetition_stats": q_repetition_stats,
-        "events_sliding": q_events_sliding,
+        # --- tail: operator covered by a checked sibling / rows-only ---
+        "simhash": q_simhash,                        # sibling: simhash_near_pairs
+        "minhash_signatures": q_minhash_signatures,  # sibling: minhash_lsh_pairs
+        "dedup_drop": q_dedup_drop,                  # sibling: dedup_exact
+        "cossim_broadcast_topk": q_cossim_broadcast_topk,  # sibling: cossim_word_topk
+        "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
+        "noised_names": q_noised_names,              # rows-only by design
     }
 
 
