@@ -38,8 +38,11 @@ def exchange_count(df: DataFrame, distinct: bool = True) -> int:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
+    # non-greedy across the whole line: the broadcast mode spec itself
+    # contains '[' (HashedRelationBroadcastMode(List(input[0, ...]))), so a
+    # [^\[]* pattern would never reach the trailing [plan_id=N]
     plan = _executed(df)
-    return len(set(re.findall(r"BroadcastExchange[^\[]*\[plan_id=(\d+)\]", plan)))
+    return len(set(re.findall(r"BroadcastExchange.*?\[plan_id=(\d+)\]", plan)))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -122,3 +122,40 @@ def test_blocking_is_a_join_key(spark):
         and "token" in ln and "block" in ln
     ]
     assert keyed, plan[:2000]
+
+
+def test_decontamination_broadcasts_hashed_bench_side(spark):
+    """The benchmark side must reach the join as a BROADCAST on the 8-byte
+    hashed shingle key — never a shuffle of raw n-gram strings."""
+    from entitymatchingmodel_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+    from entitymatchingmodel_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    rest = docs.filter(F.col("doc_id") % 20 != 0)
+    out = benchmark_contamination(rest, bench, "doc_id", "text", ngram=5)
+    plan = explain_str(out)
+    assert broadcast_join_count(out) >= 1, plan
+    assert "xxhash64" in plan, "join key must be the hashed shingle"
+
+
+def test_vocab_joined_tier_join_is_broadcast(spark):
+    from entitymatchingmodel_spark.operators.features import (
+        Vocabulary,
+        vocabulary_features_joined,
+    )
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    names = part.select(F.col("p_name").alias("preprocessed")).distinct()
+    pairs = part.select(
+        F.col("p_partkey").alias("uid"),
+        (F.col("p_partkey") + 1).alias("gt_uid"),
+        F.col("p_name").alias("preprocessed"),
+        F.col("p_name").alias("gt_preprocessed"),
+    )
+    tiers = Vocabulary.fit_tiers(names, ["preprocessed"],
+                                 very_common_min_df=0.05, common_min_df=0.001)
+    out = vocabulary_features_joined(pairs, tiers, ["uid", "gt_uid"])
+    assert broadcast_join_count(out) >= 1
