@@ -457,6 +457,23 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (C4/RefinedWeb curation step): lines
+    synthesized deterministically (newline after every 8 tokens — same
+    regex in both engines), duplicates across the whole corpus keep only
+    their first (doc_id, position) occurrence, docs rebuilt."""
+    from entitymatchingmodel_spark.operators.dedup import line_dedup
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    multi = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"(([^ ]+ ){8})", "$1\n").alias("text"),
+    )
+    return line_dedup(multi, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept", "text"
+    )
+
+
 def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (pandas merge_asof(direction='forward') parity):
     each event joined to the user's NEXT purchase at-or-after it, 1h
@@ -1030,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": q_events_asof_forward,
         "streaming_sessions": q_streaming_sessions,
         "supervised_score_only": q_supervised_score_only,
+        "line_dedup": q_line_dedup,
         # --- tier 2: implementation changed in r4 ---
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
@@ -1069,7 +1087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
-        "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "stratified_sample": q_stratified_sample,
@@ -1077,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
         # --- tail: operator covered by a checked sibling / rows-only ---
+        "events_windowed": q_events_windowed,        # sibling: events_sliding
         "simhash": q_simhash,                        # sibling: simhash_near_pairs
         "minhash_signatures": q_minhash_signatures,  # sibling: minhash_lsh_pairs
         "dedup_drop": q_dedup_drop,                  # sibling: dedup_exact
@@ -1637,6 +1655,32 @@ _ORACLE = {
                CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
                     THEN round(r.purchase_value, 6) END AS asof_purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "line_dedup": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(text, '(([^ ]+ ){8})', '\1' || chr(10), 'g') AS text
+          FROM documents
+        ),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        lines AS (
+          SELECT doc_id, u.pos AS pos, u.l AS l
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(len(arr)),
+                              i -> {'pos': i, 'l': arr[i+1]})) AS u
+                FROM ls)
+        ),
+        w AS (SELECT doc_id, pos, l,
+                     row_number() OVER (PARTITION BY md5(trim(lower(l)))
+                                        ORDER BY doc_id, pos) AS rn
+              FROM lines),
+        kept AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(l, chr(10) ORDER BY pos) AS text
+                 FROM w WHERE rn = 1 GROUP BY doc_id)
+        SELECT ls.doc_id, CAST(len(ls.arr) AS INT) AS n_lines,
+               CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+               coalesce(k.text, '') AS text
+        FROM ls LEFT JOIN kept k USING (doc_id)
     """,
     "events_asof_forward": """
         WITH l AS (SELECT event_id, user_id, ts FROM events),

@@ -315,6 +315,67 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (C4/RefinedWeb-style curation)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove duplicate LINES across the whole corpus, keeping the first
+    occurrence — the exact line-level dedup used by public LLM curation
+    pipelines (C4 removes repeated lines/spans corpus-wide; RefinedWeb
+    does exact line dedup before fuzzy doc dedup).
+
+    First occurrence = smallest (doc id, line position); lines compare by
+    trimmed lowercase text when ``normalize`` (C4 normalizes before
+    hashing).  Returns one row per input document:
+    ``(id, n_lines, n_kept, text)`` with ``text`` the kept lines re-joined
+    by ``sep`` ('' when every line of a doc was seen earlier).
+
+    Scale shape: explode lines once; the winner per distinct line is ONE
+    ``min(struct(id, pos))`` hash-aggregate keyed by the line's md5
+    (map-side partial agg collapses each partition's duplicates before the
+    exchange); membership is an equi-join of the line table to that
+    winner table on the hash; the rebuild is one ``sort_array`` aggregate
+    per doc.  Three shuffles, all on high-cardinality keys (line hash,
+    doc id) — no broadcast of corpus-sized state, no driver collect.
+    """
+    norm = F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    ).withColumn("_h", F.md5(norm))
+    winners = lines.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("w"))
+    kept = lines.join(winners, "_h").filter(
+        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep, -1)).alias("n_lines"),
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
