@@ -457,6 +457,21 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation sampling: keep documents in deterministic hash
+    order until 20k cumulative tokens.  Distributed prefix-sum (bucketed
+    offsets + per-bucket window) — never a single global window partition."""
+    from entitymatchingmodel_spark.functions.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda x: x != ""
+    )
+    docs = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    out = token_budget_sample(docs, "doc_id", "n_tokens", budget=20000)
+    return out.select("doc_id", "n_tokens")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact line dedup (C4/RefinedWeb curation step): lines
     synthesized deterministically (newline after every 8 tokens — same
@@ -1048,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "supervised_score_only": q_supervised_score_only,
         "line_dedup": q_line_dedup,
+        "token_budget_sample": q_token_budget_sample,
         # --- tier 2: implementation changed in r4 ---
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
@@ -1066,7 +1082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_features": q_rank_features,
         "best_match": q_best_match,
         "agg_mean_score": q_agg_mean_score,
-        "agg_max_freq": q_agg_max_freq,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embed_near_pairs": q_embed_near_pairs,
@@ -1094,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
         # --- tail: operator covered by a checked sibling / rows-only ---
+        "agg_max_freq": q_agg_max_freq,              # sibling: agg_mean_score
         "events_windowed": q_events_windowed,        # sibling: events_sliding
         "simhash": q_simhash,                        # sibling: simhash_near_pairs
         "minhash_signatures": q_minhash_signatures,  # sibling: minhash_lsh_pairs
@@ -1655,6 +1671,23 @@ _ORACLE = {
                CASE WHEN r.ts IS NOT NULL AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
                     THEN round(r.purchase_value, 6) END AS asof_purchase_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "token_budget_sample": """
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                                 x -> x <> '')) AS n_tokens,
+                 CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'budget',
+                      CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+                 / 268435456.0 AS h
+          FROM documents
+        ),
+        c AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+        FROM c WHERE cum <= 20000
     """,
     "line_dedup": r"""
         WITH d AS (

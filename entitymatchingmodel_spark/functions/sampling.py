@@ -34,6 +34,64 @@ def deterministic_sample(
     return df.filter(_unit_hash(F.col(key_col), salt) < fraction)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "budget",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Keep documents, in deterministic hash order, until their cumulative
+    ``weight_col`` (token count) reaches ``budget`` — the "sample a 1T-token
+    subset out of a 10T-token corpus" curation primitive.  A row is kept iff
+    the running total INCLUDING it is <= budget, walking rows by
+    (hash(key), key); the result is a fixed, auditable subset independent
+    of partitioning or engine.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a naive
+    ``sum() over (order by hash)`` collapses the corpus into one window
+    partition (single task).  Instead the hash's leading bits bucket rows
+    into ``n_buckets`` ordered ranges; per-bucket totals (one tiny
+    aggregate, ``n_buckets`` rows to the driver — bounded, like IVF
+    centroids) give each bucket's running offset, broadcast back; the
+    within-bucket cumulative sum is a window partitioned BY BUCKET, so the
+    heavy pass parallelizes across buckets.  Identical result to the
+    global window by construction (bucket boundaries respect hash order).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    h = _unit_hash(F.col(key_col), salt)
+    t = df.withColumn("_h", h).withColumn(
+        "_b", F.least(F.floor(F.col("_h") * n_buckets), F.lit(n_buckets - 1)).cast("int")
+    )
+    totals = {
+        r["_b"]: r["_t"]
+        for r in t.groupBy("_b").agg(F.sum(weight_col).alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += int(totals.get(b, 0) or 0)
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(b) for b in range(n_buckets)]),
+        F.array(*[F.lit(offsets[b]) for b in range(n_buckets)]),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = off_map[F.col("_b")] + F.sum(weight_col).over(w)
+    return (
+        t.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= budget)
+        .drop("_h", "_b", "_cum")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -67,3 +67,38 @@ def test_merge_abbr_known_cases():
     assert _merge_abbr_str("B. V.") == "BV"
     assert _merge_abbr_str("plain words here") == "plain words here"
     assert re.sub(r"\s+", " ", _merge_abbr_str("A B C Consulting")).strip() == "ABC Consulting"
+
+
+def test_token_budget_sample_matches_global_window(spark):
+    """The bucketed distributed prefix-sum must equal the naive global
+    window cumsum for any budget; boundary doc (the one crossing the
+    budget) excluded."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.functions.sampling import (
+        _unit_hash,
+        token_budget_sample,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    naive_w = Window.orderBy(
+        _unit_hash(F.col("doc_id"), "budget").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    for budget in (0, 137, 2500, 10**9):
+        naive = {
+            r["doc_id"]
+            for r in df.withColumn("c", F.sum("w").over(naive_w))
+            .filter(F.col("c") <= budget).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(df, "doc_id", "w", budget, n_buckets=16).collect()
+        }
+        assert got == naive, budget
+    assert token_budget_sample(df, "doc_id", "w", 10**9).count() == 400
