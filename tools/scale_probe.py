@@ -103,11 +103,30 @@ def main():
             q = emb.filter(F.col("vec_id") < 20)
             return cosine_topk(q, emb_inf, "vec_id", "embedding", k=5)
 
+        def linededup():
+            from entitymatchingmodel_spark.operators.dedup import line_dedup
+            multi = d.select(
+                "doc_id",
+                F.regexp_replace("text", r"(([^ ]+ ){8})", "$1\n").alias("text"),
+            )
+            return line_dedup(multi, "doc_id", "text")
+
+        def budget():
+            from entitymatchingmodel_spark.functions.sampling import (
+                token_budget_sample,
+            )
+            toks = F.filter(F.split(F.col("text"), "[^a-zA-Z0-9]+"),
+                            lambda x: x != "")
+            wdf = d.select("doc_id", F.size(toks).alias("w"))
+            return token_budget_sample(wdf, "doc_id", "w", budget=2_000_000)
+
         run("cossim_inverted", cossim)
         run("cossim_broadcast", cossim_bc)
         run("sni", sni)
         run("minhash_lsh", minhash)
         run("ann_gemm_topk", ann)
+        run("line_dedup", linededup)
+        run("token_budget", budget)
 
     print("\nscaling ratios (vs 1x):")
     for name, ts in results.items():
