@@ -110,17 +110,18 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_unique"),
+        # arrays_zip of the two shifted slices instead of per-element
+        # element_at lookups inside an interpreted HOF — same output
+        # (NULL when <2 tokens), measured severalfold faster (see
+        # operators/dedup.word_shingles for the pattern rationale)
         F.when(
             F.size(toks) >= 2,
-            F.filter(
-                F.transform(
-                    toks,
-                    lambda _, i: F.when(
-                        i + 2 <= F.size(toks),
-                        F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-                    ),
+            F.transform(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("0"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("1"),
                 ),
-                lambda x: x.isNotNull(),
+                lambda s: F.concat_ws(" ", s["0"], s["1"]),
             ),
         ).alias("_bigrams"),
     )
