@@ -308,3 +308,56 @@ def test_interval_join_auto_bucket_bounds_explode(spark):
            interval_join(points, ivs, "user_id", "ts", "s", "e").collect()}
     assert got == {("2024-03-01T12:00:00", 2),
                    ("2024-01-01T00:30:00", 1), ("2024-01-01T00:30:00", 2)}
+
+
+def test_asof_join_matches_pandas_merge_asof_random(spark):
+    """All three directions (with and without tolerance) must reproduce
+    pandas merge_asof — the public reference semantics — on random data
+    with duplicate left timestamps and multiple keys."""
+    import random
+
+    import pandas as pd
+
+    from entitymatchingmodel_spark.operators.events import asof_join
+
+    rng = random.Random(17)
+    base = pd.Timestamp("2024-01-01")
+    left_rows = [
+        (i, rng.randint(1, 4), base + pd.Timedelta(seconds=rng.randint(0, 5000)))
+        for i in range(120)
+    ]
+    right_rows = []
+    seen = set()
+    for _ in range(60):
+        k = (rng.randint(1, 5), base + pd.Timedelta(seconds=rng.randint(0, 5000)))
+        if k in seen:
+            continue
+        seen.add(k)
+        right_rows.append((*k, rng.random()))
+
+    lpdf = pd.DataFrame(left_rows, columns=["event_id", "key", "ts"])
+    rpdf = pd.DataFrame(right_rows, columns=["key", "ts", "value"])
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 600):
+            want_df = pd.merge_asof(
+                lpdf.sort_values("ts", kind="mergesort"),
+                rpdf.sort_values("ts", kind="mergesort"),
+                on="ts", by="key", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            want = {
+                r.event_id: (None if pd.isna(r.value) else round(r.value, 9))
+                for r in want_df.itertuples()
+            }
+            got_df = asof_join(
+                left, right, "key", "ts", ["value"],
+                tolerance_seconds=tol, direction=direction,
+            ).collect()
+            got = {
+                r["event_id"]: (None if r["asof_value"] is None else round(r["asof_value"], 9))
+                for r in got_df
+            }
+            assert got == want, (direction, tol)
