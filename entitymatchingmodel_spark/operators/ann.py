@@ -135,6 +135,13 @@ def ivf_topk(
     ``score_decimals`` rounds every cosine (assignment, probe, final) BEFORE
     its rank window — float-summation-order noise can then never flip a
     bucket choice or the top-k set (round-before-rank, SURVEY §4 X15).
+
+    Plan note: the centroid assignment is a ``crossJoin`` against the
+    broadcast ``nlist``-row centroid table, which Spark prints as a
+    BroadcastNestedLoopJoin.  That is the INTENDED linear plan — the build
+    side is bounded at ``nlist`` rows, so the "nested loop" is one corpus
+    scan with nlist dot products per row, not a quadratic pair join
+    (tools/plan_audit.py whitelists it by name).
     """
     from entitymatchingmodel_spark.functions.sampling import _unit_hash
     def l2_normalize(df: DataFrame, vcol: str) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Plan-shape sweep over every contract query.
+
+For each `__spark_entry__.queries()` entry, builds the DataFrame at a small
+SF and reports shuffle-exchange count, broadcast-join count, and nested-
+loop/cartesian flags from the physical plan.  A BroadcastNestedLoopJoin or
+CartesianProduct anywhere is reported as a FAIL — at 100 TB those are
+quadratic; every join in this engine is expected to be an equi-join (hash/
+sort-merge/broadcast-hash).
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any query plans a nested loop / cartesian product.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    from entitymatchingmodel_spark.plans import (
+        broadcast_join_count,
+        exchange_count,
+        explain_str,
+    )
+    from entitymatchingmodel_spark.session import get_spark
+
+    spec = importlib.util.spec_from_file_location(
+        "e", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    print(f"{'query':30s} {'exchanges':>9s} {'broadcasts':>10s}  flags")
+    for name, fn in mod.queries().items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = explain_str(df)
+            flags = []
+            if "BroadcastNestedLoop" in plan or "CartesianProduct" in plan:
+                # Documented exceptions where a cross product is the intended
+                # LINEAR plan: the guarded naive indexer (SURVEY §2.5 J4) and
+                # the IVF centroid assignment (corpus x nlist centroids — the
+                # build side is a bounded nlist-row broadcast, so the "nested
+                # loop" is a linear scan with nlist dot products per row).
+                if name in ("naive_pairs", "ivf_topk"):
+                    flags.append("bounded cross-join (documented)")
+                else:
+                    flags.append("NESTED-LOOP <-- FAIL")
+                    bad += 1
+            print(f"{name:30s} {exchange_count(df):9d} {broadcast_join_count(df):10d}  {' '.join(flags)}")
+        except Exception as e:  # pragma: no cover - diagnostic tool
+            print(f"{name:30s} ERROR: {str(e)[:90]}")
+            bad += 1
+    print(f"\n{bad} problem(s)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
