@@ -2,6 +2,7 @@ from entitymatchingmodel_spark.streaming.dedup import (
     drop_exact_duplicates_stream,
     sessionize_stream,
 )
+from entitymatchingmodel_spark.streaming.join import stream_time_bounded_join
 from entitymatchingmodel_spark.streaming.stateful import running_totals
 from entitymatchingmodel_spark.streaming.transform import (
     match_stream,
@@ -14,4 +15,5 @@ __all__ = [
     "running_totals",
     "drop_exact_duplicates_stream",
     "sessionize_stream",
+    "stream_time_bounded_join",
 ]

@@ -151,3 +151,64 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in got
     }
     assert streamed == batch, (streamed, batch)
+
+
+def test_stream_time_bounded_join_matches_batch(spark, tmp_path):
+    """Stream-stream event-time join (watermarked, time-bounded condition —
+    the bounded-state shape) must agree with the equivalent batch join."""
+    import os
+
+    from entitymatchingmodel_spark.streaming import stream_time_bounded_join
+
+    ev = [
+        (1, "2024-01-01 00:10:00"), (1, "2024-01-01 01:30:00"),
+        (2, "2024-01-01 00:20:00"),
+    ]
+    pur = [
+        (1, "2024-01-01 00:00:00", 5.0),   # within 1h of 00:10
+        (1, "2024-01-01 01:00:00", 7.0),   # within 1h of 01:30
+        (2, "2024-01-01 02:00:00", 9.0),   # after 00:20 -> no match
+    ]
+    lpdf = spark.createDataFrame(ev, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    rpdf = spark.createDataFrame(pur, "user_id long, r_ts string, value double").withColumn(
+        "r_ts", F.col("r_ts").cast("timestamp"))
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc); os.makedirs(rsrc)
+    lpdf.coalesce(1).write.mode("overwrite").parquet(lsrc)
+    rpdf.coalesce(1).write.mode("overwrite").parquet(rsrc)
+
+    batch = {
+        (r["user_id"], str(r["ts"]), r["value"])
+        for r in lpdf.join(
+            rpdf,
+            (lpdf.user_id == rpdf.user_id)
+            & (rpdf.r_ts >= lpdf.ts - F.expr("INTERVAL 3600 seconds"))
+            & (rpdf.r_ts <= lpdf.ts),
+        ).select(lpdf.user_id, "ts", "value").collect()
+    }
+    assert batch == {(1, "2024-01-01 00:10:00", 5.0), (1, "2024-01-01 01:30:00", 7.0)}
+
+    ls = spark.readStream.schema("user_id long, ts timestamp").parquet(lsrc)
+    rs = spark.readStream.schema("user_id long, r_ts timestamp, value double").parquet(rsrc)
+    joined = stream_time_bounded_join(ls, rs, "user_id", lookback_seconds=3600)
+    got = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {(r["user_id"], str(r["ts"]), r["value"]) for r in got}
+    assert streamed == batch
+
+
+def test_stream_time_bounded_join_requires_streams(spark):
+    from entitymatchingmodel_spark.streaming import stream_time_bounded_join
+
+    static = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="streaming"):
+        stream_time_bounded_join(static, static, "user_id")
