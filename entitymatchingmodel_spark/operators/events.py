@@ -181,6 +181,9 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    reserved = {"_tag", "_r", "_m", "_mb", "_mf"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"asof_join reserves column names {sorted(reserved)}; rename them")
     lcols = [c for c in left.columns]
     # One struct per right row: non-null exactly for right rows, so
     # last(_r, ignorenulls=True) returns the whole matched row at once.
