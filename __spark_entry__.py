@@ -744,23 +744,29 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a harness-side device only, the aggregation itself is the bounded-state
     streaming plan documented in streaming/dedup.py.
     """
+    import hashlib
+
+    from entitymatchingmodel_spark.operators.events import normalize_event_ts
     from entitymatchingmodel_spark.streaming import sessionize_stream
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    static = spark.read.parquet(src)
     # The file stream source requires a DIRECTORY (testdata ships events as
-    # a single parquet file); expose it through a stable symlink dir.
-    src_dir = f"/tmp/emm_stream_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    # a single parquet file); expose it through a symlink dir keyed by the
+    # FULL source path (two sf dirs sharing a basename must not collide),
+    # re-linking if a stale/dangling link points elsewhere.
+    src_dir = f"/tmp/emm_stream_src_{hashlib.md5(src.encode()).hexdigest()[:12]}"
     os.makedirs(src_dir, exist_ok=True)
     link = f"{src_dir}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = spark.readStream.schema(static.schema).parquet(src_dir)
-    if stream.schema["ts"].dataType.simpleString() == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    stream = normalize_event_ts(
+        spark.readStream.schema(static.schema).parquet(src_dir), "ts"
+    )
     sess = sessionize_stream(stream, gap_minutes=30)
     name = "q_streaming_sessions_sink"
     for q in spark.streams.active:

@@ -65,6 +65,12 @@ def token_budget_sample(
     t = df.withColumn("_h", h).withColumn(
         "_b", F.least(F.floor(F.col("_h") * n_buckets), F.lit(n_buckets - 1)).cast("int")
     )
+    # Persist: the totals collect below executes the full upstream lineage
+    # (often a whole-corpus tokenize); without the cache the returned plan
+    # would recompute it a second time when consumed.  Blocks live until
+    # LRU eviction or caller unpersist — same documented lifetime as
+    # ngram_jaccard_pairs' shingle cache.
+    t = t.persist()
     totals = {
         r["_b"]: r["_t"]
         for r in t.groupBy("_b").agg(F.sum(weight_col).alias("_t")).collect()

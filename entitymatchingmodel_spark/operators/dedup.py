@@ -349,9 +349,12 @@ def line_dedup(
     doc id) — no broadcast of corpus-sized state, no driver collect.
     """
     norm = F.trim(F.lower(F.col("line"))) if normalize else F.col("line")
+    # \Q...\E quotes the separator so regex metachars ('|', '.') split
+    # literally; the re-join below uses sep as a literal string.
+    sep_re = "\\Q" + sep + "\\E"
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
     ).withColumn("_h", F.md5(norm))
     winners = lines.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("w"))
     kept = lines.join(winners, "_h").filter(
@@ -369,7 +372,7 @@ def line_dedup(
     )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep, -1)).alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep_re, -1)).alias("n_lines"),
     )
     return base.join(rebuilt, "id", "left").select(
         "id",
@@ -578,6 +581,13 @@ def _iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     session's checkpoint dir (``spark.sparkContext.setCheckpointDir`` —
     HDFS/object store on a cluster), surviving executor loss at the cost
     of a write per round.  Raises with guidance if no dir is set.
+
+    Checkpoint files from earlier rounds are NOT deleted by default —
+    Spark removes a reliable checkpoint only when the RDD is GC'd AND
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.  Set that
+    conf on long-lived clusters (or clean the checkpoint dir between
+    runs) so a many-round loop does not accumulate one snapshot per
+    round.
     """
     if not reliable:
         return df.localCheckpoint()

@@ -13,6 +13,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column from either testdata encoding:
+    nanos-as-long (``spark.sql.legacy.parquet.nanosAsLong``) -> micros
+    timestamp, or native timestamp/NTZ -> session-TZ timestamp.  Shared by
+    the batch reader and the streaming contract query so the two paths
+    cannot diverge."""
+    if df.schema[ts_col].dataType.simpleString() == "bigint":
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def load_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
     """Read an events parquet, MUTATING two session-wide confs as a side
     effect: ``spark.sql.legacy.parquet.nanosAsLong=true`` and
@@ -31,10 +42,7 @@ def load_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(path)
-    if ev.schema[ts_col].dataType.simpleString() == "bigint":
-        return ev.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
-    return ev.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return normalize_event_ts(spark.read.parquet(path), ts_col)
 
 
 def windowed_agg(
@@ -184,6 +192,10 @@ def asof_join(
     reserved = {"_tag", "_r", "_m", "_mb", "_mf"} & set(left.columns)
     if reserved:
         raise ValueError(f"asof_join reserves column names {sorted(reserved)}; rename them")
+    if "_ts" in value_cols:
+        raise ValueError(
+            "asof_join reserves '_ts' inside its match struct; rename the value column"
+        )
     lcols = [c for c in left.columns]
     # One struct per right row: non-null exactly for right rows, so
     # last(_r, ignorenulls=True) returns the whole matched row at once.
@@ -306,8 +318,14 @@ def interval_join(
     floored so the longest interval explodes to a bounded row count);
     pass an explicit value only when the duration profile is known.
     Bucket width never changes the RESULT — only the explode/join shape.
+    Auto-sizing runs an EAGER two-value aggregate at call time; the
+    interval side is persisted around it so its (possibly expensive)
+    lineage is computed once, not once for sizing and again for the join.
+    The cached blocks live until Spark's LRU evicts them or the caller
+    unpersists.
     """
     if bucket_minutes is None:
+        intervals = intervals.persist()
         bucket_us = _auto_bucket_us(intervals, start_col, end_col)
     else:
         bucket_us = bucket_minutes * 60 * 1_000_000

@@ -361,3 +361,12 @@ def test_asof_join_matches_pandas_merge_asof_random(spark):
                 for r in got_df
             }
             assert got == want, (direction, tol)
+
+
+def test_asof_join_reserved_value_col_raises(spark):
+    from entitymatchingmodel_spark.operators.events import asof_join
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "k long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join(df, df.withColumn("_ts", F.col("ts")), "k", "ts", ["_ts"])

@@ -36,3 +36,13 @@ def test_line_dedup_no_normalize(spark):
     )
     r = line_dedup(docs, "doc_id", "text", normalize=False).collect()[0]
     assert r["n_kept"] == 2
+
+
+def test_line_dedup_metachar_separator(spark):
+    """sep must split literally even when it is a regex metacharacter."""
+    docs = spark.createDataFrame(
+        [(1, "aa|bb|aa"), (2, "bb|cc")], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in line_dedup(docs, "doc_id", "text", sep="|").collect()}
+    assert got[1]["text"] == "aa|bb" and got[1]["n_lines"] == 3
+    assert got[2]["text"] == "cc"

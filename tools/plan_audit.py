@@ -17,7 +17,8 @@ import importlib.util
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -31,8 +32,7 @@ def main() -> int:
     from entitymatchingmodel_spark.session import get_spark
 
     spec = importlib.util.spec_from_file_location(
-        "e", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "__spark_entry__.py")
+        "e", os.path.join(_REPO, "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
