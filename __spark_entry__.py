@@ -472,6 +472,19 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (seq_len=512): documents
+    laid end-to-end in deterministic hash order, token stream cut into
+    fixed chunks, boundary docs split — one row per (chunk, doc) span.
+    Same distributed prefix-sum machinery as token_budget_sample."""
+    from entitymatchingmodel_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda x: x != "")
+    docs = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact line dedup (C4/RefinedWeb curation step): lines
     synthesized deterministically (newline after every 8 tokens — same
@@ -1070,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supervised_score_only": q_supervised_score_only,
         "line_dedup": q_line_dedup,
         "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
         # --- tier 2: implementation changed in r4 ---
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
@@ -1096,7 +1110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
         "topn_per_group": q_topn_per_group,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -1115,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
         # --- tail: operator covered by a checked sibling / rows-only ---
+        "tpch_q1_pricing": q_tpch_q1_pricing,        # filter/groupBy/agg covered by events_rollup, agg_*
         "agg_max_freq": q_agg_max_freq,              # sibling: agg_mean_score
         "events_windowed": q_events_windowed,        # sibling: events_sliding
         "simhash": q_simhash,                        # sibling: simhash_near_pairs
@@ -1694,6 +1708,31 @@ _ORACLE = {
               FROM t)
         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
         FROM c WHERE cum <= 20000
+    """,
+    "pack_sequences": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'pack',
+                      CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+                 / 268435456.0 AS h
+          FROM documents
+        ),
+        c AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t WHERE n_tokens > 0),
+        e AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS strt,
+                     unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                                  CAST((cum - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+              FROM c)
+        SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, n_tokens,
+               CAST(greatest(strt, chunk_id * 512) - strt AS BIGINT) AS doc_off,
+               CAST(greatest(strt, chunk_id * 512) - chunk_id * 512 AS BIGINT) AS chunk_off,
+               CAST(least(cum, (chunk_id + 1) * 512)
+                    - greatest(strt, chunk_id * 512) AS BIGINT) AS span_len
+        FROM e
     """,
     "line_dedup": r"""
         WITH d AS (

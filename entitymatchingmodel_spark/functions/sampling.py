@@ -61,15 +61,24 @@ def token_budget_sample(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    t = _bucketed_prefix_sum(df, key_col, weight_col, salt, n_buckets)
+    return t.filter(F.col("_cum") <= budget).drop("_h", "_b", "_cum")
+
+
+def _bucketed_prefix_sum(
+    df: DataFrame, key_col: str, weight_col: str, salt: str, n_buckets: int
+) -> DataFrame:
+    """df + ``_cum`` = running total of ``weight_col`` over the global
+    deterministic (hash(key), key) order — computed as a DISTRIBUTED
+    prefix sum: hash-range buckets, one tiny per-bucket totals aggregate
+    (``n_buckets`` rows to the driver), offsets broadcast back as a
+    literal map, within-bucket window partitioned BY BUCKET.  The input is
+    persisted (the totals job would otherwise recompute the upstream
+    lineage a second time when the returned plan is consumed)."""
     h = _unit_hash(F.col(key_col), salt)
     t = df.withColumn("_h", h).withColumn(
         "_b", F.least(F.floor(F.col("_h") * n_buckets), F.lit(n_buckets - 1)).cast("int")
     )
-    # Persist: the totals collect below executes the full upstream lineage
-    # (often a whole-corpus tokenize); without the cache the returned plan
-    # would recompute it a second time when consumed.  Blocks live until
-    # LRU eviction or caller unpersist — same documented lifetime as
-    # ngram_jaccard_pairs' shingle cache.
     t = t.persist()
     totals = {
         r["_b"]: r["_t"]
@@ -90,11 +99,64 @@ def token_budget_sample(
         .orderBy(F.col("_h").asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = off_map[F.col("_b")] + F.sum(weight_col).over(w)
-    return (
-        t.withColumn("_cum", cum)
-        .filter(F.col("_cum") <= budget)
-        .drop("_h", "_b", "_cum")
+    return t.withColumn("_cum", off_map[F.col("_b")] + F.sum(weight_col).over(w))
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    salt: str = "pack",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    data layout: documents are laid end-to-end in deterministic
+    (hash(key), key) order and the token stream is cut into fixed
+    ``seq_len`` chunks; a document whose token range straddles a boundary
+    is split across consecutive chunks.
+
+    Output: one row per (chunk, document) intersection —
+    ``(chunk_id, key, n_tokens, doc_off, chunk_off, span_len)``:
+    ``doc_off`` = where the span starts within the DOCUMENT,
+    ``chunk_off`` = where it starts within the CHUNK, ``span_len`` = how
+    many of the doc's tokens land in this chunk.  Summing ``span_len``
+    per chunk gives ``seq_len`` for every full chunk, so a data loader
+    can materialize training rows directly from this table.  Zero-token
+    documents are dropped (they occupy no token range).
+
+    Scale shape: the doc's global token offset is the same distributed
+    prefix sum as :func:`token_budget_sample` (bucketed offsets +
+    per-bucket windows); chunk membership is then a pure per-row
+    ``sequence(first_chunk, last_chunk)`` explode, bounded by
+    ceil(n_tokens/seq_len)+1 rows per doc.  No global window, no driver
+    materialization beyond the ``n_buckets`` totals.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    t = _bucketed_prefix_sum(
+        df.filter(F.col(n_tokens_col) > 0), key_col, n_tokens_col, salt, n_buckets
+    )
+    start = (F.col("_cum") - F.col(n_tokens_col)).alias("_start")
+    t = t.withColumn("_start", start).withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / seq_len),
+                F.floor((F.col("_cum") - 1) / seq_len),
+            )
+        ),
+    )
+    chunk_base = F.col("chunk_id") * seq_len
+    span_start = F.greatest(F.col("_start"), chunk_base)
+    span_end = F.least(F.col("_cum"), chunk_base + seq_len)
+    return t.select(
+        F.col("chunk_id").cast("long"),
+        F.col(key_col),
+        F.col(n_tokens_col),
+        (span_start - F.col("_start")).cast("long").alias("doc_off"),
+        (span_start - chunk_base).cast("long").alias("chunk_off"),
+        (span_end - span_start).cast("long").alias("span_len"),
     )
 
 

@@ -102,3 +102,57 @@ def test_token_budget_sample_matches_global_window(spark):
         }
         assert got == naive, budget
     assert token_budget_sample(df, "doc_id", "w", 10**9).count() == 400
+
+
+def test_pack_sequences_matches_naive_simulation(spark):
+    """Distributed concat-and-chunk packing must equal a sequential Python
+    simulation over the same deterministic order, and satisfy the packing
+    invariants (full chunks sum to seq_len; doc spans partition each doc)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.functions.sampling import (
+        pack_sequences,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, rng.randint(0, 300)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    L = 128
+    out = pack_sequences(df, "doc_id", "n", seq_len=L, n_buckets=8).collect()
+
+    # naive simulation in the same (hash, key) order
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            __import__("entitymatchingmodel_spark.functions.sampling",
+                       fromlist=["_unit_hash"])._unit_hash(F.col("doc_id"), "pack").alias("h"),
+        ).collect()
+    }
+    want = []
+    cum = 0
+    for did, n in sorted(rows, key=lambda r: (hs[r[0]], r[0])):
+        if n <= 0:
+            continue
+        start = cum
+        cum += n
+        for chunk in range(start // L, (cum - 1) // L + 1):
+            s, e = max(start, chunk * L), min(cum, (chunk + 1) * L)
+            want.append((chunk, did, n, s - start, s - chunk * L, e - s))
+    got = sorted((r["chunk_id"], r["doc_id"], r["n"], r["doc_off"],
+                  r["chunk_off"], r["span_len"]) for r in out)
+    assert got == sorted(want)
+
+    # invariants
+    total = sum(n for _, n in rows if n > 0)
+    per_chunk = {}
+    per_doc = {}
+    for c, d, n, doff, coff, sl in got:
+        per_chunk[c] = per_chunk.get(c, 0) + sl
+        per_doc[d] = per_doc.get(d, 0) + sl
+    full_chunks = total // L
+    for c, s in per_chunk.items():
+        assert s == (L if c < full_chunks else total % L)
+    assert all(per_doc[d] == n for d, n in rows if n > 0)
