@@ -120,6 +120,13 @@ def main():
             wdf = d.select("doc_id", F.size(toks).alias("w"))
             return token_budget_sample(wdf, "doc_id", "w", budget=2_000_000)
 
+        def pack():
+            from entitymatchingmodel_spark.functions.sampling import pack_sequences
+            toks = F.filter(F.split(F.col("text"), "[^a-zA-Z0-9]+"),
+                            lambda x: x != "")
+            wdf = d.select("doc_id", F.size(toks).cast("long").alias("w"))
+            return pack_sequences(wdf, "doc_id", "w", seq_len=512)
+
         run("cossim_inverted", cossim)
         run("cossim_broadcast", cossim_bc)
         run("sni", sni)
@@ -127,6 +134,7 @@ def main():
         run("ann_gemm_topk", ann)
         run("line_dedup", linededup)
         run("token_budget", budget)
+        run("pack_sequences", pack)
 
     print("\nscaling ratios (vs 1x):")
     for name, ts in results.items():
