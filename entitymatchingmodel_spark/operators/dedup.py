@@ -601,6 +601,49 @@ def _iter_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+class _loop_shuffle_partitions:
+    """Temporarily size ``spark.sql.shuffle.partitions`` to an iterative
+    loop's measured data volume (``rows // rows_per_partition + 2``, never
+    above the session setting), restoring the session value on exit.
+
+    Rationale: each loop round materializes eagerly, so every exchange
+    inherits the session-wide partition count — a 256-edge graph otherwise
+    pays 32-64 near-empty tasks per exchange per round, and fixed task
+    overhead dominates the loop (measured ~5s of pure scheduling at
+    sf0.1).  Sizing to the data keeps tiny graphs on a couple of tasks
+    while leaving large graphs at the session setting — the same
+    data-proportional sizing the supervised trainer applies before
+    boosting (supervised.py).
+
+    In the micro regime (sized target <= 4 partitions) AQE is also
+    switched off for the loop's duration: per-stage adaptive re-planning
+    is pure latency when each round chains ~8 shuffles over a few hundred
+    rows (measured ~25% of loop wall time), while at real data volumes
+    the target stays large and AQE remains ON for skew-join handling.
+    """
+
+    def __init__(self, spark, n_rows: int, rows_per_partition: int = 200_000):
+        self._spark = spark
+        self._old = spark.conf.get("spark.sql.shuffle.partitions")
+        self._target = max(2, min(int(self._old), n_rows // rows_per_partition + 2))
+        self._aqe = None
+
+    def __enter__(self):
+        conf = self._spark.conf
+        conf.set("spark.sql.shuffle.partitions", str(self._target))
+        if self._target <= 4:
+            self._aqe = conf.get("spark.sql.adaptive.enabled")
+            conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        conf = self._spark.conf
+        conf.set("spark.sql.shuffle.partitions", self._old)
+        if self._aqe is not None:
+            conf.set("spark.sql.adaptive.enabled", self._aqe)
+        return False
+
+
 def duplicate_clusters(
     ids: DataFrame,
     pairs: DataFrame,
@@ -633,30 +676,32 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
+    n_nodes = ids.count()
     labels = _iter_checkpoint(
         ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")),
         reliable_checkpoint,
     )
-    for _ in range(max_iterations):
-        neigh = (
-            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = _iter_checkpoint(
-            labels.join(neigh, "src", "left")
-            .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")),
-            reliable_checkpoint,
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "src")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    with _loop_shuffle_partitions(labels.sparkSession, n_nodes):
+        for _ in range(max_iterations):
+            neigh = (
+                edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            new_labels = _iter_checkpoint(
+                labels.join(neigh, "src", "left")
+                .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")),
+                reliable_checkpoint,
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "src")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     edges.unpersist()
     return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("cluster_id"))
 
@@ -720,18 +765,26 @@ def duplicate_clusters_star(
     # Exact fixed-point check, cheapened: both edge sets are distinct, so
     # equal counts + (new \ old) empty implies set equality — the exceptAll
     # job only runs in the (usually final) round where counts already match.
-    edges = _iter_checkpoint(small_star(large_star(sym)), reliable_checkpoint)
-    n_edges = edges.count()
-    for _ in range(max_iterations):
-        new_edges = _iter_checkpoint(small_star(large_star(edges)), reliable_checkpoint)
-        n_new = new_edges.count()
-        converged = (
-            n_new == n_edges
-            and new_edges.exceptAll(edges).limit(1).count() == 0
-        )
-        edges, n_edges = new_edges, n_new
-        if converged:
-            break
+    # Materialize + count sym first: the count sizes the loop's shuffle
+    # partitions (see _loop_shuffle_partitions) so EVERY star round —
+    # including the first, measured ~8x slower when run at the session
+    # partition count on a small graph — runs at data-proportional width.
+    n_sym = sym.count()
+    with _loop_shuffle_partitions(sym.sparkSession, n_sym):
+        edges = _iter_checkpoint(small_star(large_star(sym)), reliable_checkpoint)
+        n_edges = edges.count()
+        for _ in range(max_iterations):
+            new_edges = _iter_checkpoint(
+                small_star(large_star(edges)), reliable_checkpoint
+            )
+            n_new = new_edges.count()
+            converged = (
+                n_new == n_edges
+                and new_edges.exceptAll(edges).limit(1).count() == 0
+            )
+            edges, n_edges = new_edges, n_new
+            if converged:
+                break
     labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
     out = (
         ids.select(F.col(id_col).alias("u"))
