@@ -1,0 +1,90 @@
+"""End-to-end training-data curation stack — all operators composed.
+
+lang filter -> quality -> corpus line dedup -> minhash near-dup clusters
+(keep one per cluster) -> benchmark decontamination -> token-budget sample
+-> sequence packing, at sf0.001.  Asserts the monotone row-count contract
+of a filtering pipeline and bit-identical results across two runs (every
+stage is hash-deterministic by design).
+"""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_stack(spark):
+    from entitymatchingmodel_spark.functions.sampling import (
+        pack_sequences,
+        token_budget_sample,
+    )
+    from entitymatchingmodel_spark.functions.text import lang_id, quality_score
+    from entitymatchingmodel_spark.operators.decontaminate import (
+        benchmark_contamination,
+    )
+    from entitymatchingmodel_spark.operators.dedup import (
+        duplicate_clusters,
+        line_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    filtered = (
+        docs.filter(lang_id(F.col("text")) == "en")
+        .withColumn("q", quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.3)
+    )
+    n1 = filtered.count()
+
+    # corpus-wide line dedup over synthesized line breaks
+    multi = filtered.select(
+        "doc_id", F.regexp_replace("text", r"(([^ ]+ ){8})", "$1\n").alias("text")
+    )
+    deduped = line_dedup(multi, "doc_id", "text").filter(F.col("n_kept") > 0)
+    n2 = deduped.count()
+
+    # near-dup clustering, keep one representative per cluster
+    sigs = minhash_signatures(deduped, "id", "text", num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clusters = duplicate_clusters(deduped.select("id"), pairs)
+    keep = clusters.filter(F.col("id") == F.col("cluster_id")).select("id")
+    reps = deduped.join(keep, "id")
+    n3 = reps.count()
+
+    # decontaminate against a held-out slice
+    bench = docs.filter(F.pmod("doc_id", F.lit(20)) == 0)
+    cont = benchmark_contamination(reps, bench, "id", "text", ngram=5)
+    clean = reps.join(cont.filter(F.col("contamination") <= 0.5).select("id"), "id")
+    n4 = clean.count()
+
+    # budget-sample then pack
+    toks = F.filter(F.split(F.col("text"), "[^a-zA-Z0-9\\n]+"), lambda x: x != "")
+    weighted = clean.select("id", F.size(toks).cast("long").alias("n_tokens"))
+    sampled = token_budget_sample(weighted, "id", "n_tokens", budget=5_000)
+    n5 = sampled.count()
+    packed = pack_sequences(sampled, "id", "n_tokens", seq_len=128)
+    rows = sorted(
+        (r["chunk_id"], r["id"], r["doc_off"], r["chunk_off"], r["span_len"])
+        for r in packed.collect()
+    )
+    return (n0, n1, n2, n3, n4, n5), rows
+
+
+def test_curation_stack_composes_and_is_deterministic(spark):
+    counts1, rows1 = _run_stack(spark)
+    n0, n1, n2, n3, n4, n5 = counts1
+    # monotone filtering contract, with every stage retaining something
+    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 > 0
+    assert rows1, "packing produced no spans"
+    # full chunks carry exactly seq_len tokens
+    per_chunk = {}
+    for c, *_rest, sl in [(r[0], r[1], r[2], r[3], r[4]) for r in rows1]:
+        per_chunk[c] = per_chunk.get(c, 0) + sl
+    assert max(per_chunk.values()) <= 128
+
+    counts2, rows2 = _run_stack(spark)
+    assert counts2 == counts1 and rows2 == rows1, "stack must be deterministic"

@@ -84,3 +84,30 @@ def test_reliable_checkpoint_flag(spark, tmp_path):
         _check(spark, n, edges, duplicate_clusters, reliable_checkpoint=True)
     finally:
         spark.sparkContext.setCheckpointDir(old)
+
+
+def test_loop_shuffle_sizing_restores_confs(spark):
+    """Session confs (shuffle partitions, AQE) must be restored after the
+    sized loop, including on error."""
+    import pytest
+
+    from entitymatchingmodel_spark.operators.dedup import _loop_shuffle_partitions
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    with _loop_shuffle_partitions(spark, n_rows=10):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
+    assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+
+    with pytest.raises(RuntimeError):
+        with _loop_shuffle_partitions(spark, n_rows=10):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
+    assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+
+    # large-volume sizing keeps the session setting and leaves AQE on
+    with _loop_shuffle_partitions(spark, n_rows=100_000_000):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
+        assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
