@@ -1545,7 +1545,8 @@ _ORACLE = {
         WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
                        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
                      FROM documents),
-        hv AS (SELECT doc_id, CAST(concat('0x', substring(md5(token),1,7)) AS BIGINT) AS h FROM tok),
+        hv AS (SELECT doc_id, -- 8 hex chars = 32 bits: the hash must fill every simhash bit
+        CAST(concat('0x', substring(md5(token),1,8)) AS BIGINT) AS h FROM tok),
         bits AS (SELECT doc_id, i,
                         sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
                  FROM hv, generate_series(0,31) AS g(i) GROUP BY doc_id, i)
@@ -1574,7 +1575,8 @@ _ORACLE = {
         WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
                        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS token
                      FROM documents),
-        hv AS (SELECT doc_id, CAST(concat('0x', substring(md5(token),1,7)) AS BIGINT) AS h FROM tok),
+        hv AS (SELECT doc_id, -- 8 hex chars = 32 bits: the hash must fill every simhash bit
+        CAST(concat('0x', substring(md5(token),1,8)) AS BIGINT) AS h FROM tok),
         bits AS (SELECT doc_id, i,
                         sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
                  FROM hv, generate_series(0,31) AS g(i) GROUP BY doc_id, i),

@@ -41,6 +41,7 @@ def token_budget_sample(
     budget: int,
     salt: str = "budget",
     n_buckets: int = 256,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Keep documents, in deterministic hash order, until their cumulative
     ``weight_col`` (token count) reaches ``budget`` — the "sample a 1T-token
@@ -58,15 +59,27 @@ def token_budget_sample(
     within-bucket cumulative sum is a window partitioned BY BUCKET, so the
     heavy pass parallelizes across buckets.  Identical result to the
     global window by construction (bucket boundaries respect hash order).
+
+    ``key_col`` must be UNIQUE: duplicate keys order arbitrarily within
+    their identical (hash, key) tuple, making the budget-boundary rows
+    partition-layout dependent.  The input is persisted for the duration
+    of the sizing pass; pass ``persist_handles`` to receive the cached
+    DataFrame and unpersist it after the result is consumed.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    t = _bucketed_prefix_sum(df, key_col, weight_col, salt, n_buckets)
+    t = _bucketed_prefix_sum(df, key_col, weight_col, salt, n_buckets,
+                             persist_handles=persist_handles)
     return t.filter(F.col("_cum") <= budget).drop("_h", "_b", "_cum")
 
 
 def _bucketed_prefix_sum(
-    df: DataFrame, key_col: str, weight_col: str, salt: str, n_buckets: int
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str,
+    n_buckets: int,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """df + ``_cum`` = running total of ``weight_col`` over the global
     deterministic (hash(key), key) order — computed as a DISTRIBUTED
@@ -75,11 +88,16 @@ def _bucketed_prefix_sum(
     literal map, within-bucket window partitioned BY BUCKET.  The input is
     persisted (the totals job would otherwise recompute the upstream
     lineage a second time when the returned plan is consumed)."""
+    clash = {"_h", "_b", "_cum"} & set(df.columns)
+    if clash:
+        raise ValueError(f"prefix-sum operators reserve columns {sorted(clash)}; rename them")
     h = _unit_hash(F.col(key_col), salt)
     t = df.withColumn("_h", h).withColumn(
         "_b", F.least(F.floor(F.col("_h") * n_buckets), F.lit(n_buckets - 1)).cast("int")
     )
     t = t.persist()
+    if persist_handles is not None:
+        persist_handles.append(t)
     totals = {
         r["_b"]: r["_t"]
         for r in t.groupBy("_b").agg(F.sum(weight_col).alias("_t")).collect()
@@ -109,6 +127,7 @@ def pack_sequences(
     seq_len: int,
     salt: str = "pack",
     n_buckets: int = 256,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     data layout: documents are laid end-to-end in deterministic
@@ -131,11 +150,15 @@ def pack_sequences(
     ``sequence(first_chunk, last_chunk)`` explode, bounded by
     ceil(n_tokens/seq_len)+1 rows per doc.  No global window, no driver
     materialization beyond the ``n_buckets`` totals.
+
+    ``key_col`` must be UNIQUE (see :func:`token_budget_sample`);
+    ``persist_handles`` receives the cached prefix-sum input.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     t = _bucketed_prefix_sum(
-        df.filter(F.col(n_tokens_col) > 0), key_col, n_tokens_col, salt, n_buckets
+        df.filter(F.col(n_tokens_col) > 0), key_col, n_tokens_col, salt, n_buckets,
+        persist_handles=persist_handles,
     )
     start = (F.col("_cum") - F.col(n_tokens_col)).alias("_start")
     t = t.withColumn("_start", start).withColumn(

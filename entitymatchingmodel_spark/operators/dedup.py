@@ -226,7 +226,12 @@ def minhash_lsh_pairs(
     return pairs.select(
         "id_a",
         "id_b",
-        (match_cnt / F.lit(float(n))).alias("est_jaccard"),
+        # denominator = the signature length actually compared, NOT
+        # bands*rows_per_band: with num_hashes > bands*rows the banding
+        # examines a prefix but the estimate still uses every position.
+        # (num_hashes < bands*rows fails loudly at the band build: Spark 4
+        # ANSI element_at raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT.)
+        (match_cnt / F.size("sig_a").cast("double")).alias("est_jaccard"),
     )
 
 
@@ -357,28 +362,31 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
     ).withColumn("_h", F.md5(norm))
     winners = lines.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("w"))
-    kept = lines.join(winners, "_h").filter(
-        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
-    )
-    rebuilt = kept.groupBy("id").agg(
-        F.count("*").alias("n_kept"),
+    # One aggregation computes total AND kept-line stats per doc: every line
+    # keeps exactly one joined row (one winner per hash), is_kept marks the
+    # winners, and collect_list skips the NULLs of non-kept lines — so no
+    # separate n_lines scan of the input is needed (it would re-run the
+    # whole upstream lineage a second time just to count lines).
+    j = lines.join(winners, "_h")
+    is_kept = (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    agg = j.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(is_kept.cast("int")).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(F.when(is_kept, F.struct("pos", "line")))
+                ),
                 lambda s: s["line"],
             ),
             sep,
         ).alias("text"),
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), sep_re, -1)).alias("n_lines"),
-    )
-    return base.join(rebuilt, "id", "left").select(
+    return agg.select(
         "id",
         F.col("n_lines").cast("int").alias("n_lines"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        "text",
     )
 
 
@@ -681,6 +689,7 @@ def duplicate_clusters(
         ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")),
         reliable_checkpoint,
     )
+    converged = False
     with _loop_shuffle_partitions(labels.sparkSession, n_nodes):
         for _ in range(max_iterations):
             neigh = (
@@ -701,8 +710,16 @@ def duplicate_clusters(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "(component diameter exceeds max_iterations) — returning partial "
+            "labels would silently split clusters; raise max_iterations or "
+            "use duplicate_clusters_star (O(log n) rounds)."
+        )
     return labels.select(F.col("src").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
@@ -770,6 +787,7 @@ def duplicate_clusters_star(
     # including the first, measured ~8x slower when run at the session
     # partition count on a small graph — runs at data-proportional width.
     n_sym = sym.count()
+    converged = False
     with _loop_shuffle_partitions(sym.sparkSession, n_sym):
         edges = _iter_checkpoint(small_star(large_star(sym)), reliable_checkpoint)
         n_edges = edges.count()
@@ -785,6 +803,12 @@ def duplicate_clusters_star(
             edges, n_edges = new_edges, n_new
             if converged:
                 break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not reach its fixed point in "
+            f"{max_iterations} rounds — raise max_iterations (O(log n) "
+            "rounds normally suffice)."
+        )
     labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
     out = (
         ids.select(F.col(id_col).alias("u"))
@@ -815,10 +839,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     Docs with no tokens keep a row via ``explode_outer`` and hash to 0
     (votes 0 -> all bits 0), matching the previous semantics.
+
+    The per-token hash is ``bits`` wide (md5 hex prefix of ceil(bits/4)
+    chars) — a hash NARROWER than ``bits`` leaves the high vote bits
+    constant, which both degrades the fingerprint and collapses the high
+    bit-block of :func:`simhash_near_pairs` to a handful of buckets (a
+    quadratic join blowup at corpus scale).  ``bits`` is capped at 60 so
+    the hex-prefix integer stays inside a signed 64-bit long.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (hash must fill every bit)")
+    n_hex = (bits + 3) // 4
+    tok_hash = F.conv(F.substring(F.md5(F.col("_t")), 1, n_hex), 16, 10).cast("long")
+    if bits % 4:
+        tok_hash = F.pmod(tok_hash, F.lit(1 << bits))
     toks = F.array_distinct(word_tokens(F.lower(F.col(text_col))))
     ex = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("_t")).select(
-        "id", md5_int(F.col("_t")).alias("_h")
+        "id", tok_hash.alias("_h")
     )
     votes = ex.groupBy("id").agg(
         *[

@@ -196,6 +196,14 @@ def asof_join(
         raise ValueError(
             "asof_join reserves '_ts' inside its match struct; rename the value column"
         )
+    out_names = {"asof_ts"} | {f"asof_{v}" for v in value_cols}
+    clash = out_names & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join would emit duplicate columns {sorted(clash)} — the left "
+            "side already has them (chained as-of joins: rename the earlier "
+            "outputs or the value columns first)"
+        )
     lcols = [c for c in left.columns]
     # One struct per right row: non-null exactly for right rows, so
     # last(_r, ignorenulls=True) returns the whole matched row at once.
@@ -324,6 +332,9 @@ def interval_join(
     The cached blocks live until Spark's LRU evicts them or the caller
     unpersists.
     """
+    for side, name in ((points, "points"), (intervals, "intervals")):
+        if "_b" in side.columns:
+            raise ValueError(f"interval_join reserves column '_b'; rename it on {name}")
     if bucket_minutes is None:
         intervals = intervals.persist()
         bucket_us = _auto_bucket_us(intervals, start_col, end_col)

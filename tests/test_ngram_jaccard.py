@@ -103,3 +103,40 @@ def test_minhash_estimates_track_true_jaccard(spark):
     assert all(0.2 <= e <= 0.95 for e in ests), ests  # graded, never 1.0
     mean_est = sum(ests) / len(ests)
     assert abs(mean_est - 0.6) < 0.15, mean_est
+
+
+def test_simhash_high_bits_carry_entropy(spark):
+    """The per-token hash must fill every simhash bit: with a 28-bit hash
+    the top 4 of 32 bits were constant zero, collapsing the top LSH block
+    of simhash_near_pairs to 16 buckets (quadratic join at scale)."""
+    from entitymatchingmodel_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with words w{i} x{i*7} y{i*13}")
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    vals = [r["simhash"] for r in simhash(docs, "doc_id", "text", bits=32).collect()]
+    high = {v >> 28 for v in vals}
+    assert len(high) > 4, f"top-4-bit nibble shows no entropy: {high}"
+
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs, "doc_id", "text", bits=64)
+
+
+def test_cluster_loops_raise_on_non_convergence(spark):
+    """A chain longer than max_iterations must raise, not silently return
+    split clusters (the keep-one-per-cluster policy would otherwise keep
+    near-duplicates)."""
+    import pytest
+
+    from entitymatchingmodel_spark.operators.dedup import duplicate_clusters
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(ids, chain, max_iterations=3)
