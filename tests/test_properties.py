@@ -156,3 +156,76 @@ def test_pack_sequences_matches_naive_simulation(spark):
     for c, s in per_chunk.items():
         assert s == (L if c < full_chunks else total % L)
     assert all(per_doc[d] == n for d, n in rows if n > 0)
+
+
+def test_line_dedup_matches_python_reference_random(spark):
+    """Randomized corpora: distributed line dedup must equal a sequential
+    Python reference (first (doc, pos) occurrence of each normalized line
+    wins) including within-doc dups, case/space variants, and empty lines."""
+    import random
+
+    from entitymatchingmodel_spark.operators.dedup import line_dedup
+
+    rng = random.Random(31)
+    pool = [f"line {i}" for i in range(40)] + ["", "  SHARED  ", "shared"]
+    docs = [
+        (d, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 12))))
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_lines"], r["n_kept"], r["text"])
+        for r in line_dedup(df, "doc_id", "text").collect()
+    }
+
+    seen = set()
+    want = {}
+    for d, text in sorted(docs):
+        lines = text.split("\n")
+        kept = []
+        for ln in lines:
+            key = ln.strip().lower()
+            if key not in seen:
+                seen.add(key)
+                kept.append(ln)
+        want[d] = (len(lines), len(kept), "\n".join(kept))
+    assert got == want
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    """Randomized points/intervals: the bucketed equi-join must equal the
+    quadratic reference, across auto and explicit bucket sizes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.events import interval_join
+
+    rng = random.Random(37)
+    base = 1_700_000_000
+    points = [(i, rng.randint(1, 3), base + rng.randint(0, 50_000))
+              for i in range(150)]
+    ivs = []
+    for j in range(40):
+        s = base + rng.randint(0, 50_000)
+        ivs.append((j, rng.randint(1, 3), s, s + rng.randint(0, 20_000)))
+
+    pdf = spark.createDataFrame(points, "pid long, k long, ts_s long").withColumn(
+        "ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+    idf = spark.createDataFrame(ivs, "iv long, k long, s_s long, e_s long").withColumn(
+        "s", F.timestamp_seconds("s_s")).withColumn(
+        "e", F.timestamp_seconds("e_s")).drop("s_s", "e_s")
+
+    want = {
+        (p, j)
+        for p, pk, pts in points
+        for j, ik, s, e in ivs
+        if pk == ik and s <= pts <= e
+    }
+    for bm in (None, 1, 60):
+        got = {
+            (r["pid"], r["iv"])
+            for r in interval_join(pdf, idf, "k", "ts", "s", "e",
+                                   bucket_minutes=bm).collect()
+        }
+        assert got == want, bm
