@@ -885,6 +885,12 @@ def simhash_near_pairs(
     ``materialize=True`` persists the signature input before the self-join
     (both join sides would otherwise recompute it — same rationale as
     minhash_lsh_pairs / ngram_jaccard_pairs)."""
+    if bits % blocks:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into blocks ({blocks}); a "
+            "truncated chunk would leave high bits outside every block key "
+            "and silently miss near-pairs"
+        )
     if materialize:
         sim = sim.persist()
     chunk = bits // blocks
