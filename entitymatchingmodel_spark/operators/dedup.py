@@ -6,9 +6,11 @@ designed so the shuffle keys are the dedup buckets themselves (band hashes /
 shingles), which is the scalable formulation at 100 TB: no pairwise O(n²)
 stage ever materializes beyond candidate buckets.
 
-Deterministic hashing uses md5-derived 28-bit integers
-(``conv(substr(md5(x),1,7),16,10)``) so results are reproducible across
-engines (DuckDB oracle: ``cast('0x'||substr(md5(x),1,7) as bigint)``).
+Deterministic hashing derives integers from md5 hex prefixes
+(``conv(substr(md5(x),1,k),16,10)``) so results are reproducible across
+engines (DuckDB oracle: ``cast('0x'||substr(md5(x),1,k) as bigint)``):
+28-bit (k=7) for minhash/shingle ids, width-matched k=ceil(bits/4) for
+simhash so every fingerprint bit carries entropy.
 """
 
 from __future__ import annotations
