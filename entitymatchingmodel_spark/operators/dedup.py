@@ -160,6 +160,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     materialize: bool = True,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: (id_a, id_b, est_jaccard).
 
@@ -181,6 +182,8 @@ def minhash_lsh_pairs(
     n = bands * rows_per_band
     if materialize:
         sigs = sigs.persist()
+        if persist_handles is not None:
+            persist_handles.append(sigs)
     # explode_outer, not explode: the band array is fixed-length (never
     # empty), and inner explode makes Spark infer a size>0 filter whose
     # pushdown re-inlines the whole signature expression into a second
@@ -878,7 +881,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 def simhash_near_pairs(
     sim: DataFrame, bits: int = 32, max_hamming: int = 3, blocks: int = 4,
-    materialize: bool = True,
+    materialize: bool = True, persist_handles: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on bit-chunks (pigeonhole: a pair
     within max_hamming <= blocks-1 differing bits must agree on >= 1 block),
@@ -895,6 +898,8 @@ def simhash_near_pairs(
         )
     if materialize:
         sim = sim.persist()
+        if persist_handles is not None:
+            persist_handles.append(sim)
     chunk = bits // blocks
     mask = (1 << chunk) - 1
     banded = sim.select(
