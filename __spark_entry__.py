@@ -1085,7 +1085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_asof_forward": q_events_asof_forward,
         "streaming_sessions": q_streaming_sessions,
-        "supervised_score_only": q_supervised_score_only,
         "line_dedup": q_line_dedup,
         "token_budget_sample": q_token_budget_sample,
         "pack_sequences": q_pack_sequences,
@@ -1132,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cossim_char_blocked": q_cossim_char_blocked,
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
+        # last of the checked set: its first call trains the GBT, whose GC
+        # shadow would otherwise skew the queries timed right after it
+        "supervised_score_only": q_supervised_score_only,
         # --- tail: operator covered by a checked sibling / rows-only ---
         "tpch_q1_pricing": q_tpch_q1_pricing,        # filter/groupBy/agg covered by events_rollup, agg_*
         "agg_max_freq": q_agg_max_freq,              # sibling: agg_mean_score
