@@ -4,12 +4,32 @@ line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is executed to completion JVM-side via the noop sink (no
 driver-collect overhead polluting the measurement).
+
+ORDER-INSENSITIVE by construction (round 5): r4 showed that per-query
+medians move 2-3x with NO code change when the `queries()` dict order
+changes (ivf_topk 2.06->5.32s after being moved to run right behind the
+5.8s simhash_near_pairs self-join) — adjacency effects (heap/GC shadow of
+the previous query, lingering cached blocks, streaming warm-up) were being
+charged to whichever query happened to run next.  Three countermeasures:
+
+- each repeat runs ALL queries in a different seeded-shuffled order, so no
+  query sees the same predecessor twice and the per-query median is taken
+  across three different adjacency contexts;
+- `spark.catalog.clearCache()` before every timed run evicts any cached
+  blocks a previous query leaked (persist handles, LRU leftovers), so no
+  query pays another query's eviction;
+- an explicit JVM GC before every timed run, so a heap full of the
+  previous query's garbage is collected on the bench's dime, not inside
+  the next query's measurement.
+
+See BENCH_NOTES.md for the experiment that pinned the mechanism.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import statistics
 import sys
 import time
@@ -46,16 +66,26 @@ def main() -> None:
 
     # Median-of-N per query: single-shot timings on a shared box are noise-
     # dominated (observed 1.9s<->17.4s swings on identical code between
-    # rounds); the median makes round-over-round deltas meaningful.
+    # rounds); the median makes round-over-round deltas meaningful.  Each
+    # repeat shuffles the execution order (seeded — reproducible), so the
+    # median also spans three different adjacency contexts (see module
+    # docstring).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        runs = []
-        for _ in range(repeats):
+    qs = E.queries()
+    runs: dict[str, list[float]] = {name: [] for name in qs}
+    jvm_system = spark.sparkContext._jvm.System
+    for r in range(repeats):
+        order = list(qs)
+        random.Random(r).shuffle(order)
+        for name in order:
+            spark.catalog.clearCache()
+            jvm_system.gc()
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.time() - t0)
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in runs.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

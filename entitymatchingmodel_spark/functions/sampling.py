@@ -42,6 +42,7 @@ def token_budget_sample(
     salt: str = "budget",
     n_buckets: int = 256,
     persist_handles: list | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Keep documents, in deterministic hash order, until their cumulative
     ``weight_col`` (token count) reaches ``budget`` — the "sample a 1T-token
@@ -62,14 +63,18 @@ def token_budget_sample(
 
     ``key_col`` must be UNIQUE: duplicate keys order arbitrarily within
     their identical (hash, key) tuple, making the budget-boundary rows
-    partition-layout dependent.  The input is persisted for the duration
-    of the sizing pass; pass ``persist_handles`` to receive the cached
-    DataFrame and unpersist it after the result is consumed.
+    partition-layout dependent.  ``validate=True`` enforces this with one
+    extra aggregate over the (already persisted) input — a loud
+    ``ValueError`` instead of a silently nondeterministic boundary; off by
+    default because the check costs a full groupBy pass.  The input is
+    persisted for the duration of the sizing pass; pass ``persist_handles``
+    to receive the cached DataFrame and unpersist it after the result is
+    consumed.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
     t = _bucketed_prefix_sum(df, key_col, weight_col, salt, n_buckets,
-                             persist_handles=persist_handles)
+                             persist_handles=persist_handles, validate=validate)
     return t.filter(F.col("_cum") <= budget).drop("_h", "_b", "_cum")
 
 
@@ -80,6 +85,7 @@ def _bucketed_prefix_sum(
     salt: str,
     n_buckets: int,
     persist_handles: list | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """df + ``_cum`` = running total of ``weight_col`` over the global
     deterministic (hash(key), key) order — computed as a DISTRIBUTED
@@ -87,7 +93,10 @@ def _bucketed_prefix_sum(
     (``n_buckets`` rows to the driver), offsets broadcast back as a
     literal map, within-bucket window partitioned BY BUCKET.  The input is
     persisted (the totals job would otherwise recompute the upstream
-    lineage a second time when the returned plan is consumed)."""
+    lineage a second time when the returned plan is consumed).
+    ``validate=True`` raises if ``key_col`` is not unique (one extra
+    aggregate over the persisted input, short-circuiting at the first
+    duplicate)."""
     clash = {"_h", "_b", "_cum"} & set(df.columns)
     if clash:
         raise ValueError(f"prefix-sum operators reserve columns {sorted(clash)}; rename them")
@@ -98,6 +107,18 @@ def _bucketed_prefix_sum(
     t = t.persist()
     if persist_handles is not None:
         persist_handles.append(t)
+    if validate:
+        dup = (
+            t.groupBy(key_col).agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"prefix-sum key column {key_col!r} is not unique (e.g. "
+                f"{dup[0][key_col]!r} appears {dup[0]['_n']} times); duplicate "
+                "keys make the deterministic order — and the budget/chunk "
+                "boundary — partition-layout dependent"
+            )
     totals = {
         r["_b"]: r["_t"]
         for r in t.groupBy("_b").agg(F.sum(weight_col).alias("_t")).collect()
@@ -128,6 +149,7 @@ def pack_sequences(
     salt: str = "pack",
     n_buckets: int = 256,
     persist_handles: list | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     data layout: documents are laid end-to-end in deterministic
@@ -151,14 +173,15 @@ def pack_sequences(
     ceil(n_tokens/seq_len)+1 rows per doc.  No global window, no driver
     materialization beyond the ``n_buckets`` totals.
 
-    ``key_col`` must be UNIQUE (see :func:`token_budget_sample`);
+    ``key_col`` must be UNIQUE (see :func:`token_budget_sample`;
+    ``validate=True`` enforces it with one extra aggregate);
     ``persist_handles`` receives the cached prefix-sum input.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     t = _bucketed_prefix_sum(
         df.filter(F.col(n_tokens_col) > 0), key_col, n_tokens_col, salt, n_buckets,
-        persist_handles=persist_handles,
+        persist_handles=persist_handles, validate=validate,
     )
     start = (F.col("_cum") - F.col(n_tokens_col)).alias("_start")
     t = t.withColumn("_start", start).withColumn(

@@ -9,8 +9,41 @@ rule is identical; the streaming variant needs only a watermark).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of a ``with`` block, restoring
+    each to its prior value (or unsetting it if it was unset) on exit.
+    Conf keys use ``__`` as the ``.`` separator so they can be passed as
+    Python keywords: ``scoped_conf(spark, spark__sql__session__timeZone="UTC")``.
+
+    Restores happen even on exception.  Note that Spark confs are read at
+    different times per conf — analysis-time confs (e.g. the parquet
+    nanosAsLong flag) are safe to scope around an eager ``spark.read``;
+    execution-time confs (e.g. the session time zone for window/date
+    expressions) must still be set when the downstream LAZY plan actually
+    runs, so scoping them around only the read would change results."""
+    saved: dict[str, str | None] = {}
+    try:
+        for k, v in confs.items():
+            key = k.replace("__", ".")
+            try:
+                saved[key] = spark.conf.get(key)
+            except Exception:
+                saved[key] = None
+            spark.conf.set(key, v)
+        yield spark
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -24,25 +57,35 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
 
-def load_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
-    """Read an events parquet, MUTATING two session-wide confs as a side
-    effect: ``spark.sql.legacy.parquet.nanosAsLong=true`` and
-    ``spark.sql.session.timeZone=UTC``.  Any later query in the same
-    session with local-time semantics will see UTC; call sites that need a
-    different TZ must restore it themselves.
+def load_events(
+    spark: SparkSession, path: str, ts_col: str = "ts", utc: bool = True
+) -> DataFrame:
+    """Read an events parquet, handling both testdata encodings seen
+    across driver rounds:
 
-    Handles both testdata encodings seen across driver rounds:
     - TIMESTAMP(NANOS) parquet, which Spark's vectorized reader rejects —
       read nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
       convert to micros;
     - TIMESTAMP(MICROS)/NTZ parquet — read natively and cast to the
       session-TZ timestamp type.
 
-    Pins the session TZ to UTC so wall times match naive oracle timestamps.
+    Conf hygiene: ``nanosAsLong`` is an ANALYSIS-time conf — it is scoped
+    to the eager ``spark.read`` below and restored before returning (the
+    resolved scan keeps its behavior), so it never bleeds into later
+    parquet reads in the session.  The session time zone, by contrast, is
+    read when the downstream LAZY plan executes — restoring it here would
+    silently shift window/date_trunc results at action time — so with the
+    default ``utc=True`` it is pinned to UTC session-wide (matching
+    :func:`session.get_spark`'s session-creation default, i.e. a no-op in
+    sessions built by this package) so wall times match naive oracle
+    timestamps.  Pass ``utc=False`` to leave the session TZ untouched, or
+    use :func:`scoped_conf` for block-scoped control.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return normalize_event_ts(spark.read.parquet(path), ts_col)
+    with scoped_conf(spark, spark__sql__legacy__parquet__nanosAsLong="true"):
+        df = spark.read.parquet(path)
+    if utc:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_event_ts(df, ts_col)
 
 
 def windowed_agg(
@@ -309,6 +352,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_minutes: int | None = None,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Range join: each point row matched to every interval row of the same
     key with ``start <= ts <= end`` (inclusive).
@@ -329,14 +373,18 @@ def interval_join(
     Auto-sizing runs an EAGER two-value aggregate at call time; the
     interval side is persisted around it so its (possibly expensive)
     lineage is computed once, not once for sizing and again for the join.
-    The cached blocks live until Spark's LRU evicts them or the caller
-    unpersists.
+    Pass ``persist_handles`` (a list) to receive the cached DataFrame and
+    ``unpersist()`` it once the join result is consumed — the same
+    convention as the minhash/ngram/simhash pair joins; without it the
+    cached blocks live until Spark's LRU evicts them.
     """
     for side, name in ((points, "points"), (intervals, "intervals")):
         if "_b" in side.columns:
             raise ValueError(f"interval_join reserves column '_b'; rename it on {name}")
     if bucket_minutes is None:
         intervals = intervals.persist()
+        if persist_handles is not None:
+            persist_handles.append(intervals)
         bucket_us = _auto_bucket_us(intervals, start_col, end_col)
     else:
         bucket_us = bucket_minutes * 60 * 1_000_000

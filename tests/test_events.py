@@ -370,3 +370,56 @@ def test_asof_join_reserved_value_col_raises(spark):
         "ts", F.col("ts").cast("timestamp"))
     with pytest.raises(ValueError, match="_ts"):
         asof_join(df, df.withColumn("_ts", F.col("ts")), "k", "ts", ["_ts"])
+
+
+def test_scoped_conf_restores_prior_values(spark):
+    from entitymatchingmodel_spark.operators.events import scoped_conf
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with scoped_conf(spark, spark__sql__session__timeZone="America/New_York"):
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # restore runs on exception too
+    with pytest.raises(RuntimeError):
+        with scoped_conf(spark, spark__sql__session__timeZone="America/New_York"):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_load_events_scopes_nanos_conf_and_still_executes(spark):
+    """The analysis-time nanosAsLong flag must not bleed past load_events,
+    and the returned (lazy) frame must still execute after the restore."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ev = load_events(spark, f"{SF_DIR}/events.parquet")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    assert ev.count() > 0
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    # utc=False leaves the session TZ untouched
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    load_events(spark, f"{SF_DIR}/events.parquet", utc=False)
+    assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_interval_join_persist_handles_no_leak(spark):
+    """Auto-bucket mode persists the interval side; the handle must come
+    back through persist_handles and unpersist must actually release it."""
+    from entitymatchingmodel_spark.operators.events import interval_join
+
+    ivs = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "user_id long, iv_id long, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp"))
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    handles = []
+    out = interval_join(points, ivs, "user_id", "ts", "s", "e",
+                        persist_handles=handles)
+    assert out.count() == 1
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory
+    for h in handles:
+        h.unpersist(blocking=True)
+    assert handles[0].storageLevel.useMemory is False

@@ -2,6 +2,7 @@
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -229,3 +230,24 @@ def test_interval_join_matches_bruteforce_random(spark):
                                    bucket_minutes=bm).collect()
         }
         assert got == want, bm
+
+
+def test_prefix_sum_validate_rejects_duplicate_keys(spark):
+    from entitymatchingmodel_spark.functions.sampling import (
+        pack_sequences,
+        token_budget_sample,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 5)], "doc_id long, w long"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        token_budget_sample(dup, "doc_id", "w", budget=100, validate=True)
+    with pytest.raises(ValueError, match="not unique"):
+        pack_sequences(dup, "doc_id", "w", seq_len=8, validate=True)
+    # unique keys pass with validation on, same result as without
+    uniq = spark.createDataFrame([(1, 10), (2, 5), (3, 7)], "doc_id long, w long")
+    a = sorted(r["doc_id"] for r in token_budget_sample(uniq, "doc_id", "w", 100).collect())
+    b = sorted(r["doc_id"] for r in
+               token_budget_sample(uniq, "doc_id", "w", 100, validate=True).collect())
+    assert a == b == [1, 2, 3]
