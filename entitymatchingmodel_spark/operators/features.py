@@ -523,24 +523,33 @@ def vocabulary_features_joined(
     name_col: str = "preprocessed",
     gt_name_col: str = "gt_preprocessed",
     decimals: int | None = 6,
+    broadcast_tiers: bool = True,
 ) -> DataFrame:
     """Same 9 vocabulary features as :func:`vocabulary_features`, but the
-    tier lookup is a BROADCAST JOIN on the ``(token, tier)`` table from
-    :meth:`Vocabulary.fit_tiers` instead of literal in-plan arrays — no
-    token list ever reaches the driver or the plan.
+    tier lookup is a JOIN on the ``(token, tier)`` table from
+    :meth:`Vocabulary.fit_tiers` instead of literal in-plan arrays, so the
+    PLAN size is independent of vocabulary size (a literal tier array with
+    millions of tokens bloats every serialized task).
 
     Shape: hits/misses and the three overlap features stay native array
     expressions on the input rows; only the six tier counts go through
-    explode -> broadcast tier join -> conditional-sum aggregation on
-    ``row_keys`` -> one join back.  Costs one extra shuffle pair on
-    ``row_keys`` versus the literal variant, in exchange for a plan whose
-    size is independent of vocabulary size — the right trade at 100 TB
-    where a min_df of 1e-4 can mean millions of tier tokens.
+    explode -> tier join -> conditional-sum aggregation on ``row_keys`` ->
+    one join back.  Costs one extra shuffle pair on ``row_keys`` versus
+    the literal variant, in exchange for the plan-size independence — the
+    right trade at 100 TB where a min_df of 1e-4 can mean millions of
+    tier tokens.
+
+    ``broadcast_tiers=True`` (default) hints a broadcast hash join —
+    note this still materializes the tier table once on the driver inside
+    BroadcastExchange, so it is bounded by the broadcast limit, not
+    "zero driver memory"; for tier tables too big to broadcast pass
+    ``False`` and the lookup runs as a shuffle join on ``token``.
 
     ``row_keys`` must uniquely identify input rows (e.g. ``[uid, gt_uid]``
-    for candidate pairs).  Rows whose token arrays are NULL (null names)
-    get NULL tier counts, matching the literal variant's ``size(null)``
-    semantics.
+    for candidate pairs); the count-rejoin is NULL-SAFE on these keys, so
+    no-candidate rows with a NULL ``gt_uid`` survive.  Rows whose token
+    arrays are NULL (null names) get NULL tier counts, matching the
+    literal variant's ``size(null)`` semantics.
     """
     s1 = _vocab_tokens(F.col(name_col))
     s2 = _vocab_tokens(F.col(gt_name_col))
@@ -557,7 +566,7 @@ def vocabulary_features_joined(
     tok = base.select(
         *row_keys, F.explode_outer(tagged).alias("_tk")
     ).select(*row_keys, F.col("_tk.token").alias("token"), F.col("_tk.is_hit").alias("is_hit"))
-    j = tok.join(F.broadcast(tiers), "token", "left")
+    j = tok.join(F.broadcast(tiers) if broadcast_tiers else tiers, "token", "left")
 
     def cnt(hit: int, pref: str) -> list:
         is_side = F.col("is_hit") == hit
@@ -573,7 +582,15 @@ def vocabulary_features_joined(
         ]
 
     counts = j.groupBy(*row_keys).agg(*cnt(1, "hit"), *cnt(0, "miss"))
-    out = base.join(counts, row_keys)
+    # Null-safe equi-join on the row keys: a plain equi-join would silently
+    # drop rows whose key is NULL (e.g. no-candidate rows with NULL gt_uid).
+    cond = None
+    for k in row_keys:
+        c = base[k].eqNullSafe(counts[k])
+        cond = c if cond is None else (cond & c)
+    out = base.join(counts, cond)
+    for k in row_keys:
+        out = out.drop(counts[k])
 
     null_arrays = F.col("_hits").isNull() | F.col("_misses").isNull()
     n_hits = F.size(F.col("_hits"))

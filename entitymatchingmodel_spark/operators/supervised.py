@@ -29,6 +29,7 @@ from entitymatchingmodel_spark.operators.features import (
     pair_features,
     rank_features,
     vocabulary_features,
+    vocabulary_features_joined,
 )
 
 
@@ -55,20 +56,34 @@ class SupervisedModel:
         feature_cols: list[str],
         score_col_in: str,
         vocabulary: Vocabulary | None = None,
+        vocab_tiers: DataFrame | None = None,
+        row_keys: tuple[str, ...] = ("uid", "gt_uid"),
         extra_cols: tuple[str, ...] = (),
         use_lef: bool = False,
     ):
+        """``vocab_tiers`` (a ``(token, tier)`` DataFrame from
+        :meth:`Vocabulary.fit_tiers`) is the scale path for vocabulary
+        features — the tier table stays distributed and is joined, never
+        inlined as a literal array; ``vocabulary`` (collected tier lists)
+        remains supported for models loaded from old saves.  At most one
+        of the two should be set; ``vocab_tiers`` wins if both are.
+        ``row_keys`` must uniquely identify candidate rows (used to join
+        the tier counts back)."""
         self.ml_model = ml_model
         self.feature_cols = feature_cols
         self.score_col_in = score_col_in
         self.vocabulary = vocabulary
+        self.vocab_tiers = vocab_tiers
+        self.row_keys = tuple(row_keys)
         self.extra_cols = tuple(extra_cols)
         self.use_lef = use_lef
 
     def _featurize(self, cands: DataFrame) -> DataFrame:
         out = pair_features(cands)
         out = rank_features(out, self.score_col_in)
-        if self.vocabulary is not None:
+        if self.vocab_tiers is not None:
+            out = vocabulary_features_joined(out, self.vocab_tiers, list(self.row_keys))
+        elif self.vocabulary is not None:
             out = vocabulary_features(out, self.vocabulary)
         for c in self.extra_cols:
             out = extra_equality_feature(out, c)
@@ -107,6 +122,12 @@ class SupervisedModel:
         if not with_best_match:
             return scored
         return best_match(scored, score_col_out)
+
+    def unpersist_vocab_tiers(self) -> None:
+        """Release the cached tier table a tiers-based fit handed over;
+        no-op for literal-vocabulary or vocabulary-less models."""
+        if self.vocab_tiers is not None:
+            self.vocab_tiers.unpersist()
 
     @staticmethod
     def _assemble(df: DataFrame, feats) -> DataFrame:
@@ -150,7 +171,7 @@ class SupervisedScorer:
     def fit(self, cands: DataFrame) -> SupervisedModel:
         from pyspark.ml.classification import GBTClassifier
 
-        vocab = None
+        tiers = None
         persisted = None
         if self.with_vocabulary:
             # Two passes over the candidate lineage (vocabulary df-agg, then
@@ -158,21 +179,27 @@ class SupervisedScorer:
             # (the reference checkpoints here for the same reason, SURVEY §4
             # X9 / spark_candidate_selection.py:267-272).
             persisted = cands = cands.persist()
-            vocab = Vocabulary.fit(
+            # No-collect tier fit: the token tier table stays a (persisted)
+            # DataFrame end to end — unlike the reference, which fits a
+            # driver-side sklearn vectorizer (features_vocabulary.py), no
+            # token list ever reaches the driver here.  The tiers cache is
+            # handed to the model, which re-joins it on every transform;
+            # call model.unpersist_vocab_tiers() when done scoring.
+            tiers = Vocabulary.fit_tiers(
                 cands,
                 ["preprocessed", "gt_preprocessed"],
                 very_common_min_df=self.vocabulary_min_df[0],
                 common_min_df=self.vocabulary_min_df[1],
-            )
+            ).persist()
         feature_cols = PAIR_FEATURES + RANK_FEATURES
-        if vocab is not None:
+        if tiers is not None:
             feature_cols = feature_cols + VOCAB_FEATURES
         feature_cols = feature_cols + [f"f_{c}_match" for c in self.extra_cols]
         if self.use_lef:
             feature_cols = feature_cols + ["f_lef_score"]
         model = SupervisedModel(
             None, feature_cols, self.score_col,
-            vocabulary=vocab, extra_cols=self.extra_cols, use_lef=self.use_lef,
+            vocab_tiers=tiers, extra_cols=self.extra_cols, use_lef=self.use_lef,
         )
         train = model._featurize(
             cands.filter(F.col("gt_uid").isNotNull() & F.col("entity_id").isNotNull())

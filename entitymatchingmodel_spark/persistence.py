@@ -125,10 +125,16 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
                     if sm.vocabulary is not None
                     else None
                 ),
+                "vocab_tiers": sm.vocab_tiers is not None,
+                "row_keys": list(sm.row_keys),
                 "extra_cols": list(sm.extra_cols),
                 "use_lef": sm.use_lef,
             },
         )
+        if sm.vocab_tiers is not None:
+            # Tier table stays a DataFrame on disk too — parquet side-file,
+            # never collected (same layout rule as the indexer vocab).
+            sm.vocab_tiers.write.mode("overwrite").parquet(f"{base}/vocab_tiers")
         sm.ml_model.write().overwrite().save(f"{base}/gbt")
 
     if em.supervised_model_ is not None:
@@ -191,11 +197,18 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
 
         smeta = _read_json(spark, f"{base}/meta.json")
         v = smeta.get("vocabulary")
+        tiers = (
+            spark.read.parquet(f"{base}/vocab_tiers").persist()
+            if smeta.get("vocab_tiers")
+            else None
+        )
         return SupervisedModel(
             GBTClassificationModel.load(f"{base}/gbt"),
             smeta["feature_cols"],
             smeta["score_col_in"],
             vocabulary=Vocabulary(v["very_common"], v["common"]) if v else None,
+            vocab_tiers=tiers,
+            row_keys=tuple(smeta.get("row_keys", ("uid", "gt_uid"))),
             extra_cols=tuple(smeta.get("extra_cols", ())),
             use_lef=smeta.get("use_lef", False),
         )

@@ -160,3 +160,87 @@ def test_lef_r4_term_breadth(spark, name, lef):
 
     df = spark.createDataFrame([(name,)], "n string")
     assert df.select(extract_lef(F.col("n")).alias("l")).collect()[0]["l"] == lef
+
+
+def test_vocabulary_features_joined_null_safe_matches_literal(spark):
+    """The joined tier variant must (a) keep rows whose row key is NULL —
+    no-candidate rows with NULL gt_uid — and (b) agree with the literal
+    variant feature-for-feature, including the NULL-name rows."""
+    from entitymatchingmodel_spark.operators.features import (
+        VOCAB_FEATURES,
+        vocabulary_features_joined,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 10, "alpha beta corp", "alpha gamma corp"),
+            (2, 11, "alpha beta", "alpha beta"),
+            (3, None, "alpha solo", None),       # NULL gt_uid + NULL gt name
+            (4, 12, None, "alpha beta corp"),    # NULL name
+        ],
+        "uid long, gt_uid long, preprocessed string, gt_preprocessed string",
+    )
+    names = spark.createDataFrame(
+        [("alpha beta one",), ("alpha beta two",), ("alpha three",), ("alpha four",)],
+        "preprocessed string",
+    )
+    v = Vocabulary.fit(names, ["preprocessed"], very_common_min_df=0.9, common_min_df=0.4)
+    tiers = Vocabulary.fit_tiers(names, ["preprocessed"],
+                                 very_common_min_df=0.9, common_min_df=0.4)
+
+    lit_rows = {r["uid"]: r for r in vocabulary_features(pairs, v).collect()}
+    join_rows = {r["uid"]: r
+                 for r in vocabulary_features_joined(pairs, tiers, ["uid", "gt_uid"]).collect()}
+    assert set(join_rows) == {1, 2, 3, 4}, "null-key rows must survive the rejoin"
+    for uid, lit in lit_rows.items():
+        for c in VOCAB_FEATURES:
+            assert join_rows[uid][c] == lit[c], (uid, c)
+    # shuffle-join fallback for tier tables too big to broadcast: same rows
+    nb = {r["uid"]: r for r in vocabulary_features_joined(
+        pairs, tiers, ["uid", "gt_uid"], broadcast_tiers=False).collect()}
+    for uid, lit in lit_rows.items():
+        for c in VOCAB_FEATURES:
+            assert nb[uid][c] == lit[c], (uid, c)
+
+
+def test_supervised_fit_uses_no_collect_tiers(spark):
+    """SupervisedScorer.fit(with_vocabulary=True) must hand the model a
+    DataFrame tier table (no collected token lists) and produce the same
+    vocabulary feature values the literal path computes."""
+    from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
+
+    rows = []
+    names = ["apple inc", "netflix nv", "amazon ltd", "spotify ab",
+             "apple corp", "netflix bv"]
+    for i, n in enumerate(names):
+        for j, g in enumerate(names):
+            if abs(i - j) <= 1:
+                rows.append((100 + i, 200 + j, n, g, 1.0 / (1 + abs(i - j)),
+                             100 + i, 200 + j if i == j else 999))
+    cands = spark.createDataFrame(
+        rows,
+        "uid long, gt_uid long, preprocessed string, gt_preprocessed string, "
+        "score_0 double, entity_id long, gt_entity_id long",
+    )
+    scorer = SupervisedScorer(score_col="score_0", max_iter=2,
+                              with_vocabulary=True, vocabulary_min_df=(0.5, 0.01))
+    model = scorer.fit(cands)
+    try:
+        assert model.vocab_tiers is not None, "fit must keep tiers as a DataFrame"
+        assert model.vocabulary is None, "no collected tier lists in the fit path"
+        out = model.transform(cands, return_sm_features=True)
+        got = {(r["uid"], r["gt_uid"]): r for r in out.collect()}
+
+        v = Vocabulary.fit(cands, ["preprocessed", "gt_preprocessed"],
+                           very_common_min_df=0.5, common_min_df=0.01)
+        want = {(r["uid"], r["gt_uid"]): r
+                for r in vocabulary_features(cands, v).collect()}
+        from entitymatchingmodel_spark.operators.features import VOCAB_FEATURES
+        assert set(got) == set(want)
+        for k in want:
+            for c in VOCAB_FEATURES:
+                assert got[k][c] == want[k][c], (k, c)
+        assert all(r["nm_score"] is not None for r in got.values())
+    finally:
+        model.unpersist_vocab_tiers()
+    assert model.vocab_tiers.storageLevel.useMemory is False

@@ -98,3 +98,33 @@ def test_named_models_roundtrip(spark, tmp_path):
     b = em2.transform(names).orderBy("uid", "gt_uid").collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     assert "nm_score_alt" in em2.transform(names).columns
+
+
+def test_vocab_tiers_model_roundtrip(spark, tmp_path):
+    """A classifier fit with the no-collect vocabulary (tier DataFrame)
+    must persist the tier table as parquet and reload to identical scores."""
+    gt = spark.createDataFrame(
+        [(1, "apple inc"), (2, "netflix nv"), (3, "amazon ltd"), (4, "spotify ab")],
+        "id long, name string",
+    )
+    names = spark.createDataFrame(
+        [(11, "aple inc"), (12, "netflx nv"), (13, "amazon ltd")],
+        "id long, name string",
+    )
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "tokenizer": "characters",
+                   "ngram": 2, "num_candidates": 2, "cos_sim_lower_bound": 0.1}],
+    )
+    em.fit(gt)
+    em.fit_classifier(names, max_iter=2, with_vocabulary=True,
+                      vocabulary_min_df=(0.5, 0.01))
+    assert em.supervised_model_.vocab_tiers is not None
+    path = str(tmp_path / "tiers_model")
+    save_model(em, path)
+    em2 = load_model(spark, path)
+    assert em2.supervised_model_.vocab_tiers is not None
+    assert em2.supervised_model_.vocabulary is None
+    a = _canon(em.transform(names))
+    b = _canon(em2.transform(names))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

@@ -159,3 +159,24 @@ def test_vocab_joined_tier_join_is_broadcast(spark):
                                  very_common_min_df=0.05, common_min_df=0.001)
     out = vocabulary_features_joined(pairs, tiers, ["uid", "gt_uid"])
     assert broadcast_join_count(out) >= 1
+
+
+def test_supervised_tiers_featurize_pins_broadcast(spark):
+    """The supervised fit path's vocabulary features must reach the plan as
+    a broadcast tier join (no literal token arrays, no driver collect)."""
+    from entitymatchingmodel_spark.operators.features import Vocabulary
+    from entitymatchingmodel_spark.operators.supervised import SupervisedModel
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").limit(200)
+    cands = part.select(
+        F.col("p_partkey").alias("uid"),
+        (F.col("p_partkey") + 1).alias("gt_uid"),
+        F.col("p_name").alias("preprocessed"),
+        F.col("p_name").alias("gt_preprocessed"),
+        F.lit(0.5).alias("score_0"),
+    )
+    tiers = Vocabulary.fit_tiers(cands, ["preprocessed", "gt_preprocessed"],
+                                 very_common_min_df=0.05, common_min_df=0.001)
+    model = SupervisedModel(None, [], "score_0", vocab_tiers=tiers)
+    out = model._featurize(cands)
+    assert broadcast_join_count(out) >= 1
