@@ -746,6 +746,50 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch loader's ts
+    normalization.  The file stream source requires a DIRECTORY (testdata
+    ships events as a single parquet file); expose it through a symlink dir
+    keyed by the FULL source path (two sf dirs sharing a basename must not
+    collide), re-linking if a stale/dangling link points elsewhere."""
+    import hashlib
+
+    from entitymatchingmodel_spark.operators.events import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    static = spark.read.parquet(src)
+    src_dir = f"/tmp/emm_stream_src_{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    return normalize_event_ts(
+        spark.readStream.schema(static.schema).parquet(src_dir), "ts"
+    )
+
+
+def _run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
+                          output_mode: str) -> DataFrame:
+    """availableNow trigger into a memory sink; returns the sink table.
+    Harness device only — the plan under test is the streaming one."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin proof as a CONTRACT query (not just a unit
     test): the native ``session_window`` streaming aggregation runs over the
@@ -757,47 +801,51 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a harness-side device only, the aggregation itself is the bounded-state
     streaming plan documented in streaming/dedup.py.
     """
-    import hashlib
-
-    from entitymatchingmodel_spark.operators.events import normalize_event_ts
     from entitymatchingmodel_spark.streaming import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    src = os.path.realpath(f"{sf_dir}/events.parquet")
-    static = spark.read.parquet(src)
-    # The file stream source requires a DIRECTORY (testdata ships events as
-    # a single parquet file); expose it through a symlink dir keyed by the
-    # FULL source path (two sf dirs sharing a basename must not collide),
-    # re-linking if a stale/dangling link points elsewhere.
-    src_dir = f"/tmp/emm_stream_src_{hashlib.md5(src.encode()).hexdigest()[:12]}"
-    os.makedirs(src_dir, exist_ok=True)
-    link = f"{src_dir}/events.parquet"
-    if os.path.lexists(link) and os.path.realpath(link) != src:
-        os.remove(link)
-    if not os.path.lexists(link):
-        os.symlink(src, link)
-    stream = normalize_event_ts(
-        spark.readStream.schema(static.schema).parquet(src_dir), "ts"
-    )
+    stream = _streaming_events(spark, sf_dir)
     sess = sessionize_stream(stream, gap_minutes=30)
-    name = "q_streaming_sessions_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    q = (
-        sess.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    out = _run_stream_to_memory(spark, sess, "q_streaming_sessions_sink", "complete")
+    return out.select(
         "user_id",
         "n_events",
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
+    )
+
+
+def q_streaming_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked time-bounded join as a CONTRACT query:
+    every event joined to the same user's purchases in the preceding hour,
+    both sides arriving as STREAMS (readStream + availableNow into a
+    memory sink — harness devices; the plan under test is the
+    stream-stream inner join whose time-range condition lets Structured
+    Streaming evict join state behind the watermark, streaming/join.py).
+    Oracle: the equivalent batch range join in DuckDB — append mode, so
+    the final sink holds exactly the joined rows.
+    """
+    from entitymatchingmodel_spark.streaming import stream_time_bounded_join
+
+    left = _streaming_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    right = (
+        _streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    joined = stream_time_bounded_join(
+        left, right, "user_id", left_ts="ts", right_ts="r_ts",
+        lookback_seconds=3600, lookahead_seconds=0, watermark="2 hours",
+    )
+    out = _run_stream_to_memory(spark, joined, "q_streaming_time_join_sink", "append")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+        F.round("r_value", 6).alias("r_value"),
     )
 
 
@@ -1071,35 +1119,45 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate: the driver's correctness file has held at
-    most 50 rows per round, so queries are listed most-in-need-of-a-check
-    first — (1) the three with no CORRECTNESS_r03 row + the new round-4
-    queries, (2) operators whose implementation changed this round, (3)
-    long-stable queries, with the tail reserved for entries whose operator
-    is independently covered by a checked sibling (or whose check is
-    rows-only anyway), so a tail cutoff loses the least signal."""
+    """Dict ORDER is deliberate for the CORRECTNESS check only (the bench
+    shuffles its own execution order per repeat, see bench.py): the
+    driver's correctness file holds at most 50 rows per round, so queries
+    are listed most-in-need-of-a-check first — (1) the 9 queries whose
+    last green row is r03 (the r4 tail) plus the new r5
+    ``streaming_time_join``, (2) queries whose code path changed in r5
+    (load_events conf scoping touches every events query; the null-safe
+    tier rejoin touches vocab_features; LEF dictionary growth touches
+    lef_match; the tiers fit touches the supervised pair), (3) long-stable
+    queries.  The 10-query tail is exactly the set that is BOTH green in
+    CORRECTNESS_r04 AND untouched by round 5, so a 50-row cutoff leaves
+    every query with a green row no older than one round."""
     return {
-        # --- tier 1: unchecked in r03 / new in r4 ---
-        "curation_pipeline": q_curation_pipeline,
-        "repetition_stats": q_repetition_stats,
-        "events_sliding": q_events_sliding,
+        # --- tier 1: last green row is r03 (r4 tail) / new in r5 ---
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "agg_max_freq": q_agg_max_freq,
+        "events_windowed": q_events_windowed,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_drop": q_dedup_drop,
+        "cossim_broadcast_topk": q_cossim_broadcast_topk,
+        "noised_names": q_noised_names,              # rows-only by design
+        "streaming_time_join": q_streaming_time_join,
+        # --- tier 2: code path changed in r5 ---
+        "events_asof": q_events_asof,
         "events_asof_forward": q_events_asof_forward,
+        "events_interval_join": q_events_interval_join,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
+        "events_rollup": q_events_rollup,
+        "events_json": q_events_json,
         "streaming_sessions": q_streaming_sessions,
-        "line_dedup": q_line_dedup,
         "token_budget_sample": q_token_budget_sample,
         "pack_sequences": q_pack_sequences,
-        # --- tier 2: implementation changed in r4 ---
-        "events_asof": q_events_asof,
-        "events_interval_join": q_events_interval_join,
-        "contamination": q_contamination,
         "vocab_features": q_vocab_features,
-        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
         "lef_match": q_lef_match,
-        "pair_features": q_pair_features,
-        "dup_clusters": q_dup_clusters,
-        "dup_clusters_star": q_dup_clusters_star,
+        "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
+        "supervised_score_only": q_supervised_score_only,
         # --- tier 3: stable ---
-        "preprocess_names": q_preprocess_names,
         "tfidf_vocab": q_tfidf_vocab,
         "cossim_word_topk": q_cossim_word_topk,
         "sni_window": q_sni_window,
@@ -1111,39 +1169,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_pairs": q_embed_near_pairs,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
-        "events_rollup": q_events_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "topn_per_group": q_topn_per_group,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "audio_stats": q_audio_stats,
         "country_match": q_country_match,
         "threshold_curves": q_threshold_curves,
         "auc": q_auc,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
-        "events_sessions": q_events_sessions,
-        "events_json": q_events_json,
         "stratified_sample": q_stratified_sample,
         "cossim_char_blocked": q_cossim_char_blocked,
         "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
-        # last of the checked set: its first call trains the GBT, whose GC
-        # shadow would otherwise skew the queries timed right after it
-        "supervised_score_only": q_supervised_score_only,
-        # --- tail: operator covered by a checked sibling / rows-only ---
-        "tpch_q1_pricing": q_tpch_q1_pricing,        # filter/groupBy/agg covered by events_rollup, agg_*
-        "agg_max_freq": q_agg_max_freq,              # sibling: agg_mean_score
-        "events_windowed": q_events_windowed,        # sibling: events_sliding
-        "simhash": q_simhash,                        # sibling: simhash_near_pairs
-        "minhash_signatures": q_minhash_signatures,  # sibling: minhash_lsh_pairs
-        "dedup_drop": q_dedup_drop,                  # sibling: dedup_exact
-        "cossim_broadcast_topk": q_cossim_broadcast_topk,  # sibling: cossim_word_topk
-        "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
-        "noised_names": q_noised_names,              # rows-only by design
+        "dup_clusters": q_dup_clusters,
+        # --- tail: green in r04 AND untouched in r5 ---
+        "curation_pipeline": q_curation_pipeline,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "contamination": q_contamination,
+        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
+        "pair_features": q_pair_features,
+        "dup_clusters_star": q_dup_clusters_star,
+        "preprocess_names": q_preprocess_names,
+        "media_frames": q_media_frames,
+        "audio_stats": q_audio_stats,
     }
 
 
@@ -1956,6 +2008,19 @@ _ORACLE = {
                epoch_us(min(ts)) AS session_start_us,
                epoch_us(max(ts)) AS session_end_us
         FROM s GROUP BY user_id, session_id
+    """,
+    # batch twin of the stream-stream watermarked time-bounded join: plain
+    # range join, same inclusive bounds (lookback 1h, lookahead 0)
+    "streaming_time_join": """
+        SELECT l.event_id, l.user_id,
+               epoch_us(l.ts) AS ts_us,
+               epoch_us(r.ts) AS r_ts_us,
+               round(r.value, 6) AS r_value
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.event_type = 'purchase'
+         AND r.ts >= l.ts - INTERVAL 1 HOUR
+         AND r.ts <= l.ts
     """,
     "events_json": """
         SELECT event_type,
