@@ -688,6 +688,18 @@ LEGAL_FORM_TERMS = sorted(
         "zrt", "nyrt", "bt", "vzw", "asbl", "cvba", "scrl", "sprl",
         "ivs", "amba", "yk", "gk", "tov", "zao", "pjsc", "ojsc", "cjsc",
         "jsc", "psc", "fze", "fzco", "wll", "gie", "vos", "shpk", "dooel",
+        # r5 jurisdiction breadth (public cleanco/GLEIF-style suffix forms):
+        # SG/MY, PT/BR, Nordics, Baltics, Greece, ex-Yugoslavia, PL, AT/CH,
+        # US professional forms, IE/UK special companies, Gulf states
+        "pte ltd", "sdn bhd", "unipessoal lda", "ekonomisk forening",
+        "sociedad cooperativa", "s coop", "s en c", "s de rl",
+        "spolka komandytowo akcyjna", "designated activity company",
+        "community interest company", "unlimited company",
+        "societas europaea",
+        "asa", "ans", "da", "hb", "kb", "ky", "ay", "osk", "epe", "ike",
+        "oe", "ee", "ae", "jdoo", "dd", "ska", "og", "sagl", "pllc", "pc",
+        "lllp", "ou", "sia", "uab", "dac", "cic", "ksc", "bsc", "qsc",
+        "saog", "saoc", "eirl", "eireli",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -745,7 +757,7 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "inc": ["corporation"], "corp": ["corporation"], "co": ["corporation"],
     "sa de cv": ["corporation"], "s de rl de cv": ["limited liability"],
     # r4 additions (public cleanco terms_by_type mapping)
-    "limited": ["limited"], "private limited company": ["limited"],
+    "private limited company": ["limited"],
     "proprietary limited": ["limited"], "sendirian berhad": ["limited"],
     "bhd": ["limited"], "sdn": ["limited"], "limited sirketi": ["limited"],
     "ltda": ["limited"], "lda": ["limited"], "wll": ["limited liability"],
@@ -783,6 +795,41 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "kommanditgesellschaft auf aktien": ["partnership"],
     "kgaa": ["partnership"], "s c a": ["partnership"], "sca": ["partnership"],
     "bt": ["partnership"],
+    # r5: map the previously-unmapped suffix terms (they matched but fell
+    # into the unknown_lef tier) + the new r5 jurisdiction terms
+    "oy": ["private"], "aps": ["private"], "se": ["public"],
+    "ulc": ["unlimited"], "unlimited company": ["unlimited"],
+    "ooo": ["private"], "o o o": ["private"], "kft": ["private"],
+    "rt": ["public"], "ead": ["public"], "ad": ["public"], "a d": ["public"],
+    "fze": ["private"], "fzco": ["private"], "gie": ["partnership"],
+    "vzw": ["nonprofit"], "asbl": ["nonprofit"],
+    "eingetragener verein": ["nonprofit"], "e v": ["nonprofit"],
+    "eingetragene genossenschaft": ["cooperative"], "u a": ["cooperative"],
+    "scop": ["cooperative"], "societe cooperative": ["cooperative"],
+    "societa cooperativa": ["cooperative"], "amba": ["cooperative"],
+    "sci": ["partnership"], "tov": ["private"], "shpk": ["private"],
+    "dooel": ["private"], "yugen kaisha": ["private"], "spol": ["private"],
+    "pty": ["limited"], "pvt": ["limited"],
+    "co kg": ["partnership"], "gmbh co kg": ["partnership"],
+    "pte ltd": ["limited"], "sdn bhd": ["limited"],
+    "unipessoal lda": ["private"], "asa": ["public"], "ans": ["partnership"],
+    "da": ["partnership"], "hb": ["partnership"], "kb": ["partnership"],
+    "ky": ["partnership"], "ay": ["partnership"], "osk": ["cooperative"],
+    "ekonomisk forening": ["cooperative"], "epe": ["private"],
+    "ike": ["private"], "oe": ["partnership"], "ee": ["partnership"],
+    "ae": ["public"], "jdoo": ["private"], "dd": ["public"],
+    "ska": ["partnership"], "spolka komandytowo akcyjna": ["partnership"],
+    "og": ["partnership"], "sagl": ["private"],
+    "pllc": ["limited liability"], "pc": ["corporation"],
+    "lllp": ["partnership"], "ou": ["private"], "sia": ["private"],
+    "uab": ["private"], "dac": ["limited"],
+    "designated activity company": ["limited"], "cic": ["limited"],
+    "community interest company": ["limited"], "ksc": ["public"],
+    "bsc": ["public"], "qsc": ["public"], "saog": ["public"],
+    "saoc": ["public"], "eirl": ["private"], "eireli": ["private"],
+    "s coop": ["cooperative"], "sociedad cooperativa": ["cooperative"],
+    "s en c": ["partnership"], "s de rl": ["private"],
+    "societas europaea": ["public"], "d d": ["public"], "s a r l": ["private"],
 }
 
 

@@ -100,7 +100,13 @@ def test_lef_categories(spark, n1, n2, cat, lef1, lef2):
         ("acme", "acme spol", "lef1_missing"),           # missing beats unknown
     ],
 )
-def test_business_type_tiers(spark, n1, n2, bt_cat):
+def test_business_type_tiers(spark, n1, n2, bt_cat, monkeypatch):
+    # every real suffix term is mapped since r5, so the defensive unknown
+    # tier is exercised by unmapping two forms for the duration of the test
+    from entitymatchingmodel_spark.operators import features as feats
+
+    monkeypatch.delitem(feats.TYPES_BY_LEF, "spol")
+    monkeypatch.delitem(feats.TYPES_BY_LEF, "ead")
     df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
     row = lef_features(df, include_business_type=True).collect()[0]
     assert row["f_bt_match"] == bt_cat, (row["bt1"], row["bt2"])
@@ -151,7 +157,7 @@ def test_vocabulary_joined_matches_literal_path(spark):
     ("acme s p a", "s p a"),
     ("acme gesellschaft mit beschrankter haftung",
      "gesellschaft mit beschrankter haftung"),
-    ("acme sdn bhd", "sdn:bhd"),          # stacked suffixes, reading order
+    ("acme sdn bhd", "sdn bhd"),          # r5: one multi-word term (longest-first)
     ("acme spolka jawna", "spolka jawna"),
     ("acme pjsc", "pjsc"),
 ])
@@ -244,3 +250,63 @@ def test_supervised_fit_uses_no_collect_tiers(spark):
     finally:
         model.unpersist_vocab_tiers()
     assert model.vocab_tiers.storageLevel.useMemory is False
+
+
+def test_lef_dictionaries_invariants():
+    """Source-level invariants on the LEF dictionaries: no duplicate dict
+    keys (a duplicate silently overrides — the r4 'limited' hazard), no
+    duplicate suffix terms, and every mapped form must be a matchable
+    suffix term (else the mapping is dead code)."""
+    import ast
+
+    from entitymatchingmodel_spark.operators import features as feats
+
+    src = open(feats.__file__).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        targets = (
+            node.targets if isinstance(node, ast.Assign)
+            else [node.target] if isinstance(node, ast.AnnAssign)
+            else []
+        )
+        if any(getattr(t, "id", None) == "TYPES_BY_LEF" for t in targets):
+            keys = [k.value for k in node.value.keys]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate TYPES_BY_LEF keys: {sorted(dupes)}"
+            break
+    else:
+        raise AssertionError("TYPES_BY_LEF literal not found")
+
+    terms = feats.LEGAL_FORM_TERMS
+    assert len(terms) == len(set(terms)), "duplicate LEGAL_FORM_TERMS entries"
+    dead = set(feats.TYPES_BY_LEF) - set(terms)
+    assert not dead, f"TYPES_BY_LEF keys never matched as suffixes: {sorted(dead)}"
+    unmapped = set(terms) - set(feats.TYPES_BY_LEF)
+    assert not unmapped, f"suffix terms without a business type: {sorted(unmapped)}"
+
+
+@pytest.mark.parametrize(
+    ("n1", "n2", "cat"),
+    [
+        # r5 jurisdictions: Singapore/Malaysia limited forms
+        ("acme pte ltd", "acme sdn bhd", "identical"),
+        # Latvia vs Lithuania private
+        ("acme sia", "acme uab", "identical"),
+        # Greece public vs Norway public
+        ("acme ae", "acme asa", "identical"),
+        # cooperative vs public: no overlap
+        ("acme osk", "acme asa", "no_match"),
+        # Irish DAC vs plain ltd (both 'limited' type)
+        ("acme dac", "acme ltd", "identical"),
+        # US professional forms
+        ("acme pllc", "acme llc", "identical"),
+        # previously-unmapped term no longer unknown: Finnish oy = private
+        ("acme oy", "acme gmbh", "identical"),
+    ],
+)
+def test_lef_business_type_r5_jurisdictions(spark, n1, n2, cat):
+    from entitymatchingmodel_spark.operators.features import lef_features
+
+    df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
+    row = lef_features(df, include_business_type=True).collect()[0]
+    assert row["f_bt_match"] == cat, (row["bt1"], row["bt2"])
