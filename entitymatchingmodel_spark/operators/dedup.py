@@ -633,6 +633,15 @@ class _loop_shuffle_partitions:
     is pure latency when each round chains ~8 shuffles over a few hundred
     rows (measured ~25% of loop wall time), while at real data volumes
     the target stays large and AQE remains ON for skew-join handling.
+
+    SINGLE-THREADED-SESSION assumption: these are session-wide confs, so
+    any query running CONCURRENTLY on the same SparkSession during a
+    clustering loop inherits the loop's partition count (and, in the
+    micro regime, its disabled AQE), and two concurrent loops can clobber
+    each other's saved values.  That matches how this engine is driven
+    (one query at a time per session — bench, driver, tests); a
+    concurrent-query deployment should run clustering loops in their own
+    ``spark.newSession()`` so conf changes are isolated.
     """
 
     def __init__(self, spark, n_rows: int, rows_per_partition: int = 200_000):
