@@ -711,18 +711,21 @@ def duplicate_clusters(
                 .groupBy("src")
                 .agg(F.min("lbl").alias("nlbl"))
             )
-            new_labels = _iter_checkpoint(
-                labels.join(neigh, "src", "left")
-                .select("src", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")),
+            # Carry the previous label through the checkpoint so the
+            # convergence check is a shuffle-free scan of the checkpointed
+            # data — a separate new-vs-old join here costs two extra
+            # exchanges and an action per round (measured as the r4
+            # dup_clusters bench regression).
+            stepped = _iter_checkpoint(
+                labels.join(neigh, "src", "left").select(
+                    "src",
+                    F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                    F.col("lbl").alias("old"),
+                ),
                 reliable_checkpoint,
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lbl", "old"), "src")
-                .filter(F.col("lbl") != F.col("old"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = stepped.filter(F.col("lbl") != F.col("old")).limit(1).count()
+            labels = stepped.select("src", "lbl")
             if changed == 0:
                 converged = True
                 break
