@@ -127,6 +127,36 @@ def main():
             wdf = d.select("doc_id", F.size(toks).cast("long").alias("w"))
             return pack_sequences(wdf, "doc_id", "w", seq_len=512)
 
+        from entitymatchingmodel_spark.operators.events import load_events
+
+        ev = load_events(spark, f"{SF_DIR}/events.parquet")
+        ev_inf = (
+            ev.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("user_id", F.col("user_id") + F.col("_r") * 10_000_000)
+            .withColumn("event_id", F.xxhash64("event_id", "_r"))
+            .drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+        def asof():
+            from entitymatchingmodel_spark.operators.events import asof_join
+            left = ev_inf.select("event_id", "user_id", "ts")
+            right = (
+                ev_inf.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+            )
+            return asof_join(left, right, "user_id", "ts", ["v"],
+                             tolerance_seconds=3600)
+
+        def ivjoin():
+            from entitymatchingmodel_spark.operators.events import (
+                interval_join, sessionize)
+            sessions = sessionize(ev_inf, gap_minutes=30).select(
+                "user_id", "session_id", "session_start", "session_end")
+            return interval_join(
+                ev_inf.select("event_id", "user_id", "ts"),
+                sessions, "user_id", "ts", "session_start", "session_end")
+
         run("cossim_inverted", cossim)
         run("cossim_broadcast", cossim_bc)
         run("sni", sni)
@@ -135,6 +165,8 @@ def main():
         run("line_dedup", linededup)
         run("token_budget", budget)
         run("pack_sequences", pack)
+        run("asof_join", asof)
+        run("interval_join", ivjoin)
 
     print("\nscaling ratios (vs 1x):")
     for name, ts in results.items():
