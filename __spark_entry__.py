@@ -1117,6 +1117,29 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality")
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (web-corpus 'at most N docs per domain'
+    curation): deterministic hash-rank membership, one shuffle on source,
+    output bounded at max_per_group rows per source regardless of skew."""
+    from entitymatchingmodel_spark.functions.sampling import per_group_cap
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = per_group_cap(docs, "doc_id", "source", max_per_group=15)
+    return out.select("doc_id", "source")
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture resampling (train on 50% en / 25% de / 25% fr):
+    the binding group is kept whole, others hash-downsampled to the target
+    shares; bounded driver state (one count per group), map-only filter."""
+    from entitymatchingmodel_spark.functions.sampling import sample_to_mix
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = sample_to_mix(docs, "doc_id", "lang",
+                        {"en": 0.5, "de": 0.25, "fr": 0.25})
+    return out.select("doc_id", "lang")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup-token ratio, top-bigram cover)."""
     from entitymatchingmodel_spark.functions.text import repetition_stats
@@ -1135,7 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (load_events conf scoping touches every events query; the null-safe
     tier rejoin touches vocab_features; LEF dictionary growth touches
     lef_match; the tiers fit touches the supervised pair), (3) long-stable
-    queries.  The 10-query tail is exactly the set that is BOTH green in
+    queries.  The 12-query tail is exactly the set that is BOTH green in
     CORRECTNESS_r04 AND untouched by round 5, so a 50-row cutoff leaves
     every query with a green row no older than one round."""
     return {
@@ -1149,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cossim_broadcast_topk": q_cossim_broadcast_topk,
         "noised_names": q_noised_names,              # rows-only by design
         "streaming_time_join": q_streaming_time_join,
+        "source_cap": q_source_cap,
+        "sample_mix": q_sample_mix,
         # --- tier 2: code path changed in r5 ---
         "events_asof": q_events_asof,
         "events_asof_forward": q_events_asof_forward,
@@ -1165,7 +1190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
         "supervised_score_only": q_supervised_score_only,
         # --- tier 3: stable ---
-        "tfidf_vocab": q_tfidf_vocab,
         "cossim_word_topk": q_cossim_word_topk,
         "sni_window": q_sni_window,
         "rank_features": q_rank_features,
@@ -1174,7 +1198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embed_near_pairs": q_embed_near_pairs,
-        "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1203,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preprocess_names": q_preprocess_names,
         "media_frames": q_media_frames,
         "audio_stats": q_audio_stats,
+        "tfidf_vocab": q_tfidf_vocab,
+        "text_stats": q_text_stats,
     }
 
 
@@ -2015,6 +2040,34 @@ _ORACLE = {
                epoch_us(min(ts)) AS session_start_us,
                epoch_us(max(ts)) AS session_end_us
         FROM s GROUP BY user_id, session_id
+    """,
+    "source_cap": """
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(CAST(concat('0x', substring(md5(concat_ws('|',
+                            'cap', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT)
+                            AS DOUBLE) / 268435456.0 ASC,
+                            doc_id ASC) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= 15
+    """,
+    # mirrors sample_to_mix exactly: shares of en/de/fr = 0.5/0.25/0.25
+    # (dyadic, so float order-of-addition cannot diverge), binding group
+    # kept whole, others hash-downsampled with the same md5 membership
+    "sample_mix": """
+        WITH w(g, share) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+        c AS (SELECT lang AS g, count(*) AS n FROM documents
+              WHERE lang IN ('en','de','fr') GROUP BY lang),
+        s AS (SELECT min(n / share) AS scale FROM c JOIN w USING (g)),
+        f AS (SELECT c.g, least(1.0, (SELECT scale FROM s) * share / n) AS frac
+              FROM c JOIN w USING (g))
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN f ON d.lang = f.g
+        WHERE CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'mix',
+                 CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+              / 268435456.0 < f.frac
     """,
     # batch twin of the stream-stream watermarked time-bounded join: plain
     # range join, same inclusive bounds (lookback 1h, lookahead 0)

@@ -206,6 +206,92 @@ def pack_sequences(
     )
 
 
+def per_group_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    max_per_group: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen
+    deterministically — the web-corpus "at most N documents per domain"
+    curation primitive (caps boilerplate-heavy hosts without touching the
+    long tail).
+
+    Membership is the rank of ``hash(key)`` within the group, so the kept
+    subset is stable across runs/partitionings/engines AND nested:
+    ``cap(5)`` of a group is a superset of ``cap(3)``.  One shuffle on
+    ``group_col``; per-group work is a sort of the group's rows — the
+    hot-domain skew case is exactly what AQE skew handling + the rank
+    cutoff bound (a mega-domain never yields more than ``max_per_group``
+    output rows).
+    """
+    if max_per_group < 0:
+        raise ValueError("max_per_group must be >= 0")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _unit_hash(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_group)
+        .drop("_rn")
+    )
+
+
+def sample_to_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample groups toward a TARGET MIX — the "train on 30% web,
+    30% code, 40% books" dataset-mixture primitive.
+
+    ``weights`` maps group value -> target share (normalized internally;
+    groups absent from ``weights`` are dropped).  The largest total
+    consistent with the targets is kept: the binding group (smallest
+    count/share ratio) is kept whole and every other group is
+    deterministically hash-downsampled to match its share relative to the
+    binding group.  No group is ever upsampled.
+
+    Scale shape: one count aggregate per group (``n_groups`` rows to the
+    driver — bounded like IVF centroids / prefix-sum bucket totals), then
+    a pure per-row hash-membership filter (map-only, no shuffle); the
+    expected kept size per group is share-exact, membership is
+    reproducible across engines, and nested (raising a share keeps a
+    superset of the smaller share's rows).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for v in weights.values():
+        if v < 0:
+            raise ValueError("weights must be >= 0")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count("*").alias("n")
+        ).collect()
+        if r["g"] in weights
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # binding group: smallest available/target ratio; kept in full
+    scale = min(counts[g] / (weights[g] / total_w) for g in counts if weights[g] > 0)
+    frac = F.lit(0.0)
+    for g in sorted(counts):
+        share = weights[g] / total_w
+        target = scale * share
+        f = min(1.0, target / counts[g]) if counts[g] else 0.0
+        frac = F.when(F.col(group_col) == g, F.lit(f)).otherwise(frac)
+    return df.filter(_unit_hash(F.col(key_col), salt) < frac)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

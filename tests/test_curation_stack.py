@@ -7,6 +7,7 @@ of a filtering pipeline and bit-identical results across two runs (every
 stage is hash-deterministic by design).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -88,3 +89,51 @@ def test_curation_stack_composes_and_is_deterministic(spark):
 
     counts2, rows2 = _run_stack(spark)
     assert counts2 == counts1 and rows2 == rows1, "stack must be deterministic"
+
+
+def test_per_group_cap_bounds_and_nests(spark):
+    from entitymatchingmodel_spark.functions.sampling import per_group_cap
+
+    rows = [(i, f"g{i % 3}") for i in range(60)] + [(100 + i, "hot") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    capped5 = per_group_cap(df, "id", "grp", 5)
+    sizes = {r["grp"]: r["n"] for r in
+             capped5.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in sizes.values())
+    assert sizes["hot"] == 5, "skewed group must be capped exactly"
+    # nesting: cap(3) subset of cap(5); determinism across calls
+    ids3 = {r["id"] for r in per_group_cap(df, "id", "grp", 3).collect()}
+    ids5 = {r["id"] for r in capped5.collect()}
+    assert ids3 <= ids5
+    assert ids5 == {r["id"] for r in per_group_cap(df, "id", "grp", 5).collect()}
+    # cap 0 -> empty; negative -> error
+    assert per_group_cap(df, "id", "grp", 0).count() == 0
+    with pytest.raises(ValueError):
+        per_group_cap(df, "id", "grp", -1)
+
+
+def test_sample_to_mix_binding_group_and_shares(spark):
+    from entitymatchingmodel_spark.functions.sampling import sample_to_mix
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(2000 + i, "b") for i in range(100)]
+        + [(4000 + i, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    # b is binding (100 rows / 0.25 share); a target = 0.5/0.25*100 = 200
+    out = sample_to_mix(df, "id", "grp", {"a": 0.5, "b": 0.25, "c": 0.25})
+    sizes = {r["grp"]: r["n"] for r in
+             out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes["b"] == 100, "binding group kept whole"
+    assert abs(sizes["a"] - 200) <= 40, sizes  # hash sampling, ~expected
+    assert abs(sizes["c"] - 100) <= 30, sizes
+    # unlisted groups dropped; determinism
+    assert set(sizes) == {"a", "b", "c"}
+    again = {r["id"] for r in
+             sample_to_mix(df, "id", "grp", {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
+    assert again == {r["id"] for r in out.collect()}
+    with pytest.raises(ValueError):
+        sample_to_mix(df, "id", "grp", {})
+    with pytest.raises(ValueError):
+        sample_to_mix(df, "id", "grp", {"a": -1.0})
