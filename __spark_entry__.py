@@ -780,20 +780,35 @@ def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
-                          output_mode: str) -> DataFrame:
+                          output_mode: str,
+                          shuffle_partitions: int = 8) -> DataFrame:
     """availableNow trigger into a memory sink; returns the sink table.
-    Harness device only — the plan under test is the streaming one."""
+    Harness device only — the plan under test is the streaming one.
+
+    ``shuffle_partitions`` sizes the STATE STORE: a streaming stateful
+    operator snapshots spark.sql.shuffle.partitions at query start and
+    commits one state file per partition per microbatch, so running a
+    small availableNow batch at the session's 32 costs 4-5x wall-clock in
+    pure commit overhead (measured 5.5-11s -> 2.2-2.5s at sf0.1).  This
+    is the per-stream throughput knob a real deployment sizes to arrival
+    rate; results are partition-count independent.  Scoped via
+    scoped_conf — the session value is restored after start."""
+    from entitymatchingmodel_spark.operators.events import scoped_conf
+
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_conf(
+        spark, spark__sql__shuffle__partitions=str(shuffle_partitions)
+    ):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
