@@ -180,3 +180,20 @@ def test_supervised_tiers_featurize_pins_broadcast(spark):
     model = SupervisedModel(None, [], "score_0", vocab_tiers=tiers)
     out = model._featurize(cands)
     assert broadcast_join_count(out) >= 1
+
+
+def test_per_group_cap_single_shuffle_sample_mix_map_only(spark):
+    """per_group_cap = exactly one exchange (the group window);
+    sample_to_mix's returned plan is a pure map-side filter — its only
+    shuffle is the eager bounded per-group count at call time."""
+    from entitymatchingmodel_spark.functions.sampling import (
+        per_group_cap,
+        sample_to_mix,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = per_group_cap(docs, "doc_id", "source", 5)
+    assert exchange_count(capped) == 1
+
+    mixed = sample_to_mix(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    assert exchange_count(mixed) == 0, "mixture filter must stay map-only"
