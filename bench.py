@@ -73,7 +73,11 @@ def main() -> None:
     # rounds); the median makes round-over-round deltas meaningful.  The
     # repeats run consecutively (own caches warm, see module docstring)
     # behind a per-query scrub, in seeded-shuffled query order.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # 5 repeats: this box shows transient multi-second stalls (an
+    # identical-code query measured 2.8s and 35s medians-of-3 in adjacent
+    # bench invocations); with 5 consecutive runs a stall must span 3 of
+    # them to corrupt the median.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     qs = E.queries()
     order = list(qs)
     random.Random(5).shuffle(order)

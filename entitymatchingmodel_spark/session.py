@@ -51,6 +51,17 @@ def get_spark(
         # emm/parameters.py:113).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, the status listeners retain per-execution /
+        # per-stage state (defaults: 1000 executions, 1000 stages); a
+        # long-lived session running hundreds of queries drags every job
+        # submission through that backlog — iterative operators that
+        # launch ~40 tiny jobs per call (clustering loops) amplify it.
+        # Tight retention keeps deep-session scheduling cost flat.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "400")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.ui.retainedDeadExecutors", "10")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
