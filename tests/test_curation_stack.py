@@ -16,6 +16,8 @@ SF_DIR = "/root/testdata/sf0.001"
 def _run_stack(spark):
     from entitymatchingmodel_spark.functions.sampling import (
         pack_sequences,
+        per_group_cap,
+        sample_to_mix,
         token_budget_sample,
     )
     from entitymatchingmodel_spark.functions.text import lang_id, quality_score
@@ -31,6 +33,14 @@ def _run_stack(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n0 = docs.count()
+
+    # per-source cap + source-mix rebalance BEFORE language filtering —
+    # the per-domain/mixture stages of a web-corpus pipeline
+    docs = per_group_cap(docs, "doc_id", "source", max_per_group=40)
+    docs = sample_to_mix(
+        docs, "doc_id", "source",
+        {s: 1.0 for s in [r["source"] for r in docs.select("source").distinct().collect()]},
+    )
 
     filtered = (
         docs.filter(lang_id(F.col("text")) == "en")
