@@ -212,6 +212,7 @@ def per_group_cap(
     group_col: str,
     max_per_group: int,
     salt: str = "cap",
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Keep at most ``max_per_group`` rows per group, chosen
     deterministically — the web-corpus "at most N documents per domain"
@@ -220,21 +221,42 @@ def per_group_cap(
 
     Membership is the rank of ``hash(key)`` within the group, so the kept
     subset is stable across runs/partitionings/engines AND nested:
-    ``cap(5)`` of a group is a superset of ``cap(3)``.  One shuffle on
-    ``group_col``; per-group work is a sort of the group's rows — the
-    hot-domain skew case is exactly what AQE skew handling + the rank
-    cutoff bound (a mega-domain never yields more than ``max_per_group``
-    output rows).
+    ``cap(5)`` of a group is a superset of ``cap(3)``.
+
+    Skew shape: a window partitioned by group alone puts a mega-domain's
+    every row in ONE task's sort — the exact hot-host case the cap exists
+    for.  So the rank runs in two exact phases: a pre-cap windowed over
+    ``(group, hash-bucket)`` (each bucket keeps its own ``max_per_group``
+    smallest hashes — no task ever sorts more than a bucket's share),
+    then the final rank over the surviving ``<= max_per_group *
+    salt_buckets`` rows per group.  The global N smallest hashes are a
+    subset of the per-bucket N smallest, so the result is IDENTICAL to
+    the single-window formulation (``salt_buckets=1`` collapses to it) —
+    two narrow shuffles instead of one skew-prone one.
     """
     if max_per_group < 0:
         raise ValueError("max_per_group must be >= 0")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        _unit_hash(F.col(key_col), salt).asc(), F.col(key_col).asc()
-    )
+    h = _unit_hash(F.col(key_col), salt)
+    staged = df
+    if salt_buckets > 1:
+        bucket = F.least(
+            F.floor(h * salt_buckets), F.lit(salt_buckets - 1)
+        ).cast("int")
+        wpre = Window.partitionBy(group_col, bucket).orderBy(
+            h.asc(), F.col(key_col).asc()
+        )
+        staged = (
+            df.withColumn("_prn", F.row_number().over(wpre))
+            .filter(F.col("_prn") <= max_per_group)
+            .drop("_prn")
+        )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        staged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_per_group)
         .drop("_rn")
     )

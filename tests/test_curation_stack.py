@@ -147,3 +147,17 @@ def test_sample_to_mix_binding_group_and_shares(spark):
         sample_to_mix(df, "id", "grp", {})
     with pytest.raises(ValueError):
         sample_to_mix(df, "id", "grp", {"a": -1.0})
+
+
+def test_per_group_cap_two_phase_equals_single_window(spark):
+    """The skew-proof pre-cap must not change the result: global N
+    smallest hashes per group are a subset of the per-bucket N smallest."""
+    from entitymatchingmodel_spark.functions.sampling import per_group_cap
+
+    rows = [(i, f"g{i % 5}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    for n in (1, 3, 17):
+        two = {r["id"] for r in per_group_cap(df, "id", "grp", n).collect()}
+        one = {r["id"] for r in
+               per_group_cap(df, "id", "grp", n, salt_buckets=1).collect()}
+        assert two == one, n

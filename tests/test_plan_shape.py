@@ -192,8 +192,12 @@ def test_per_group_cap_single_shuffle_sample_mix_map_only(spark):
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # skew-proof two-phase rank: pre-cap window on (group, bucket) + final
+    # window on group — two narrow exchanges, never one mega-group sort
     capped = per_group_cap(docs, "doc_id", "source", 5)
-    assert exchange_count(capped) == 1
+    assert exchange_count(capped) == 2
+    assert exchange_count(per_group_cap(docs, "doc_id", "source", 5,
+                                        salt_buckets=1)) == 1
 
     mixed = sample_to_mix(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5})
     assert exchange_count(mixed) == 0, "mixture filter must stay map-only"
