@@ -101,9 +101,42 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _has_unorderable_type(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_unorderable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_has_unorderable_type(f.dataType) for f in dt.fields)
+    return False
+
+
 def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one representative row (min id) per identical normalized text."""
-    w = Window.partitionBy(F.md5(F.trim(F.lower(F.col(text_col))))).orderBy(id_col)
+    """Keep one representative row (min id) per identical normalized text.
+
+    Skew shape: ONE hash-aggregate — ``min(struct(id, row))`` per content
+    hash, combined map-side — never a per-group window sort: a viral
+    document duplicated millions of times would otherwise funnel every
+    copy through a single window task.  Ids are unique, so the struct
+    comparison never looks past its first field and the winner is exactly
+    the min-id row.  Falls back to the window formulation only when a
+    column type is not orderable (maps), which min() rejects.
+    """
+    hashc = F.md5(F.trim(F.lower(F.col(text_col))))
+    if not any(_has_unorderable_type(f.dataType) for f in df.schema.fields):
+        cols = df.columns
+        agg = df.groupBy(hashc.alias("_h")).agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("_k"),
+                    F.struct(*[F.col(c) for c in cols]).alias("_row"),
+                )
+            ).alias("_w")
+        )
+        return agg.select(*[F.col(f"_w._row.{c}").alias(c) for c in cols])
+    w = Window.partitionBy(hashc).orderBy(id_col)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 

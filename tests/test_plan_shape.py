@@ -201,3 +201,21 @@ def test_per_group_cap_single_shuffle_sample_mix_map_only(spark):
 
     mixed = sample_to_mix(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5})
     assert exchange_count(mixed) == 0, "mixture filter must stay map-only"
+
+
+def test_drop_exact_duplicates_is_one_agg_no_window(spark):
+    """min-struct aggregate (map-side combinable), never a per-group
+    window sort; map-typed columns fall back to the window formulation."""
+    from entitymatchingmodel_spark.operators.dedup import drop_exact_duplicates
+    from entitymatchingmodel_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = drop_exact_duplicates(docs, "doc_id", "text")
+    plan = explain_str(out)
+    assert exchange_count(out) == 1
+    assert "Window" not in plan, plan[:1500]
+
+    mapped = docs.withColumn("m", F.create_map(F.lit("k"), F.col("lang")))
+    fb = drop_exact_duplicates(mapped, "doc_id", "text")
+    assert "Window" in explain_str(fb)
+    assert fb.count() == out.count()
