@@ -278,22 +278,34 @@ def _cossim_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands
 
 
+def _sni_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNI candidate pairs with both name strings — memoized + persisted
+    like _cossim_cands (fit-once/transform-many posture)."""
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+
+    key = ("sni_pairs", id(spark), sf_dir)
+    if key not in _CANDS_CACHE:
+        gt, names = _part_gt_names(spark, sf_dir)
+        pairs = SNIIndexer(window_length=5).fit(gt).transform(names)
+        _CANDS_CACHE[key] = (
+            pairs.join(names, "uid")
+            .join(
+                gt.select("gt_uid", F.col("preprocessed").alias("gt_preprocessed")),
+                "gt_uid",
+            )
+            .persist()
+        )
+    pairs = _CANDS_CACHE[key]
+    if not pairs.storageLevel.useMemory:
+        pairs.persist()  # re-mark after an external clearCache (see _cossim_cands)
+    return pairs
+
+
 def q_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native name-pair features (SURVEY §2.10 M1) over SNI candidate pairs."""
     from entitymatchingmodel_spark.operators.features import pair_features
-    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
 
-    gt, names = _part_gt_names(spark, sf_dir)
-    model = SNIIndexer(window_length=5).fit(gt)
-    pairs = model.transform(names)
-    pairs = (
-        pairs.join(names, "uid")
-        .join(
-            gt.select("gt_uid", F.col("preprocessed").alias("gt_preprocessed")),
-            "gt_uid",
-        )
-    )
-    out = pair_features(pairs, include_jaro=False)
+    out = pair_features(_sni_pairs(spark, sf_dir), include_jaro=False)
     return out.select(
         "uid", "gt_uid", "f_norm_ed", "f_token_sort", "f_token_set",
         "f_name_cut", "f_abbr_match", "f_abs_len_diff", "f_len_ratio",
