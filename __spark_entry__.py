@@ -1167,6 +1167,29 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_SHARED_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon near the old stone bridge"
+)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage signal (Lee-et-al-style substring dedup,
+    window-hash formulation): a fixed passage is appended to every 7th doc
+    in BOTH engines, so those docs share corpus-wide duplicated windows;
+    per-doc window counts + dup ratio are oracle-checked."""
+    from entitymatchingmodel_spark.operators.dedup import duplicate_window_stats
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _SHARED_PASSAGE))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return duplicate_window_stats(docs, "doc_id", "text", window=12, stride=5)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup-token ratio, top-bigram cover)."""
     from entitymatchingmodel_spark.functions.text import repetition_stats
@@ -1185,7 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (load_events conf scoping touches every events query; the null-safe
     tier rejoin touches vocab_features; LEF dictionary growth touches
     lef_match; the tiers fit touches the supervised pair), (3) long-stable
-    queries.  The 12-query tail is exactly the set that is BOTH green in
+    queries.  The 13-query tail is exactly the set that is BOTH green in
     CORRECTNESS_r04 AND untouched by round 5, so a 50-row cutoff leaves
     every query with a green row no older than one round."""
     return {
@@ -1201,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_time_join": q_streaming_time_join,
         "source_cap": q_source_cap,
         "sample_mix": q_sample_mix,
+        "dup_spans": q_dup_spans,
         # --- tier 2: code path changed in r5 ---
         "events_asof": q_events_asof,
         "events_asof_forward": q_events_asof_forward,
@@ -1226,15 +1250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embed_near_pairs": q_embed_near_pairs,
         "pii_scrub": q_pii_scrub,
-        "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "topn_per_group": q_topn_per_group,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
-        "country_match": q_country_match,
+        "pair_features": q_pair_features,
         "threshold_curves": q_threshold_curves,
         "auc": q_auc,
         "ngram_jaccard": q_ngram_jaccard,
+        "curation_pipeline": q_curation_pipeline,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
@@ -1243,18 +1266,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split": q_grouped_split,
         "dup_clusters": q_dup_clusters,
         # --- tail: green in r04 AND untouched in r5 ---
-        "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
-        "pair_features": q_pair_features,
         "dup_clusters_star": q_dup_clusters_star,
         "preprocess_names": q_preprocess_names,
         "media_frames": q_media_frames,
         "audio_stats": q_audio_stats,
         "tfidf_vocab": q_tfidf_vocab,
         "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "country_match": q_country_match,
+        "topn_per_group": q_topn_per_group,
     }
 
 
@@ -2068,6 +2092,38 @@ _ORACLE = {
                epoch_us(max(ts)) AS session_end_us
         FROM s GROUP BY user_id, session_id
     """,
+    # mirrors duplicate_window_stats + the query's deterministic shared
+    # passage (appended to every 7th doc in BOTH engines): 12-token hash
+    # windows at stride 5, corpus-wide count, per-doc dup ratio
+    "dup_spans": """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN concat(text, ' {PASSAGE}')
+                      ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM d),
+        b AS (SELECT doc_id, toks,
+                     greatest(0, CAST(floor((len(toks) - 12) / 5.0) AS INT) + 1) AS nw
+              FROM t),
+        w AS (SELECT doc_id,
+                     unnest(list_transform(range(nw),
+                            p -> md5(array_to_string(toks[p*5+1 : p*5+12], ' ')))) AS h
+              FROM b WHERE nw > 0),
+        c AS (SELECT h, count(*) AS cnt FROM w GROUP BY h),
+        s AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup
+              FROM w JOIN c USING (h) GROUP BY doc_id)
+        SELECT b.doc_id,
+               b.nw AS n_windows,
+               CAST(coalesce(s.n_dup, 0) AS INT) AS n_dup_windows,
+               CASE WHEN b.nw > 0
+                    THEN round(coalesce(s.n_dup, 0) / CAST(b.nw AS DOUBLE), 6)
+               END AS dup_ratio
+        FROM b LEFT JOIN s USING (doc_id)
+    """.replace("{PASSAGE}", _SHARED_PASSAGE),
     "source_cap": """
         WITH r AS (
           SELECT doc_id, source,

@@ -362,6 +362,130 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide duplicate-span detection (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def _span_tokens(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def duplicate_window_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Per-document duplicated-passage signal — the Spark-shaped stand-in
+    for suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", public method): slide a
+    ``window``-token hash window with ``stride`` over every document and
+    count, corpus-wide, how many of a document's windows occur more than
+    once ANYWHERE (other documents or elsewhere in the same one).
+
+    Output: ``(id, n_windows, n_dup_windows, dup_ratio)``; documents with
+    fewer than ``window`` tokens have 0 windows and NULL ratio.
+
+    Scale shape: windows are native expressions (sequence -> transform ->
+    slice -> md5, no UDF); duplicate marking is one hash-aggregate on the
+    window hash (map-side combined — a boilerplate window repeated a
+    billion times is ONE row after partial aggregation, never one task's
+    buffer) joined back on the hash, then a per-doc aggregate.  Work is
+    tokens/stride rows per document, independent of corpus size.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = _span_tokens(F.col(text_col))
+    n_win = F.greatest(
+        F.lit(0), F.floor((F.size(toks) - window) / stride) + 1
+    ).cast("int")
+    base = df.select(F.col(id_col), toks.alias("_t"), n_win.alias("_nw"))
+    wins = base.select(
+        id_col, "_nw",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest("_nw", F.lit(1))),
+                lambda i: F.when(
+                    F.col("_nw") >= i,
+                    F.md5(F.concat_ws(" ", F.slice("_t", (i - 1) * stride + 1, window))),
+                ),
+            )
+        ).alias("_h"),
+    )
+    counts = (
+        wins.filter(F.col("_h").isNotNull())
+        .groupBy("_h").agg(F.count("*").alias("_c"))
+    )
+    marked = wins.join(counts, "_h", "left")
+    return marked.groupBy(id_col).agg(
+        F.first("_nw").alias("n_windows"),
+        F.sum(
+            F.when(F.col("_h").isNotNull() & (F.col("_c") > 1), 1).otherwise(0)
+        ).cast("int").alias("n_dup_windows"),
+    ).withColumn(
+        "dup_ratio",
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        ),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Maximal duplicated TOKEN SPANS per document: the duplicated windows
+    of :func:`duplicate_window_stats`, merged per document into maximal
+    ``[start, end)`` token ranges (overlapping/adjacent windows coalesce)
+    — what a remove-repeated-passages curation step cuts out.
+
+    Output: one row per span — ``(id, span_start, span_end)`` in token
+    offsets.  Merging is the classic interval merge expressed as windows
+    PER DOCUMENT (running max of span ends -> new-span flag -> running
+    span counter), bounded by windows-per-doc, never corpus-wide.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = _span_tokens(F.col(text_col))
+    n_win = F.greatest(
+        F.lit(0), F.floor((F.size(toks) - window) / stride) + 1
+    ).cast("int")
+    base = df.select(F.col(id_col), toks.alias("_t"), n_win.alias("_nw"))
+    wins = base.filter(F.col("_nw") > 0).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nw") - 1),
+                lambda p: F.struct(
+                    (p * stride).alias("s"),
+                    (p * stride + window).alias("e"),
+                    F.md5(F.concat_ws(" ", F.slice("_t", p * stride + 1, window))).alias("h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.s").alias("_s"), F.col("_w.e").alias("_e"), F.col("_w.h").alias("_h"))
+    counts = wins.groupBy("_h").agg(F.count("*").alias("_c"))
+    dup = wins.join(counts, "_h").filter(F.col("_c") > 1)
+    wo = Window.partitionBy(id_col).orderBy(F.col("_s").asc())
+    run_end = F.max("_e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new", F.when(run_end.isNull() | (F.col("_s") > run_end), 1).otherwise(0)
+    ).withColumn(
+        "_grp", F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return flagged.groupBy(id_col, "_grp").agg(
+        F.min("_s").cast("long").alias("span_start"),
+        F.max("_e").cast("long").alias("span_end"),
+    ).drop("_grp")
+
+
+# ---------------------------------------------------------------------------
 # corpus-wide line-level dedup (C4/RefinedWeb-style curation)
 # ---------------------------------------------------------------------------
 

@@ -46,3 +46,69 @@ def test_line_dedup_metachar_separator(spark):
     got = {r["id"]: r for r in line_dedup(docs, "doc_id", "text", sep="|").collect()}
     assert got[1]["text"] == "aa|bb" and got[1]["n_lines"] == 3
     assert got[2]["text"] == "cc"
+
+
+def test_duplicate_window_stats_and_spans_match_naive(spark):
+    """Windowed substring-dup signal vs a naive Python reference:
+    per-doc window counts, dup counts, and MERGED spans must agree on a
+    randomized small-vocab corpus with planted repeated passages."""
+    import random
+    import re
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        duplicate_spans,
+        duplicate_window_stats,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    passage = " ".join(rng.choice(vocab) for _ in range(17))
+    docs = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 60))]
+        if i % 4 == 0:  # plant the shared passage mid-document
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + passage.split() + words[pos:]
+        docs.append((i, " ".join(words)))
+
+    W, S = 8, 3
+
+    def naive():
+        wins = {}
+        per_doc = {}
+        for i, text in docs:
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            nw = max(0, (len(toks) - W) // S + 1)
+            ws = []
+            for p in range(nw):
+                key = " ".join(toks[p * S: p * S + W])
+                ws.append((p * S, p * S + W, key))
+                wins[key] = wins.get(key, 0) + 1
+            per_doc[i] = (nw, ws)
+        stats, spans = {}, {}
+        for i, (nw, ws) in per_doc.items():
+            dups = [(s, e) for s, e, k in ws if wins[k] > 1]
+            stats[i] = (nw, len(dups))
+            merged = []
+            for s, e in sorted(dups):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            if merged:
+                spans[i] = merged
+        return stats, spans
+
+    want_stats, want_spans = naive()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_stats = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_window_stats(df, "doc_id", "text", window=W, stride=S).collect()
+    }
+    assert got_stats == want_stats
+    assert any(d > 0 for _, d in got_stats.values()), "planted passage must duplicate"
+    got_spans = {}
+    for r in duplicate_spans(df, "doc_id", "text", window=W, stride=S).collect():
+        got_spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got_spans = {k: sorted(v) for k, v in got_spans.items()}
+    assert got_spans == want_spans
