@@ -1190,6 +1190,22 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_window_stats(docs, "doc_id", "text", window=12, stride=5)
 
 
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins duplicated-passage REMOVAL (the cut half of
+    dup_spans): same planted shared passage, rebuilt texts + removal
+    counts oracle-checked."""
+    from entitymatchingmodel_spark.operators.dedup import remove_duplicate_passages
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" " + _SHARED_PASSAGE))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return remove_duplicate_passages(docs, "doc_id", "text", window=12, stride=5)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup-token ratio, top-bigram cover)."""
     from entitymatchingmodel_spark.functions.text import repetition_stats
@@ -1208,7 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (load_events conf scoping touches every events query; the null-safe
     tier rejoin touches vocab_features; LEF dictionary growth touches
     lef_match; the tiers fit touches the supervised pair), (3) long-stable
-    queries.  The 13-query tail is exactly the set that is BOTH green in
+    queries.  The 14-query tail is exactly the set that is BOTH green in
     CORRECTNESS_r04 AND untouched by round 5, so a 50-row cutoff leaves
     every query with a green row no older than one round."""
     return {
@@ -1225,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "sample_mix": q_sample_mix,
         "dup_spans": q_dup_spans,
+        "dedup_passages": q_dedup_passages,
         # --- tier 2: code path changed in r5 ---
         "events_asof": q_events_asof,
         "events_asof_forward": q_events_asof_forward,
@@ -1262,7 +1279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "stratified_sample": q_stratified_sample,
         "cossim_char_blocked": q_cossim_char_blocked,
-        "naive_pairs": q_naive_pairs,
         "grouped_split": q_grouped_split,
         "dup_clusters": q_dup_clusters,
         # --- tail: green in r04 AND untouched in r5 ---
@@ -1279,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "country_match": q_country_match,
         "topn_per_group": q_topn_per_group,
+        "naive_pairs": q_naive_pairs,
     }
 
 
@@ -2123,6 +2140,64 @@ _ORACLE = {
                     THEN round(coalesce(s.n_dup, 0) / CAST(b.nw AS DOUBLE), 6)
                END AS dup_ratio
         FROM b LEFT JOIN s USING (doc_id)
+    """.replace("{PASSAGE}", _SHARED_PASSAGE),
+    # mirrors remove_duplicate_passages: winner = min (doc_id, pos) per
+    # duplicated window hash, loser windows merged into per-doc ranges,
+    # text rebuilt from surviving tokens
+    "dedup_passages": """
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN concat(text, ' {PASSAGE}')
+                      ELSE text END AS text
+          FROM documents),
+        t AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM d),
+        b AS (SELECT doc_id, toks,
+                     greatest(0, CAST(floor((len(toks) - 12) / 5.0) AS INT) + 1) AS nw
+              FROM t),
+        occ AS (SELECT doc_id,
+                       unnest(list_transform(range(nw),
+                              p -> {'s': p*5,
+                                    'h': md5(array_to_string(toks[p*5+1 : p*5+12], ' '))})) AS o
+                FROM b WHERE nw > 0),
+        w AS (SELECT doc_id, o.s AS s, o.h AS h,
+                     count(*) OVER (PARTITION BY o.h) AS cnt,
+                     row_number() OVER (PARTITION BY o.h ORDER BY doc_id, o.s) AS rn
+              FROM occ),
+        losers AS (SELECT doc_id, s, s + 12 AS e FROM w WHERE cnt > 1 AND rn > 1),
+        flagged AS (SELECT doc_id, s, e,
+                           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                                IS NULL
+                             OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           THEN 1 ELSE 0 END AS new_g
+                    FROM losers),
+        grp AS (SELECT doc_id, s, e,
+                       sum(new_g) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS g
+                FROM flagged),
+        spans AS (SELECT doc_id, list({'s': ms, 'e': me} ORDER BY ms) AS cut
+                  FROM (SELECT doc_id, g, min(s) AS ms, max(e) AS me
+                        FROM grp GROUP BY doc_id, g)
+                  GROUP BY doc_id),
+        rebuilt AS (
+          SELECT b.doc_id,
+                 list_filter(
+                   list_transform(range(len(b.toks)),
+                     j -> CASE WHEN len(list_filter(coalesce(spans.cut, []),
+                                     sp -> j >= sp.s AND j < sp.e)) = 0
+                               THEN b.toks[j+1] END),
+                   x -> x IS NOT NULL) AS kept,
+                 b.toks
+          FROM b LEFT JOIN spans USING (doc_id))
+        SELECT doc_id,
+               array_to_string(kept, ' ') AS text,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(toks) - len(kept) AS INT) AS n_tokens_removed
+        FROM rebuilt
     """.replace("{PASSAGE}", _SHARED_PASSAGE),
     "source_cap": """
         WITH r AS (
