@@ -157,6 +157,17 @@ def main():
                 ev_inf.select("event_id", "user_id", "ts"),
                 sessions, "user_id", "ts", "session_start", "session_end")
 
+        def group_cap():
+            from entitymatchingmodel_spark.functions.sampling import per_group_cap
+            grouped = d.withColumn("grp", F.pmod(F.xxhash64("doc_id"), F.lit(20)))
+            return per_group_cap(grouped, "doc_id", "grp", max_per_group=50)
+
+        def dup_windows():
+            from entitymatchingmodel_spark.operators.dedup import (
+                duplicate_window_stats,
+            )
+            return duplicate_window_stats(d, "doc_id", "text", window=12, stride=5)
+
         run("cossim_inverted", cossim)
         run("cossim_broadcast", cossim_bc)
         run("sni", sni)
@@ -167,6 +178,8 @@ def main():
         run("pack_sequences", pack)
         run("asof_join", asof)
         run("interval_join", ivjoin)
+        run("per_group_cap", group_cap)
+        run("dup_window_stats", dup_windows)
 
     print("\nscaling ratios (vs 1x):")
     for name, ts in results.items():
