@@ -113,6 +113,8 @@ def _bucketed_prefix_sum(
             .filter(F.col("_n") > 1).limit(1).collect()
         )
         if dup:
+            if persist_handles is None:
+                t.unpersist()
             raise ValueError(
                 f"prefix-sum key column {key_col!r} is not unique (e.g. "
                 f"{dup[0][key_col]!r} appears {dup[0]['_n']} times); duplicate "
@@ -213,6 +215,7 @@ def per_group_cap(
     max_per_group: int,
     salt: str = "cap",
     salt_buckets: int = 64,
+    validate: bool = False,
 ) -> DataFrame:
     """Keep at most ``max_per_group`` rows per group, chosen
     deterministically — the web-corpus "at most N documents per domain"
@@ -233,11 +236,30 @@ def per_group_cap(
     subset of the per-bucket N smallest, so the result is IDENTICAL to
     the single-window formulation (``salt_buckets=1`` collapses to it) —
     two narrow shuffles instead of one skew-prone one.
+
+    ``key_col`` must be UNIQUE: duplicate keys tie on ``(hash, key)`` and
+    ``row_number`` breaks the tie by partition layout, so the kept subset
+    at the cap boundary would differ between runs.  ``validate=True``
+    enforces uniqueness with one extra aggregate (loud ``ValueError``
+    instead of a silently unstable boundary), same contract as
+    :func:`token_budget_sample` / :func:`pack_sequences`.
     """
     if max_per_group < 0:
         raise ValueError("max_per_group must be >= 0")
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    if validate:
+        dup = (
+            df.groupBy(key_col).agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"per_group_cap key column {key_col!r} is not unique (e.g. "
+                f"{dup[0][key_col]!r} appears {dup[0]['_n']} times); duplicate "
+                "keys make the rank order — and the cap boundary — "
+                "partition-layout dependent"
+            )
     from pyspark.sql import Window
 
     h = _unit_hash(F.col(key_col), salt)
@@ -301,10 +323,12 @@ def sample_to_mix(
         ).collect()
         if r["g"] in weights
     }
-    if not counts:
+    positive = [g for g in counts if weights[g] > 0]
+    if not positive:
+        # every group actually present has target share 0 — nothing to keep
         return df.filter(F.lit(False))
     # binding group: smallest available/target ratio; kept in full
-    scale = min(counts[g] / (weights[g] / total_w) for g in counts if weights[g] > 0)
+    scale = min(counts[g] / (weights[g] / total_w) for g in positive)
     frac = F.lit(0.0)
     for g in sorted(counts):
         share = weights[g] / total_w

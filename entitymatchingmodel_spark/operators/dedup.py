@@ -555,18 +555,39 @@ def remove_duplicate_passages(
         .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_cut"))
     )
     joined = base.join(spans, id_col, "left")
-    kept = F.filter(
-        F.transform("_t", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda x: ~F.exists(
-            F.coalesce("_cut", F.array().cast("array<struct<s:long,e:long>>")),
-            lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"]),
-        ),
+    # O(tokens + spans) rebuild: the merged spans are sorted and disjoint,
+    # so the kept tokens are exactly the complement gaps — slice the token
+    # array once per gap and flatten, instead of testing every token
+    # against every span (the previous F.exists formulation was
+    # O(tokens × spans) per document: 10^8 comparisons in ONE task for a
+    # 10^5-token fully-duplicated doc).  Gap boundaries: starts = [0] ++
+    # span ends, ends = span starts ++ [n]; zero-length gaps (span at the
+    # very start/end) yield empty slices.
+    cut = F.coalesce("_cut", F.array().cast("array<struct<s:long,e:long>>"))
+    n = F.size("_t").cast("long")
+    gap_starts = F.concat(
+        F.array(F.lit(0).cast("long")), F.transform(cut, lambda sp: sp["e"])
     )
+    gap_ends = F.concat(F.transform(cut, lambda sp: sp["s"]), F.array(n))
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda gs, ge: F.when(
+                ge > gs, F.slice("_t", (gs + 1).cast("int"), (ge - gs).cast("int"))
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    # NULL text propagates NULL throughout (matching what a SQL engine's
+    # string/list functions do on NULL input — pinned in
+    # tests/test_dedup.py), instead of the accidental ''/NULL mix a bare
+    # concat_ws would produce.
+    present = F.col("_t").isNotNull()
     return joined.select(
         id_col,
-        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(text_col),
-        F.size("_t").cast("int").alias("n_tokens"),
-        (F.size("_t") - F.size(kept)).cast("int").alias("n_tokens_removed"),
+        F.when(present, F.concat_ws(" ", kept)).alias(text_col),
+        F.when(present, F.size("_t")).cast("int").alias("n_tokens"),
+        F.when(present, F.size("_t") - F.size(kept)).cast("int").alias("n_tokens_removed"),
     )
 
 

@@ -161,3 +161,32 @@ def test_per_group_cap_two_phase_equals_single_window(spark):
         one = {r["id"] for r in
                per_group_cap(df, "id", "grp", n, salt_buckets=1).collect()}
         assert two == one, n
+
+
+def test_sample_to_mix_zero_weight_groups_present_only(spark):
+    """Groups present in df all carrying weight 0 must not crash the
+    binding-group scan (round-5 advice): result is empty, loudly not a
+    bare min()-of-empty ValueError."""
+    from entitymatchingmodel_spark.functions.sampling import sample_to_mix
+
+    df = spark.createDataFrame([(i, "a") for i in range(20)], "id long, grp string")
+    out = sample_to_mix(df, "id", "grp", {"a": 0.0, "b": 1.0})
+    assert out.count() == 0
+
+
+def test_per_group_cap_validate_rejects_duplicate_keys(spark):
+    """validate=True enforces the documented key-uniqueness contract the
+    prefix-sum operators already have (round-5 advice)."""
+    import pytest
+
+    from entitymatchingmodel_spark.functions.sampling import per_group_cap
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a")], "id long, grp string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        per_group_cap(dup, "id", "grp", 2, validate=True)
+    # without validate the call still runs (documented caller contract)
+    assert per_group_cap(dup, "id", "grp", 2).count() == 2
+    uniq = spark.createDataFrame([(i, "a") for i in range(10)], "id long, grp string")
+    assert per_group_cap(uniq, "id", "grp", 3, validate=True).count() == 3

@@ -180,3 +180,26 @@ def test_remove_duplicate_passages_matches_naive(spark):
     # exactly one occurrence of the planted passage text survives corpus-wide
     survivors = sum(passage in t for t, _, _ in got.values())
     assert survivors >= 1
+
+
+def test_remove_duplicate_passages_null_text(spark):
+    """NULL input text propagates NULL (text, n_tokens, n_tokens_removed) —
+    the same answer a SQL engine's string/list functions give on NULL input,
+    so the DuckDB oracle stays hash-identical if documents.text ever becomes
+    nullable.  Pinned per round-5 advice (sampling/dedup NULL semantics)."""
+    from entitymatchingmodel_spark.operators.dedup import remove_duplicate_passages
+
+    shared = "a b c d e f a b c d e f"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicate_passages(df, "doc_id", "text", window=3, stride=1).collect()
+    }
+    assert got[3] == (None, None, None)
+    assert got[4] == ("", 0, 0)
+    # sanity: the duplicated docs still get passages cut (doc 1 wins the
+    # first occurrence; its own internal repeat and all of doc 2 are losers)
+    assert got[1][2] > 0 and got[2][2] == 12

@@ -6,6 +6,11 @@ times the core operators at 1x/4x/10x.  A superlinear ratio (>~1.5x the
 size ratio) flags a plan that would not survive the 100x scale-up.
 
 Usage: python tools/scale_probe.py [sf_dir]
+       python tools/scale_probe.py --spans   (span-heavy long-doc probe:
+       remove_duplicate_passages must be ~linear in document length even
+       when every document carries hundreds of disjoint duplicated spans —
+       guards the O(tokens + spans) complement-gap rebuild against a
+       regression back to the O(tokens × spans) per-token span test)
 """
 
 from __future__ import annotations
@@ -34,6 +39,59 @@ def inflate(df, col, factor):
                     .otherwise(F.concat(F.col(col), F.lit(" v"), F.col("_r"))))
         .drop("_r")
     )
+
+
+def span_heavy_probe():
+    """Time remove_duplicate_passages on synthetic long documents where a
+    shared 12-token passage recurs every ~40 tokens — so spans-per-doc
+    grows with document length.  Under the O(tokens × spans) per-token
+    formulation the cost is quadratic in length (10^5 tokens × 10^3 spans
+    = 10^8 comparisons in ONE task); the complement-gap rebuild keeps it
+    linear.  Flags a >1.8× superlinear ratio."""
+    from entitymatchingmodel_spark.operators.dedup import remove_duplicate_passages
+
+    spark = get_spark("span-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    passage = " ".join(f"p{i}" for i in range(12))
+    n_docs = 64
+    lengths = [2_500, 10_000, 25_000]  # tokens per doc (~40/block × blocks)
+    times = []
+    for n_blocks in [length // 40 for length in lengths]:
+        # block = 28 unique filler tokens + the shared passage → every
+        # occurrence but the corpus-wide winner is a loser span
+        block = F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(28)),
+                lambda j: F.concat(F.lit("u"), F.col("doc_id"),
+                                   F.lit("_"), F.col("_b"), F.lit("_"), j),
+            )),
+            F.lit(passage),
+        )
+        docs = (
+            spark.range(n_docs).withColumnRenamed("id", "doc_id")
+            .withColumn("_b", F.explode(F.sequence(F.lit(1), F.lit(n_blocks))))
+            .withColumn("_blk", block)
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.sort_array(F.collect_list(
+                F.struct("_b", "_blk"))).getField("_blk")).alias("text"))
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        docs = docs.persist()
+        docs.count()
+        t0 = time.time()
+        remove_duplicate_passages(docs, "doc_id", "text", window=12, stride=5) \
+            .write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        docs.unpersist()
+        times.append(dt)
+        print(f"  {n_blocks * 40:7d} tokens/doc x {n_docs} docs "
+              f"(~{n_blocks} spans/doc): {dt:7.2f}s", flush=True)
+    print("\nspan-probe ratios (vs shortest):")
+    size_ratios = [length / lengths[0] for length in lengths]
+    ratios = [round(t / times[0], 2) for t in times]
+    flag = "  <-- SUPERLINEAR" if ratios[-1] > size_ratios[-1] * 1.8 else ""
+    print(f"  sizes {size_ratios} -> times {ratios}{flag}")
 
 
 def main():
@@ -191,4 +249,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--spans" in sys.argv:
+        span_heavy_probe()
+    else:
+        main()
