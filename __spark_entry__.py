@@ -28,6 +28,14 @@ from entitymatchingmodel_spark.operators.features import LEGAL_FORM_TERMS
 # oracle (leftmost-first alternation, longest term first)
 _LEF_RE_SQL = "(?:^|\\s)(" + "|".join(LEGAL_FORM_TERMS) + ")$"
 
+# char-trigram profiles shared verbatim by the Spark lang-id scorer and its
+# DuckDB oracle (rendered as SQL IN-lists)
+from entitymatchingmodel_spark.functions.text import CHAR_TRIGRAM_PROFILES
+
+
+def _trigram_sql_list(lang: str) -> str:
+    return ", ".join("'" + t + "'" for t in CHAR_TRIGRAM_PROFILES[lang])
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -242,6 +250,43 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs, "doc_id", "text")
 
 
+# ASCII-only planted phrases for the lang-id contract (the synthetic corpus
+# text is language-agnostic, so each doc gets a deterministic language tag
+# appended — the same plant-then-detect pattern as pii_scrub).
+_LANG_PHRASES = [
+    "the quick brown fox and the dog went to the market in the morning",   # en
+    "der schnelle fuchs und die hunde gingen durch den wald und die wiesen",  # de
+    "le renard rapide et les chiens paresseux sont dans la maison que nous avons",  # fr
+    "el zorro rapido y los perros estan en la casa que tenemos del campo",  # es
+    "la volpe veloce che corre nella casa della citta con il cane di padrone",  # it
+]
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language identification (Cavnar-Trenkle-style profile
+    scorer, pure expressions): each document carries a planted language
+    phrase chosen by doc_id % 5; the scorer must be engine-deterministic
+    (hits + n_trigrams oracle-checked, not just the argmax label)."""
+    from entitymatchingmodel_spark.functions.text import lang_scores_chargram
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p in _LANG_PHRASES]),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    planted = F.concat(
+        F.substring("text", 1, 120), F.lit(" "),
+        F.repeat(F.concat(phrase, F.lit(" ")), 3),
+    )
+    s = lang_scores_chargram(planted)
+    return docs.select(
+        "doc_id",
+        s["lang"].alias("lang"),
+        s["hits"].alias("hits"),
+        s["n_trigrams"].alias("n_trigrams"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over embeddings."""
     from entitymatchingmodel_spark.operators.ann import cosine_topk
@@ -420,6 +465,19 @@ def q_embed_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000))
     return embedding_near_pairs_bucketed(emb, "vec_id", "embedding", threshold=0.5)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style one-call semantic dedup: IVF-bucketed cosine pairs →
+    connected components → keep min-id representative per cluster, with
+    cluster_size.  Oracle: exact all-pairs cosine + recursive transitive
+    closure in DuckDB (embedding array excluded from the compared output;
+    float-array stringification differs between engines)."""
+    from entitymatchingmodel_spark.operators.dedup import semantic_dedup
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000))
+    out = semantic_dedup(emb, "vec_id", "embedding", threshold=0.5)
+    return out.select("vec_id", "label", "cluster_size")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cossim_char_blocked": q_cossim_char_blocked,
         "grouped_split": q_grouped_split,
         "dup_clusters": q_dup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "lang_id": q_lang_id,
         # --- tail: green in r04 AND untouched in r5 ---
         "repetition_stats": q_repetition_stats,
         "line_dedup": q_line_dedup,
@@ -1764,6 +1824,30 @@ _ORACLE = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
     """,
+    # SemDeDup composition: exact all-pairs cosine graph -> recursive
+    # transitive closure -> min-member cluster id -> keep-one + size
+    "semantic_dedup": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 2000),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5),
+        und AS (SELECT id_a AS s, id_b AS d FROM p
+                UNION SELECT id_b, id_a FROM p),
+        reach AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+        ),
+        mins AS (SELECT s, min(d) AS mn FROM reach GROUP BY s),
+        cl AS (SELECT e.vec_id, e.label,
+                      least(e.vec_id, coalesce(m.mn, e.vec_id)) AS cluster_id
+               FROM e LEFT JOIN mins m ON m.s = e.vec_id),
+        sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id)
+        SELECT e.vec_id, e.label, CAST(sz.n AS BIGINT) AS cluster_size
+        FROM e JOIN sz ON sz.cluster_id = e.vec_id
+    """,
     "pii_scrub": """
         WITH dirty AS (
           SELECT doc_id,
@@ -1983,6 +2067,47 @@ _ORACLE = {
                  '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'
                  )) AS INT) AS n_bpe_tokens
         FROM tok
+    """,
+    # mirrors lang_scores_chargram: normalize -> overlapping trigrams ->
+    # per-language profile hit counts -> argmax with alphabetical tie-break
+    "lang_id": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 substring(text, 1, 120) || ' ' ||
+                 repeat(CASE doc_id % 5
+                          WHEN 0 THEN '{_LANG_PHRASES[0]} '
+                          WHEN 1 THEN '{_LANG_PHRASES[1]} '
+                          WHEN 2 THEN '{_LANG_PHRASES[2]} '
+                          WHEN 3 THEN '{_LANG_PHRASES[3]} '
+                          ELSE '{_LANG_PHRASES[4]} '
+                        END, 3) AS text
+          FROM documents),
+        n AS (SELECT doc_id,
+                     ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z]+', ' ', 'g')) || ' ' AS t
+              FROM d),
+        g AS (SELECT doc_id,
+                     list_transform(range(1, length(t) - 1),
+                                    i -> substring(t, CAST(i AS INT), 3)) AS tg
+              FROM n),
+        s AS (SELECT doc_id,
+                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("de")}))) AS h_de,
+                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("en")}))) AS h_en,
+                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("es")}))) AS h_es,
+                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("fr")}))) AS h_fr,
+                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("it")}))) AS h_it,
+                     length(tg) AS n_trigrams
+              FROM g),
+        b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN h_de = best THEN 'de'
+                    WHEN h_en = best THEN 'en'
+                    WHEN h_es = best THEN 'es'
+                    WHEN h_fr = best THEN 'fr'
+                    ELSE 'it' END AS lang,
+               CAST(best AS INT) AS hits,
+               CAST(n_trigrams AS INT) AS n_trigrams
+        FROM b
     """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

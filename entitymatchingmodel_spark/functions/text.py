@@ -78,6 +78,91 @@ def quality_score(c: Column) -> Column:
     return F.round(len_ok * tok_ok * alpha_ratio, 6)
 
 
+# Frequent character trigrams per language (space-padded word boundaries),
+# from public letter/trigram frequency tables — the classic Cavnar-Trenkle
+# n-gram-profile language-ID approach, reduced to a fixed hit-count scorer
+# so it stays a pure expression (and is oracle-expressible in ANSI SQL).
+CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": (" de", "der", "er ", "ie ", "die", " di", "sch", "ein", "ich",
+           "nde", "en ", "und", " un", "cht", "das", " da", "ung", "ten",
+           "ber", "gen"),
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", " to", "to ", "ion", " in", "in ", "ed ", "er ", " re",
+           "is ", "at "),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu",
+           "ue ", "en ", " en", "ado", "ar ", " co", "es ", "as ", "los",
+           " lo", "del"),
+    "fr": (" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la",
+           "on ", "re ", " pa", "e d", "e l", "que", " qu", "ue ", "les",
+           "our", "ais"),
+    "it": ("re ", " di", "di ", "to ", "la ", " la", "che", " ch", "no ",
+           "one", "zio", " co", "ne ", "ell", "lla", "del", " de", "ta ",
+           "ato", "gli"),
+}
+
+
+def _chargram_norm(c: Column) -> Column:
+    """Lowercase, collapse non-letter runs to single spaces, pad with one
+    space each side so word-boundary trigrams (' th', 'he ') fire.  NULL
+    input counts as empty text (→ ('und', 0, 0)) so both engines agree on
+    nullable corpora."""
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+
+
+def lang_scores_chargram(c: Column) -> Column:
+    """Struct ``(lang, hits, n_trigrams)`` for the best-matching char-trigram
+    profile: every overlapping trigram of the normalized text is tested
+    against each language's profile; the language with the most hits wins,
+    ties break to the alphabetically-first language; ``('und', 0, n)``
+    when no profile hits.
+
+    All native expressions (substring transform + filter + struct max) —
+    no UDF, no shuffle; Catalyst evaluates it as one projection.
+    """
+    # Trigrams via the arrays_zip-of-shifted-slices idiom (see
+    # operators/dedup.word_shingles): a per-index lambda
+    # ``i -> substring(norm, i, 3)`` would re-evaluate the whole
+    # normalize expression (regexp_replace over the full text) once PER
+    # TRIGRAM — O(n²) regex work per document, measured ~20s for 500
+    # docs.  Slicing a char array keeps every step O(n).
+    chars = F.split(_chargram_norm(c), "")
+    win = F.greatest(F.size(chars) - 2, F.lit(0))
+    z = F.arrays_zip(*[F.slice(chars, i + 1, win).alias(str(i)) for i in range(3)])
+    grams = F.transform(z, lambda s: F.concat(s["0"], s["1"], s["2"]))
+    langs = sorted(CHAR_TRIGRAM_PROFILES)
+    packed = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.filter(grams, lambda g: g.isin(*CHAR_TRIGRAM_PROFILES[lang]))
+                ).alias("hits"),
+                # ties pick max(-index) = smallest index = alphabetically first
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    top = F.array_max(packed)
+    return F.struct(
+        F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und")).alias("lang"),
+        top["hits"].cast("int").alias("hits"),
+        F.size(grams).cast("int").alias("n_trigrams"),
+    )
+
+
+def lang_id_chargram(c: Column) -> Column:
+    """Language code by char-trigram profile scoring ('und' if no hits) —
+    the scale/robustness upgrade over the stopword :func:`lang_id`
+    (trigram profiles fire on inflected forms and boundary n-grams that a
+    fixed stopword list misses)."""
+    return lang_scores_chargram(c)["lang"]
+
+
 def lang_id(c: Column) -> Column:
     """Pick the language whose stopword profile hits most tokens; 'und' if none."""
     toks = tokens(c)

@@ -1205,3 +1205,65 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style one-call composition)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    probe_margin: float | None = None,
+    seed: int = 42,
+    use_star: bool = False,
+    max_iterations: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication in ONE call (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public method): embedding-cosine near-dup pairs →
+    connected components → keep ONE representative per semantic cluster.
+
+    This composes the three already-exact primitives a curation user would
+    otherwise wire by hand:
+
+    1. :func:`embedding_near_pairs_bucketed` — IVF-bucketed pair
+       generation with the provable-recall margin (no driver collect of
+       the corpus; one shuffle on bucket id), so the pair set EQUALS the
+       exact all-pairs result at the default margin.
+    2. :func:`duplicate_clusters` (or the O(log n)-round
+       :func:`duplicate_clusters_star` with ``use_star=True`` for
+       adversarially long dup chains) — cluster id = component min.
+    3. Keep-one-per-cluster: the representative is the MINIMUM member id
+       (== the cluster id), the same first-occurrence-wins policy as
+       :func:`line_dedup` / :func:`remove_duplicate_passages` —
+       deterministic across runs, partitionings, and engines.
+
+    Returns the KEPT rows: every input column of ``df`` plus
+    ``cluster_size`` (how many input rows this representative stands
+    for); ``sum(cluster_size)`` over the output equals the input count.
+
+    Scale shape: pair generation is the bucketed 100 TB path; clustering
+    is O(diameter) (or O(log n)) joins; the keep step is one count
+    aggregate over the labels (cluster_id is itself the representative
+    id, so no extra winner pass) and one equi-join back to ``df``.  No
+    driver materialization beyond the ``nlist`` centroids and the
+    per-round convergence scalars.
+    """
+    pairs = embedding_near_pairs_bucketed(
+        df, id_col, vec_col,
+        threshold=threshold, nlist=nlist, probe_margin=probe_margin, seed=seed,
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    cluster_fn = duplicate_clusters_star if use_star else duplicate_clusters
+    kwargs = {} if max_iterations is None else {"max_iterations": max_iterations}
+    clusters = cluster_fn(ids, pairs, **kwargs)
+    # representative == cluster_id (component min), so the per-cluster
+    # count aggregate doubles as the keep table
+    reps = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return df.join(
+        reps.withColumnRenamed("cluster_id", id_col), id_col, "inner"
+    )

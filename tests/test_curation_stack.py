@@ -20,7 +20,11 @@ def _run_stack(spark):
         sample_to_mix,
         token_budget_sample,
     )
-    from entitymatchingmodel_spark.functions.text import lang_id, quality_score
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id,
+        lang_id_chargram,
+        quality_score,
+    )
     from entitymatchingmodel_spark.operators.decontaminate import (
         benchmark_contamination,
     )
@@ -41,6 +45,17 @@ def _run_stack(spark):
         docs, "doc_id", "source",
         {s: 1.0 for s in [r["source"] for r in docs.select("source").distinct().collect()]},
     )
+
+    # language mix keyed on the DETECTED language (char-trigram scorer) —
+    # no reliance on a pre-supplied lang column; the synthetic corpus is
+    # English-shaped so detected langs concentrate on en/und and the mix
+    # keeps whatever detected groups exist
+    detected = docs.withColumn("det_lang", lang_id_chargram(F.col("text")))
+    det_groups = [r["g"] for r in
+                  detected.select(F.col("det_lang").alias("g")).distinct().collect()]
+    docs = sample_to_mix(
+        detected, "doc_id", "det_lang", {g: 1.0 for g in det_groups}
+    ).drop("det_lang")
 
     filtered = (
         docs.filter(lang_id(F.col("text")) == "en")
@@ -190,3 +205,21 @@ def test_per_group_cap_validate_rejects_duplicate_keys(spark):
     assert per_group_cap(dup, "id", "grp", 2).count() == 2
     uniq = spark.createDataFrame([(i, "a") for i in range(10)], "id long, grp string")
     assert per_group_cap(uniq, "id", "grp", 3, validate=True).count() == 3
+
+
+def test_semantic_dedup_stage_on_real_embeddings(spark):
+    """SemDeDup one-call stage over the real embeddings table: cluster
+    sizes account for every input row, output is a subset keyed by min-id
+    representatives, and the call is run-to-run deterministic."""
+    from entitymatchingmodel_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    out = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9, nlist=8)
+    rows = out.collect()
+    assert 0 < len(rows) <= n
+    assert sum(r["cluster_size"] for r in rows) == n
+    assert set(out.columns) == set(emb.columns) | {"cluster_size"}
+    again = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9, nlist=8).collect()
+    key = lambda rs: sorted((r["vec_id"], r["cluster_size"]) for r in rs)
+    assert key(rows) == key(again)

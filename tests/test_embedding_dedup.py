@@ -88,3 +88,43 @@ def test_bucketed_derived_margin_is_exact_at_low_threshold(spark):
         ).collect()
     }
     assert bucketed == exact and len(exact) > 0
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """semantic_dedup composition: planted near-dup clusters collapse to
+    their min-id representative; singletons survive; cluster_size accounts
+    for every input row; extra payload columns pass through."""
+    import random
+
+    from entitymatchingmodel_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+
+    def jitter(v, eps=0.01):
+        return [x + rng.gauss(0, eps) for x in v]
+
+    base_a = [rng.gauss(0, 1) for _ in range(8)]
+    base_b = [rng.gauss(0, 1) for _ in range(8)]
+    rows = []
+    # cluster A: ids 0..3, cluster B: ids 10..12, singletons: 20..29
+    for i in range(4):
+        rows.append((i, jitter(base_a), "a"))
+    for i in range(10, 13):
+        rows.append((i, jitter(base_b), "b"))
+    for i in range(20, 30):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(8)], "s"))
+    df = spark.createDataFrame(rows, "id long, v array<double>, tag string")
+    out = semantic_dedup(df, "id", "v", threshold=0.95, nlist=4).collect()
+    kept = {r["id"]: (r["cluster_size"], r["tag"]) for r in out}
+    assert kept[0] == (4, "a"), kept
+    assert kept[10] == (3, "b"), kept
+    assert set(kept) == {0, 10} | set(range(20, 30))
+    assert all(kept[i] == (1, "s") for i in range(20, 30))
+    assert sum(s for s, _ in kept.values()) == len(rows)
+    # star variant agrees
+    star = {
+        r["id"]: r["cluster_size"]
+        for r in semantic_dedup(df, "id", "v", threshold=0.95, nlist=4,
+                                use_star=True).collect()
+    }
+    assert star == {i: s for i, (s, _) in kept.items()}

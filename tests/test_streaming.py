@@ -212,3 +212,66 @@ def test_stream_time_bounded_join_requires_streams(spark):
     static = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError, match="streaming"):
         stream_time_bounded_join(static, static, "user_id")
+
+
+def test_stream_join_state_bounded_by_watermark(spark, tmp_path):
+    """The watermark + time-range coupling must keep stream-stream join
+    state BOUNDED: feed 30 micro-batches whose event time advances far past
+    watermark + lookback and assert, via the engine's own state-store
+    metrics (stateOperators[].numRowsTotal), that retained state stays at
+    ~window size instead of accumulating the whole stream.  Fails loudly if
+    someone drops the watermark or the range condition from the join."""
+    import datetime
+    import json
+    import os
+
+    from entitymatchingmodel_spark.streaming import stream_time_bounded_join
+
+    base = datetime.datetime(2024, 1, 1)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    n_steps, per_step = 30, 5
+    for step in range(n_steps):
+        t0 = base + datetime.timedelta(minutes=10 * step)
+        lrows = [(u, t0 + datetime.timedelta(seconds=30 * u)) for u in range(per_step)]
+        rrows = [(u, t0 + datetime.timedelta(seconds=15 * u), float(step))
+                 for u in range(per_step)]
+        spark.createDataFrame(lrows, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(lsrc)
+        spark.createDataFrame(rrows, "user_id long, r_ts timestamp, value double") \
+            .coalesce(1).write.mode("append").parquet(rsrc)
+
+    ls = (spark.readStream.schema("user_id long, ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    rs = (spark.readStream.schema("user_id long, r_ts timestamp, value double")
+          .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    joined = stream_time_bounded_join(
+        ls, rs, "user_id", lookback_seconds=300, watermark="5 minutes"
+    )
+    matched = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, i: matched.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [json.loads(p.json) if hasattr(p, "json") else p
+                      for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    totals = [t for t in totals if t > 0]
+    assert len(totals) >= 10, f"expected many micro-batches, got {len(totals)}"
+    ingested = n_steps * per_step * 2
+    # bounded-state contract: retained rows ~ arrival-rate x (watermark +
+    # lookback) ≈ 2 steps' worth (20 rows), never the whole stream (300)
+    assert max(totals) <= 80, (max(totals), totals[-5:])
+    assert totals[-1] <= 80 < ingested / 2
+    assert matched, "join must still produce matches while evicting state"

@@ -40,3 +40,55 @@ def test_bpe_token_count_hand_cases(spark):
     out = df.select("expected", bpe_token_count(F.col("text")).alias("got")).collect()
     for r in out:
         assert r["got"] == r["expected"], r
+
+
+def test_lang_id_chargram_detects_planted_languages(spark):
+    """Char-trigram profile scorer: correct language on short natural
+    sentences in all five profiled languages; 'und' on empty/NULL/
+    non-language input (NULL counts as empty text in both engines)."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id_chargram,
+        lang_scores_chargram,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and runs to the river.", "en"),
+        (2, "Der schnelle braune Fuchs springt über den faulen Hund und rennt durch den Wald.", "de"),
+        (3, "Le renard brun rapide saute par-dessus le chien paresseux que nous aimons.", "fr"),
+        (4, "El zorro marrón rápido salta sobre el perro perezoso que tenemos en el campo.", "es"),
+        (5, "La volpe marrone veloce salta sopra il cane pigro nella foresta della città.", "it"),
+        (6, "", "und"),
+        (7, None, "und"),
+        (8, "zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, want string")
+    got = df.select("id", "want", lang_id_chargram(F.col("text")).alias("lang")).collect()
+    for r in got:
+        assert r["lang"] == r["want"], (r["id"], r["lang"], r["want"])
+    # NULL input == empty text: identical full score struct
+    s = {r["id"]: r["s"] for r in
+         df.filter(F.col("id").isin(6, 7))
+           .select("id", lang_scores_chargram(F.col("text")).alias("s")).collect()}
+    assert s[6] == s[7] == ("und", 0, 0), s
+
+
+def test_lang_id_chargram_tie_breaks_alphabetically(spark):
+    """Equal profile hits resolve to the alphabetically-first language —
+    the deterministic contract the DuckDB oracle's CASE chain mirrors."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.functions.text import (
+        CHAR_TRIGRAM_PROFILES,
+        lang_scores_chargram,
+    )
+
+    # 'xde' -> trigrams ' xd', 'xde', 'de '; 'de ' is in both the es and
+    # fr profiles (and nothing else matches) -> exact es/fr tie at 1 hit,
+    # resolved to 'es' (alphabetically first)
+    assert "de " in CHAR_TRIGRAM_PROFILES["es"] and "de " in CHAR_TRIGRAM_PROFILES["fr"]
+    assert not any("xd" in t for p in CHAR_TRIGRAM_PROFILES.values() for t in p)
+    df = spark.createDataFrame([("xde",)], "text string")
+    row = df.select(lang_scores_chargram(F.col("text")).alias("s")).head()
+    assert row["s"]["lang"] == "es" and row["s"]["hits"] == 1
