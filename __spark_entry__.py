@@ -1054,12 +1054,20 @@ def _supervised_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gt_uid",
         )
         .withColumn("gt_entity_id", F.col("gt_uid"))
-        # label source: a name's true entity is the GT row with its own string
-        .withColumn(
-            "entity_id",
-            F.when(
-                F.col("preprocessed") == F.col("gt_preprocessed"), F.col("gt_entity_id")
+        # label source: a name's true entity is the GT entry for its own
+        # string, carried on EVERY candidate row of that name (ref
+        # prepare_name_pairs.py:96 semantics: correct = entity_id ==
+        # gt_entity_id).  It must NOT be null on non-matching candidates —
+        # the fit filters to entity_id-known names and derives the label
+        # from the equality, so a null-for-negatives encoding would leave
+        # only positive pairs in the training set and the GBT would
+        # degenerate to a constant score (caught by the
+        # supervised_quality contract row: AUC was exactly 0.5).
+        .join(
+            part.groupBy(F.col("p_name").alias("preprocessed")).agg(
+                F.min("p_partkey").alias("entity_id")
             ),
+            "preprocessed",
         )
     )
 
@@ -1104,6 +1112,40 @@ def q_supervised_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.transform(_supervised_cands(spark, sf_dir)).count()
     out = _SUP_MODEL_CACHE[key].transform(_supervised_cands(spark, sf_dir))
     return out.select("uid", "gt_uid", "nm_score", "best_rank", "best_match")
+
+
+def q_supervised_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW model-quality witness for the supervised pair: precision@1
+    over best-match rows and rank-sum AUC over all scored candidates,
+    computed entirely as a plan (``auc_frame``) — so the driver artifact
+    itself records model quality next to the rows-only markers of
+    ``supervised_scores``/``supervised_score_only``.
+
+    Not SQL-expressible (gradient-boosted model) -> rows-only check;
+    schema pinned in tests/test_schema_contract.py, thresholds asserted in
+    tests/test_supervised_accuracy.py.
+    """
+    from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
+    from entitymatchingmodel_spark.operators.training import auc_frame
+
+    key = (id(spark), sf_dir)
+    if key not in _SUP_MODEL_CACHE:
+        _SUP_MODEL_CACHE[key] = SupervisedScorer(score_col="score", max_iter=8).fit(
+            _supervised_cands(spark, sf_dir)
+        )
+    out = _SUP_MODEL_CACHE[key].transform(_supervised_cands(spark, sf_dir))
+    # same label rule as the fit: correct = entity_id == gt_entity_id
+    scored = out.withColumn(
+        "correct", F.col("entity_id") == F.col("gt_entity_id")
+    )
+    prec = scored.filter(F.col("best_match")).agg(
+        F.round(F.avg(F.col("correct").cast("double")), 6).alias("prec_at_1"),
+        F.count("*").alias("n_queries"),
+    )
+    a = auc_frame(scored, "nm_score", "correct").select(
+        F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
+    )
+    return prec.crossJoin(a)
 
 
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lef_match": q_lef_match,
         "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
         "supervised_score_only": q_supervised_score_only,
+        "supervised_quality": q_supervised_quality,
         # --- tier 3: stable ---
         "cossim_word_topk": q_cossim_word_topk,
         "sni_window": q_sni_window,

@@ -405,6 +405,25 @@ class Vocabulary:
         very_common_min_df: float = 0.01,
         common_min_df: float = 0.0001,
     ) -> "Vocabulary":
+        """DEPRECATED — use :meth:`fit_tiers`.
+
+        This path COLLECTS the tier token lists to the driver (bounded by
+        1/min_df, but still a driver materialization a small
+        ``common_min_df`` can blow up to millions of tokens) and inlines
+        them as literal arrays.  :meth:`fit_tiers` keeps the tiers as a
+        DataFrame and :func:`vocabulary_features_joined` broadcast-joins
+        it — the 100 TB path the supervised fit uses.  Kept for parity
+        tests and small interactive vocabularies only.
+        """
+        import warnings
+
+        warnings.warn(
+            "Vocabulary.fit collects tier token lists to the driver; use "
+            "Vocabulary.fit_tiers + vocabulary_features_joined (the "
+            "no-collect path) instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         if common_min_df >= very_common_min_df:
             raise ValueError("common_min_df must be smaller than very_common_min_df")
         names = None

@@ -331,11 +331,14 @@ def calc_threshold(
     return float(row["t"])
 
 
-def auc_score(
+def auc_frame(
     scored: DataFrame, score_col: str = "nm_score", correct_col: str = "correct"
-) -> float:
-    """ROC AUC via the rank-sum (Mann-Whitney) identity — one groupBy, no
-    per-row collect (ref test helper pandas_entity_matching.py:527-559)."""
+) -> DataFrame:
+    """ROC AUC as a ONE-ROW DataFrame ``(auc, n_pos, n_neg)`` — the
+    rank-sum identity of :func:`auc_score` kept entirely as a plan (no
+    driver collect), so the metric can ride inside a larger query (e.g.
+    the supervised quality-gate contract row).  ``auc`` is NULL when a
+    class is absent (the scalar twin raises instead)."""
     sub = scored.filter(F.col(score_col).isNotNull())
     # Aggregate per distinct score first: the tied-rank average of a score
     # group is cum_count_before + (n+1)/2, so the global window runs over
@@ -352,8 +355,26 @@ def auc_score(
         F.sum(F.col("_pos") * F.col("r")).alias("rs"),
         F.sum("_pos").alias("np"),
         F.sum("_n").alias("n"),
-    ).collect()[0]
-    n_pos, n_neg = agg["np"], agg["n"] - agg["np"]
-    if not n_pos or not n_neg:
+    )
+    n_pos, n_neg = F.col("np"), F.col("n") - F.col("np")
+    return agg.select(
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            (F.col("rs") - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg),
+        ).alias("auc"),
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+    )
+
+
+def auc_score(
+    scored: DataFrame, score_col: str = "nm_score", correct_col: str = "correct"
+) -> float:
+    """ROC AUC via the rank-sum (Mann-Whitney) identity — one groupBy, no
+    per-row collect (ref test helper pandas_entity_matching.py:527-559).
+    Scalar twin of :func:`auc_frame` (the single bounded collect is the
+    one-row metric); raises when a class is absent."""
+    row = auc_frame(scored, score_col, correct_col).collect()[0]
+    if row["auc"] is None:
         raise ValueError("need both classes for AUC")
-    return float((agg["rs"] - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+    return float(row["auc"])

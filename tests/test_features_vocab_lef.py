@@ -17,7 +17,10 @@ def test_vocabulary_fit_tiers(spark):
         [("alpha beta one",), ("alpha beta two",), ("alpha three",), ("alpha four",)],
         "preprocessed string",
     )
-    v = Vocabulary.fit(df, ["preprocessed"], very_common_min_df=0.9, common_min_df=0.4)
+    # the collecting fit is deprecated (fit_tiers is the production path);
+    # it must say so loudly while still computing the right tiers
+    with pytest.warns(DeprecationWarning, match="fit_tiers"):
+        v = Vocabulary.fit(df, ["preprocessed"], very_common_min_df=0.9, common_min_df=0.4)
     assert v.very_common == ["alpha"]
     assert v.common == ["beta"]
 
@@ -44,7 +47,7 @@ def test_vocabulary_features_values(spark):
 def test_vocabulary_min_df_validation(spark):
     df = spark.createDataFrame([("x",)], "preprocessed string")
     with pytest.raises(ValueError, match="smaller"):
-        Vocabulary.fit(df, ["preprocessed"], very_common_min_df=0.01, common_min_df=0.1)
+        Vocabulary.fit_tiers(df, ["preprocessed"], very_common_min_df=0.01, common_min_df=0.1)
 
 
 def test_extra_equality_three_states(spark):

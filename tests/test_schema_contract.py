@@ -171,3 +171,25 @@ def test_supervised_scores_schema_pinned(spark):
     assert scores.schema == want
     score_only = mod.queries()["supervised_score_only"](spark, SF_DIR)
     assert score_only.schema == want
+
+
+def test_supervised_quality_schema_pinned(spark):
+    """The one-row quality witness (prec@1 + rank-sum AUC) is rows-only in
+    the driver artifact, so its schema AND its one-row shape are pinned
+    here; the quality thresholds live in test_supervised_accuracy."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    df = _entry_module().queries()["supervised_quality"](spark, SF_DIR)
+    assert df.schema == StructType([
+        StructField("prec_at_1", DoubleType(), True),
+        StructField("n_queries", LongType(), False),
+        StructField("auc", DoubleType(), True),
+        StructField("n_pos", LongType(), True),
+        StructField("n_neg", LongType(), True),
+    ])
+    assert df.count() == 1

@@ -62,3 +62,22 @@ def test_candidate_ranking_auc(scored):
     assert pos > 0 and neg > 0
     auc = (r[lab == 1].sum() - pos * (pos + 1) / 2) / (pos * neg)
     assert auc >= 0.95, f"AUC {auc:.4f}"
+
+
+def test_supervised_quality_contract_row_thresholds(spark):
+    """The driver-artifact quality witness must itself clear the gates:
+    the contract-scale GBT separates true from near-miss candidates
+    (prec@1 and AUC high, both classes present).  This is the row that
+    caught the positives-only training bug (constant score, AUC 0.5)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_quality", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    row = mod.queries()["supervised_quality"](spark, "/root/testdata/sf0.001").head()
+    assert row["n_queries"] > 0
+    assert row["n_pos"] > 0 and row["n_neg"] > 0, "both classes must exist"
+    assert row["prec_at_1"] >= 0.95, row
+    assert row["auc"] is not None and row["auc"] >= 0.95, row
