@@ -719,6 +719,20 @@ LEGAL_FORM_TERMS = sorted(
         "oe", "ee", "ae", "jdoo", "dd", "ska", "og", "sagl", "pllc", "pc",
         "lllp", "ou", "sia", "uab", "dac", "cic", "ksc", "bsc", "qsc",
         "saog", "saoc", "eirl", "eireli",
+        # r6 jurisdiction breadth (public cleanco/GLEIF-style suffix forms):
+        # BG, UA, VN, TR, KR, IS, CZ/SK, PT, ES, MX, DE/AT, UK/IE nonprofit,
+        # US professional, MY, NO/DK/SE/FI full forms, NL foundations, HU,
+        # SI, ZA, BE legacy, CA
+        "spol s r o", "akciova spolecnost", "chusik hoesa", "yuhan hoesa",
+        "ltd sti", "sab de cv", "sapi de cv", "s l u", "s a u",
+        "sp j", "sp k", "kommanditbolag", "handelsbolag", "aktieselskab",
+        "anpartsselskab", "aksjeselskap", "osakeyhtio",
+        "societe civile immobiliere", "limited liability limited partnership",
+        "professional corporation", "general partnership",
+        "eood", "ood", "pat", "prat", "tnhh", "slf", "sgps", "crl",
+        "sau", "slu", "gbr", "stiftung", "cio", "lc", "pa", "berhad",
+        "ba", "kkt", "kd", "npc", "pvba", "ltee", "cooperatie",
+        "stichting", "maatschap",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -849,6 +863,28 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "s coop": ["cooperative"], "sociedad cooperativa": ["cooperative"],
     "s en c": ["partnership"], "s de rl": ["private"],
     "societas europaea": ["public"], "d d": ["public"], "s a r l": ["private"],
+    # r6 additions (same public cleanco/GLEIF-style sources as the terms)
+    "spol s r o": ["private"], "akciova spolecnost": ["public"],
+    "chusik hoesa": ["public"], "yuhan hoesa": ["private"],
+    "ltd sti": ["limited"], "sab de cv": ["public"],
+    "sapi de cv": ["corporation"], "s l u": ["private"], "s a u": ["public"],
+    "sp j": ["partnership"], "sp k": ["partnership"],
+    "kommanditbolag": ["partnership"], "handelsbolag": ["partnership"],
+    "aktieselskab": ["public"], "anpartsselskab": ["private"],
+    "aksjeselskap": ["public"], "osakeyhtio": ["private"],
+    "societe civile immobiliere": ["partnership"],
+    "limited liability limited partnership": ["partnership"],
+    "professional corporation": ["corporation"],
+    "general partnership": ["partnership"],
+    "eood": ["private"], "ood": ["private"], "pat": ["public"],
+    "prat": ["private"], "tnhh": ["private"], "slf": ["partnership"],
+    "sgps": ["corporation"], "crl": ["cooperative"], "sau": ["public"],
+    "slu": ["private"], "gbr": ["partnership"], "stiftung": ["nonprofit"],
+    "cio": ["nonprofit"], "lc": ["limited liability"], "pa": ["corporation"],
+    "berhad": ["limited"], "ba": ["cooperative"], "kkt": ["partnership"],
+    "kd": ["partnership"], "npc": ["nonprofit"], "pvba": ["private"],
+    "ltee": ["limited"], "cooperatie": ["cooperative"],
+    "stichting": ["nonprofit"], "maatschap": ["partnership"],
 }
 
 

@@ -313,3 +313,45 @@ def test_lef_business_type_r5_jurisdictions(spark, n1, n2, cat):
     df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
     row = lef_features(df, include_business_type=True).collect()[0]
     assert row["f_bt_match"] == cat, (row["bt1"], row["bt2"])
+
+
+@pytest.mark.parametrize(
+    ("n1", "n2", "cat"),
+    [
+        # r6 jurisdictions: Bulgaria private vs Czech private (full form)
+        ("acme eood", "acme spol s r o", "identical"),
+        # Korea public vs Denmark public (full forms)
+        ("acme chusik hoesa", "acme aktieselskab", "identical"),
+        # Ukraine public vs private: no overlap
+        ("acme pat", "acme prat", "no_match"),
+        # Netherlands foundation vs UK charitable company: both nonprofit
+        ("acme stichting", "acme cio", "identical"),
+        # Canada ltee = limited, same type as plain ltd
+        ("acme ltee", "acme ltd", "identical"),
+        # Sweden partnership full forms vs German GbR
+        ("acme handelsbolag", "acme gbr", "identical"),
+        # Mexico public (sab de cv) vs private limited: no overlap
+        ("acme sab de cv", "acme slu", "no_match"),
+    ],
+)
+def test_lef_business_type_r6_jurisdictions(spark, n1, n2, cat):
+    from entitymatchingmodel_spark.operators.features import lef_features
+
+    df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
+    row = lef_features(df, include_business_type=True).collect()[0]
+    assert row["f_bt_match"] == cat, (row["bt1"], row["bt2"])
+
+
+@pytest.mark.parametrize("name,lef", [
+    ("acme limited liability limited partnership",
+     "limited liability limited partnership"),
+    ("acme akciova spolecnost", "akciova spolecnost"),
+    ("acme societe civile immobiliere", "societe civile immobiliere"),
+    ("acme tnhh", "tnhh"),
+    ("acme berhad", "berhad"),
+])
+def test_lef_r6_term_breadth(spark, name, lef):
+    from entitymatchingmodel_spark.operators.features import extract_lef
+
+    df = spark.createDataFrame([(name,)], "n string")
+    assert df.select(extract_lef(F.col("n")).alias("l")).collect()[0]["l"] == lef
