@@ -1117,16 +1117,16 @@ def q_supervised_score_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_supervised_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-ROW model-quality witness for the supervised pair: precision@1
     over best-match rows and rank-sum AUC over all scored candidates,
-    computed entirely as a plan (``auc_frame``) — so the driver artifact
-    itself records model quality next to the rows-only markers of
-    ``supervised_scores``/``supervised_score_only``.
+    computed entirely as a plan (``training.auc_frame``'s rank-sum shape
+    with the prec@1 sums fused into the same aggregation) — so the driver
+    artifact itself records model quality next to the rows-only markers
+    of ``supervised_scores``/``supervised_score_only``.
 
     Not SQL-expressible (gradient-boosted model) -> rows-only check;
     schema pinned in tests/test_schema_contract.py, thresholds asserted in
     tests/test_supervised_accuracy.py.
     """
     from entitymatchingmodel_spark.operators.supervised import SupervisedScorer
-    from entitymatchingmodel_spark.operators.training import auc_frame
 
     key = (id(spark), sf_dir)
     if key not in _SUP_MODEL_CACHE:
@@ -1137,15 +1137,44 @@ def q_supervised_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same label rule as the fit: correct = entity_id == gt_entity_id
     scored = out.withColumn(
         "correct", F.col("entity_id") == F.col("gt_entity_id")
+    ).filter(F.col("nm_score").isNotNull())
+    # prec@1 rides the SAME per-distinct-score aggregation as the rank-sum
+    # AUC (training.auc_frame's shape with two extra sums) — a separate
+    # prec frame would need a 1x1 row combine, and any condition-free
+    # 1-row join constant-folds into the BroadcastNestedLoopJoin the plan
+    # audit bans wholesale.  One groupBy + one tiny window + one final
+    # aggregate; nothing reaches the driver.
+    g = scored.groupBy(F.col("nm_score").alias("_s")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("correct").cast("long")).alias("_pos"),
+        F.sum(F.col("best_match").cast("long")).alias("_nb"),
+        F.sum((F.col("best_match") & F.col("correct")).cast("long")).alias("_nbc"),
     )
-    prec = scored.filter(F.col("best_match")).agg(
-        F.round(F.avg(F.col("correct").cast("double")), 6).alias("prec_at_1"),
-        F.count("*").alias("n_queries"),
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "r", F.coalesce(F.sum("_n").over(w), F.lit(0)) + (F.col("_n") + 1) / 2.0
     )
-    a = auc_frame(scored, "nm_score", "correct").select(
-        F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
+    agg = ranked.agg(
+        F.sum(F.col("_pos") * F.col("r")).alias("rs"),
+        F.sum("_pos").alias("np"),
+        F.sum("_n").alias("n"),
+        F.sum("_nb").alias("nb"),
+        F.sum("_nbc").alias("nbc"),
     )
-    return prec.crossJoin(a)
+    n_pos, n_neg = F.col("np"), F.col("n") - F.col("np")
+    return agg.select(
+        F.round(F.col("nbc") / F.col("nb"), 6).alias("prec_at_1"),
+        F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_queries"),
+        F.round(
+            F.when(
+                (n_pos > 0) & (n_neg > 0),
+                (F.col("rs") - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg),
+            ),
+            6,
+        ).alias("auc"),
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+    )
 
 
 def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1318,73 +1347,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate for the CORRECTNESS check only (the bench
     shuffles its own execution order per repeat, see bench.py): the
     driver's correctness file holds at most 50 rows per round, so queries
-    are listed most-in-need-of-a-check first — (1) the 9 queries whose
-    last green row is r03 (the r4 tail) plus the new r5
-    ``streaming_time_join``, (2) queries whose code path changed in r5
-    (load_events conf scoping touches every events query; the null-safe
-    tier rejoin touches vocab_features; LEF dictionary growth touches
-    lef_match; the tiers fit touches the supervised pair), (3) long-stable
-    queries.  The 14-query tail is exactly the set that is BOTH green in
-    CORRECTNESS_r04 AND untouched by round 5, so a 50-row cutoff leaves
-    every query with a green row no older than one round."""
+    are listed most-in-need-of-a-check first — (1) the 14 queries whose
+    last green row is r04 (the r5 tail, rotated back in per the r5
+    verdict), (2) new in r6 (semantic_dedup, lang_id, supervised_quality)
+    or code-path-changed in r6 (the passage-removal rebuild touches
+    dedup_passages; the label fix + quality row touch the supervised
+    trio; LEF dictionary growth touches lef_match), (3) long-stable
+    r5-green queries.  The 17-query tail is exactly the set that is BOTH
+    green in CORRECTNESS_r05 AND untouched by round 6, so a 50-row cutoff
+    leaves every query with a green row no older than one round."""
     return {
-        # --- tier 1: last green row is r03 (r4 tail) / new in r5 ---
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "agg_max_freq": q_agg_max_freq,
-        "events_windowed": q_events_windowed,
-        "simhash": q_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "dedup_drop": q_dedup_drop,
-        "cossim_broadcast_topk": q_cossim_broadcast_topk,
-        "noised_names": q_noised_names,              # rows-only by design
-        "streaming_time_join": q_streaming_time_join,
-        "source_cap": q_source_cap,
-        "sample_mix": q_sample_mix,
-        "dup_spans": q_dup_spans,
-        "dedup_passages": q_dedup_passages,
-        # --- tier 2: code path changed in r5 ---
-        "events_asof": q_events_asof,
-        "events_asof_forward": q_events_asof_forward,
-        "events_interval_join": q_events_interval_join,
-        "events_sessions": q_events_sessions,
-        "events_sliding": q_events_sliding,
-        "events_rollup": q_events_rollup,
-        "events_json": q_events_json,
-        "streaming_sessions": q_streaming_sessions,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        "vocab_features": q_vocab_features,
-        "lef_match": q_lef_match,
-        "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
-        "supervised_score_only": q_supervised_score_only,
-        "supervised_quality": q_supervised_quality,
-        # --- tier 3: stable ---
-        "cossim_word_topk": q_cossim_word_topk,
-        "sni_window": q_sni_window,
-        "rank_features": q_rank_features,
-        "best_match": q_best_match,
-        "agg_mean_score": q_agg_mean_score,
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "embed_near_pairs": q_embed_near_pairs,
-        "pii_scrub": q_pii_scrub,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "media_metadata": q_media_metadata,
-        "media_features": q_media_features,
-        "pair_features": q_pair_features,
-        "threshold_curves": q_threshold_curves,
-        "auc": q_auc,
-        "ngram_jaccard": q_ngram_jaccard,
-        "curation_pipeline": q_curation_pipeline,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ivf_topk": q_ivf_topk,
-        "stratified_sample": q_stratified_sample,
-        "cossim_char_blocked": q_cossim_char_blocked,
-        "grouped_split": q_grouped_split,
-        "dup_clusters": q_dup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "lang_id": q_lang_id,
-        # --- tail: green in r04 AND untouched in r5 ---
+        # --- tier 1: last green row is r04 (the r5 tail) ---
         "repetition_stats": q_repetition_stats,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
@@ -1399,6 +1372,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "country_match": q_country_match,
         "topn_per_group": q_topn_per_group,
         "naive_pairs": q_naive_pairs,
+        # --- tier 2: new in r6 / code path changed in r6 ---
+        "semantic_dedup": q_semantic_dedup,
+        "lang_id": q_lang_id,
+        "supervised_quality": q_supervised_quality,  # rows-only by design
+        "dedup_passages": q_dedup_passages,
+        "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
+        "supervised_score_only": q_supervised_score_only,
+        "lef_match": q_lef_match,
+        # --- tier 3: stable (green r05, untouched in r6) ---
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "agg_max_freq": q_agg_max_freq,
+        "events_windowed": q_events_windowed,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_drop": q_dedup_drop,
+        "noised_names": q_noised_names,              # rows-only by design
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
+        "streaming_sessions": q_streaming_sessions,
+        "vocab_features": q_vocab_features,
+        "cossim_word_topk": q_cossim_word_topk,
+        "sni_window": q_sni_window,
+        "rank_features": q_rank_features,
+        "best_match": q_best_match,
+        "agg_mean_score": q_agg_mean_score,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "pair_features": q_pair_features,
+        "threshold_curves": q_threshold_curves,
+        "auc": q_auc,
+        "ngram_jaccard": q_ngram_jaccard,
+        "curation_pipeline": q_curation_pipeline,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ivf_topk": q_ivf_topk,
+        "stratified_sample": q_stratified_sample,
+        "cossim_char_blocked": q_cossim_char_blocked,
+        "grouped_split": q_grouped_split,
+        "dup_clusters": q_dup_clusters,
+        # --- tail: green in r05 AND untouched in r6 (17 = 67 - 50) ---
+        "streaming_time_join": q_streaming_time_join,
+        "source_cap": q_source_cap,
+        "sample_mix": q_sample_mix,
+        "dup_spans": q_dup_spans,
+        "events_asof": q_events_asof,
+        "events_asof_forward": q_events_asof_forward,
+        "events_interval_join": q_events_interval_join,
+        "events_sliding": q_events_sliding,
+        "events_json": q_events_json,
+        "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
+        "cossim_broadcast_topk": q_cossim_broadcast_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "embed_near_pairs": q_embed_near_pairs,
+        "pii_scrub": q_pii_scrub,
+        "ann_cosine_topk": q_ann_cosine_topk,
     }
 
 
