@@ -29,12 +29,18 @@ from entitymatchingmodel_spark.operators.features import LEGAL_FORM_TERMS
 _LEF_RE_SQL = "(?:^|\\s)(" + "|".join(LEGAL_FORM_TERMS) + ")$"
 
 # char-trigram profiles shared verbatim by the Spark lang-id scorer and its
-# DuckDB oracle (rendered as SQL IN-lists)
+# DuckDB oracle (rendered as a replace()-count sum — the same
+# non-overlapping-equals-all-positions counting the Spark side uses; no
+# profile trigram is self-overlapping, asserted at package import)
 from entitymatchingmodel_spark.functions.text import CHAR_TRIGRAM_PROFILES
 
 
-def _trigram_sql_list(lang: str) -> str:
-    return ", ".join("'" + t + "'" for t in CHAR_TRIGRAM_PROFILES[lang])
+def _trigram_sql_hits(lang: str) -> str:
+    terms = " + ".join(
+        f"(length(t) - length(replace(t, '{t3}', '')))"
+        for t3 in CHAR_TRIGRAM_PROFILES[lang]
+    )
+    return f"({terms}) / 3"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2157,26 +2163,26 @@ _ORACLE = {
         n AS (SELECT doc_id,
                      ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z]+', ' ', 'g')) || ' ' AS t
               FROM d),
-        g AS (SELECT doc_id,
-                     list_transform(range(1, length(t) - 1),
-                                    i -> substring(t, CAST(i AS INT), 3)) AS tg
-              FROM n),
         s AS (SELECT doc_id,
-                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("de")}))) AS h_de,
-                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("en")}))) AS h_en,
-                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("es")}))) AS h_es,
-                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("fr")}))) AS h_fr,
-                     length(list_filter(tg, x -> x IN ({_trigram_sql_list("it")}))) AS h_it,
-                     length(tg) AS n_trigrams
-              FROM g),
-        b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS best FROM s)
+                     {_trigram_sql_hits("de")} AS h_de,
+                     {_trigram_sql_hits("en")} AS h_en,
+                     {_trigram_sql_hits("es")} AS h_es,
+                     {_trigram_sql_hits("fr")} AS h_fr,
+                     {_trigram_sql_hits("it")} AS h_it,
+                     {_trigram_sql_hits("nl")} AS h_nl,
+                     {_trigram_sql_hits("pt")} AS h_pt,
+                     greatest(length(t) - 2, 0) AS n_trigrams
+              FROM n),
+        b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it, h_nl, h_pt) AS best FROM s)
         SELECT doc_id,
                CASE WHEN best = 0 THEN 'und'
                     WHEN h_de = best THEN 'de'
                     WHEN h_en = best THEN 'en'
                     WHEN h_es = best THEN 'es'
                     WHEN h_fr = best THEN 'fr'
-                    ELSE 'it' END AS lang,
+                    WHEN h_it = best THEN 'it'
+                    WHEN h_nl = best THEN 'nl'
+                    ELSE 'pt' END AS lang,
                CAST(best AS INT) AS hits,
                CAST(n_trigrams AS INT) AS n_trigrams
         FROM b

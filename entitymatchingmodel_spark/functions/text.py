@@ -98,7 +98,25 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "it": ("re ", " di", "di ", "to ", "la ", " la", "che", " ch", "no ",
            "one", "zio", " co", "ne ", "ell", "lla", "del", " de", "ta ",
            "ato", "gli"),
+    "nl": ("en ", " de", "de ", "an ", "van", " va", "een", " ee", "het",
+           " he", "cht", "sch", "ijk", " ge", "aar", "der", "ver", "oor",
+           " ve", "nde"),
+    "pt": (" de", "de ", "ao ", "os ", "as ", "que", " qu", "ue ", "ent",
+           "nt ", " co", "da ", " da", "do ", " do", "cao", "com", " pa",
+           "res", "ram"),
 }
+# The replace()-based occurrence counter below requires that no profile
+# trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.
+# "ara" in "arara") — then non-overlapping left-to-right counting equals
+# the all-positions count.  Enforced at import so a profile edit cannot
+# silently change the scorer's semantics vs its oracles.
+for _lang, _profile in CHAR_TRIGRAM_PROFILES.items():
+    for _t in _profile:
+        if len(_t) != 3 or _t[0] == _t[2]:
+            raise AssertionError(
+                f"profile trigram {_t!r} ({_lang}) is self-overlapping or "
+                "not length 3 — replace() counting would undercount it"
+            )
 
 
 def _chargram_norm(c: Column) -> Column:
@@ -120,39 +138,60 @@ def lang_scores_chargram(c: Column) -> Column:
     ties break to the alphabetically-first language; ``('und', 0, n)``
     when no profile hits.
 
-    All native expressions (substring transform + filter + struct max) —
-    no UDF, no shuffle; Catalyst evaluates it as one projection.
+    Counting shape: per profile trigram, occurrences =
+    ``(length(norm) - length(replace(norm, t))) / 3`` — plain JVM string
+    ops in ONE flat projection, so whole-stage codegen's subexpression
+    elimination computes the normalize regex once per row.  (Two earlier
+    formulations were measured and rejected: a per-index
+    ``substring(norm, i, 3)`` lambda re-evaluates the normalize ONCE PER
+    TRIGRAM — O(n²) regex work; an arrays_zip char-slice gram array is
+    O(n) but materializes the array once per profile in interpreted HOFs
+    — ~11s for the 5000-doc contract query vs <1s for this.)  Correct
+    because no profile trigram can overlap itself (asserted at import),
+    so non-overlapping replace() counting equals the all-positions count.
     """
-    # Trigrams via the arrays_zip-of-shifted-slices idiom (see
-    # operators/dedup.word_shingles): a per-index lambda
-    # ``i -> substring(norm, i, 3)`` would re-evaluate the whole
-    # normalize expression (regexp_replace over the full text) once PER
-    # TRIGRAM — O(n²) regex work per document, measured ~20s for 500
-    # docs.  Slicing a char array keeps every step O(n).
-    chars = F.split(_chargram_norm(c), "")
-    win = F.greatest(F.size(chars) - 2, F.lit(0))
-    z = F.arrays_zip(*[F.slice(chars, i + 1, win).alias(str(i)) for i in range(3)])
-    grams = F.transform(z, lambda s: F.concat(s["0"], s["1"], s["2"]))
     langs = sorted(CHAR_TRIGRAM_PROFILES)
-    packed = F.array(
-        *[
-            F.struct(
-                F.size(
-                    F.filter(grams, lambda g: g.isin(*CHAR_TRIGRAM_PROFILES[lang]))
-                ).alias("hits"),
-                # ties pick max(-index) = smallest index = alphabetically first
-                F.lit(-i).alias("prio"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(langs)
-        ]
-    )
-    top = F.array_max(packed)
-    return F.struct(
-        F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und")).alias("lang"),
-        top["hits"].cast("int").alias("hits"),
-        F.size(grams).cast("int").alias("n_trigrams"),
-    )
+
+    def score(norm: Column) -> Column:
+        # `norm` here is the LAMBDA VARIABLE of the single-element
+        # transform below — already a materialized string value, so the
+        # ~140 replace() calls each scan the value instead of re-running
+        # the normalize regex (an inline expression tree would be
+        # re-evaluated per reference: codegen CSE gives up on an
+        # expression this wide and the interpreted fallback has no
+        # subexpression elimination — measured 1.7s for 500 docs inline
+        # vs ~0.1s with the let-binding).
+        n_len = F.length(norm)
+
+        def hits_for(lang: str) -> Column:
+            removed = [
+                n_len - F.length(F.replace(norm, F.lit(t)))
+                for t in CHAR_TRIGRAM_PROFILES[lang]
+            ]
+            total = removed[0]
+            for r in removed[1:]:
+                total = total + r
+            return (total / F.lit(3)).cast("int")
+
+        packed = F.array(
+            *[
+                F.struct(
+                    hits_for(lang).alias("hits"),
+                    # ties pick max(-index) = smallest index = alphabetically first
+                    F.lit(-i).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+        top = F.array_max(packed)
+        return F.struct(
+            F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und")).alias("lang"),
+            top["hits"].cast("int").alias("hits"),
+            F.greatest(n_len - 2, F.lit(0)).cast("int").alias("n_trigrams"),
+        )
+
+    return F.transform(F.array(_chargram_norm(c)), score)[0]
 
 
 def lang_id_chargram(c: Column) -> Column:

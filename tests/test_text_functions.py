@@ -44,7 +44,7 @@ def test_bpe_token_count_hand_cases(spark):
 
 def test_lang_id_chargram_detects_planted_languages(spark):
     """Char-trigram profile scorer: correct language on short natural
-    sentences in all five profiled languages; 'und' on empty/NULL/
+    sentences in all seven profiled languages; 'und' on empty/NULL/
     non-language input (NULL counts as empty text in both engines)."""
     from pyspark.sql import functions as F
 
@@ -62,6 +62,8 @@ def test_lang_id_chargram_detects_planted_languages(spark):
         (6, "", "und"),
         (7, None, "und"),
         (8, "zzz qqq xxx", "und"),
+        (9, "De snelle bruine vos springt over de luie hond en rent door het bos van een boer.", "nl"),
+        (10, "A raposa marrom rapida salta sobre o cao preguicoso e corre para o rio que temos do campo.", "pt"),
     ]
     df = spark.createDataFrame(rows, "id long, text string, want string")
     got = df.select("id", "want", lang_id_chargram(F.col("text")).alias("lang")).collect()
@@ -92,3 +94,52 @@ def test_lang_id_chargram_tie_breaks_alphabetically(spark):
     df = spark.createDataFrame([("xde",)], "text string")
     row = df.select(lang_scores_chargram(F.col("text")).alias("s")).head()
     assert row["s"]["lang"] == "es" and row["s"]["hits"] == 1
+
+
+def test_lang_scores_chargram_matches_python_reference(spark):
+    """One batched Spark job over 150 adversarial random strings must agree
+    exactly with a pure-Python reference of the scorer (normalize ->
+    overlapping trigrams -> per-profile occurrence counts -> argmax with
+    alphabetical tie-break) — pins the expression semantics the DuckDB
+    oracle also mirrors."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.functions.text import (
+        CHAR_TRIGRAM_PROFILES,
+        lang_scores_chargram,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz  .,;-0189éÄß"
+    frags = ["the", "der", "que", "van", "cao", "zio", "ing", "sch", " de"]
+    cases = []
+    for i in range(150):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        if i % 3 == 0:  # salt in profile fragments so hits actually occur
+            for _ in range(rng.randint(1, 4)):
+                p = rng.randint(0, len(s))
+                s = s[:p] + rng.choice(frags) + s[p:]
+        cases.append((i, s))
+
+    def ref(text):
+        s = " " + re.sub(r"[^a-z]+", " ", text.lower()).strip() + " "
+        grams = [s[i:i + 3] for i in range(max(0, len(s) - 2))]
+        hits = {
+            lang: sum(g in set(prof) for g in grams)
+            for lang, prof in CHAR_TRIGRAM_PROFILES.items()
+        }
+        best = max(hits.values())
+        lang = "und" if best == 0 else min(l for l, h in hits.items() if h == best)
+        return (lang, best, len(grams))
+
+    df = spark.createDataFrame(cases, "id long, text string")
+    got = {
+        r["id"]: (r["s"]["lang"], r["s"]["hits"], r["s"]["n_trigrams"])
+        for r in df.select("id", lang_scores_chargram(F.col("text")).alias("s")).collect()
+    }
+    for i, text in cases:
+        assert got[i] == ref(text), (i, text, got[i], ref(text))
