@@ -48,15 +48,22 @@ def bpe_token_count(c: Column) -> Column:
 
 
 def stopword_ratio(c: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """NULL for zero-token (or NULL) docs — a bare division would THROW
+    under Spark 4's default ANSI mode (DIVIDE_BY_ZERO), killing a whole
+    corpus job on one empty document; NULL also matches what DuckDB's
+    lenient division returns, keeping the oracle exact."""
     toks = tokens(c)
+    n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return hits / F.size(toks).cast("double")
+    return F.when(n > 0, hits / n.cast("double"))
 
 
 def avg_token_len(c: Column) -> Column:
+    """NULL for zero-token (or NULL) docs — see :func:`stopword_ratio`."""
     toks = tokens(c)
+    n = F.size(toks)
     total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-    return total / F.size(toks).cast("double")
+    return F.when(n > 0, total / n.cast("double"))
 
 
 def fingerprint(c: Column) -> Column:

@@ -625,20 +625,34 @@ def line_dedup(
     # \Q...\E quotes the separator so regex metachars ('|', '.') split
     # literally; the re-join below uses sep as a literal string.
     sep_re = "\\Q" + sep + "\\E"
+    # posexplode_OUTER: split(NULL) is NULL and a plain posexplode would
+    # silently DROP NULL-text documents from the output, violating the
+    # one-row-per-doc contract; the outer variant keeps them as one
+    # (pos NULL, line NULL) row that aggregates to
+    # (n_lines NULL, n_kept 0, text '') — exactly what the SQL-engine
+    # formulation (len(NULL) -> NULL, unnest drops, outer rejoin) yields.
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
     ).withColumn("_h", F.md5(norm))
-    winners = lines.groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("w"))
-    # One aggregation computes total AND kept-line stats per doc: every line
-    # keeps exactly one joined row (one winner per hash), is_kept marks the
+    winners = (
+        lines.filter(F.col("_h").isNotNull())
+        .groupBy("_h").agg(F.min(F.struct("id", "pos")).alias("w"))
+    )
+    # One aggregation computes total AND kept-line stats per doc: every
+    # real line keeps exactly one joined row (one winner per hash; the
+    # left join keeps NULL-line rows unmatched), is_kept marks the
     # winners, and collect_list skips the NULLs of non-kept lines — so no
     # separate n_lines scan of the input is needed (it would re-run the
     # whole upstream lineage a second time just to count lines).
-    j = lines.join(winners, "_h")
-    is_kept = (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    j = lines.join(winners, "_h", "left")
+    is_kept = (
+        F.col("w").isNotNull()
+        & (F.col("id") == F.col("w.id"))
+        & (F.col("pos") == F.col("w.pos"))
+    )
     agg = j.groupBy("id").agg(
-        F.count("*").alias("n_lines"),
+        F.count("line").alias("n_lines"),
         F.sum(is_kept.cast("int")).alias("n_kept"),
         F.array_join(
             F.transform(
@@ -652,7 +666,7 @@ def line_dedup(
     )
     return agg.select(
         "id",
-        F.col("n_lines").cast("int").alias("n_lines"),
+        F.when(F.col("n_lines") > 0, F.col("n_lines")).cast("int").alias("n_lines"),
         F.col("n_kept").cast("int").alias("n_kept"),
         "text",
     )

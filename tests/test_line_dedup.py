@@ -203,3 +203,22 @@ def test_remove_duplicate_passages_null_text(spark):
     # sanity: the duplicated docs still get passages cut (doc 1 wins the
     # first occurrence; its own internal repeat and all of doc 2 are losers)
     assert got[1][2] > 0 and got[2][2] == 12
+
+
+def test_line_dedup_keeps_null_text_docs(spark):
+    """NULL-text documents must keep their output row (posexplode would
+    silently drop them): (n_lines NULL, n_kept 0, text '') — the shape the
+    SQL-engine formulation (len(NULL)->NULL, unnest drops, outer rejoin)
+    yields, so a nullable corpus stays oracle-consistent."""
+    from entitymatchingmodel_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["n_lines"], r["n_kept"], r["text"])
+           for r in line_dedup(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 2, "a\nb")
+    assert got[2] == (None, 0, "")
+    assert got[3] == (1, 1, "")

@@ -143,3 +143,27 @@ def test_lang_scores_chargram_matches_python_reference(spark):
     }
     for i, text in cases:
         assert got[i] == ref(text), (i, text, got[i], ref(text))
+
+
+def test_text_stats_null_and_empty_docs_no_ansi_crash(spark):
+    """Zero-token and NULL documents must NOT throw DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode (one empty doc would kill a whole corpus
+    job): ratio columns go NULL — the same answer DuckDB's lenient
+    division gives, so the oracle stays exact on nullable corpora."""
+    from entitymatchingmodel_spark.functions.text import quality_score, text_stats
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta the gamma"), (2, None), (3, ""), (4, "...!!!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_stats(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3, 4}, "every doc keeps a row"
+    assert rows[1]["stopword_ratio"] == 0.25
+    for d in (2, 3, 4):
+        assert rows[d]["stopword_ratio"] is None, d
+        assert rows[d]["avg_token_len"] is None, d
+    assert rows[3]["n_tokens"] == 0 and rows[2]["n_tokens"] is None
+    # quality_score shares avg_token_len — must not crash either
+    q = {r["doc_id"]: r["q"] for r in
+         df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert q[3] == 0.0 and q[1] is not None
