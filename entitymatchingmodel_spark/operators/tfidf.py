@@ -82,7 +82,15 @@ class TfIdfModel:
         )
         out = (
             weighted.filter(F.col("idf").isNotNull())
-            .join(norms, id_col)
+            # A zero norm is reachable on real data: a name whose every
+            # token appears in ALL GT docs has idf 0 across the board
+            # (ln((N+1)/(N+1))) and no OOV contribution — its vector is
+            # exactly zero.  Under Spark 4 ANSI a bare w/_norm would THROW
+            # DIVIDE_BY_ZERO on that one name and kill the job; dropping
+            # the rows matches the all-OOV case (no representation, no
+            # candidates) and what a lenient-division engine effectively
+            # does (NULL weights that no cosine threshold passes).
+            .join(norms.filter(F.col("_norm") > 0), id_col)
             .select(
                 id_col,
                 "token",

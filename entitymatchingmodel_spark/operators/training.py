@@ -314,11 +314,21 @@ def calc_threshold(
     """Lowest threshold whose metric meets ``min_value`` (max recall subject
     to the constraint) — ref base_entity_matching.py:211-288."""
     c = curves.filter(F.col("name_set") == name_set)
+
+    def _ratio(num, den):
+        # degenerate curve rows (e.g. recall on an all-negative set) have a
+        # zero denominator; NULL (row fails the >= filter) instead of an
+        # ANSI DIVIDE_BY_ZERO throw
+        return F.when(den > 0, num / den)
+
     m = {
-        "precision": F.col("tp") / (F.col("tp") + F.col("fp")),
-        "recall": F.col("tp") / (F.col("tp") + F.col("fn")),
-        "accuracy": (F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")),
-        "f1": 2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+        "precision": _ratio(F.col("tp"), F.col("tp") + F.col("fp")),
+        "recall": _ratio(F.col("tp"), F.col("tp") + F.col("fn")),
+        "accuracy": _ratio(
+            F.col("tp") + F.col("tn"),
+            F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn"),
+        ),
+        "f1": _ratio(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")),
     }[metric]
     row = (
         c.withColumn("_m", m)

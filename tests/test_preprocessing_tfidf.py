@@ -82,3 +82,28 @@ def test_cossim_blocking_restricts_pairs(spark):
     assert (10, 2) in p
     assert (10, 2) not in b
     assert (10, 1) in b
+
+
+def test_tfidf_zero_norm_name_does_not_crash(spark):
+    """A name whose every token appears in ALL GT docs has a zero TF-IDF
+    vector (idf 0 everywhere, no OOV term) — under ANSI mode a bare
+    w/norm would throw DIVIDE_BY_ZERO on that single name and kill the
+    corpus job.  Such names drop their token rows (no representation),
+    everything else is unaffected."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.tfidf import TfIdfVectorizer
+
+    gt = spark.createDataFrame(
+        [("inc alpha",), ("inc beta",), ("inc gamma",), ("inc",)],
+        "preprocessed string",
+    ).withColumn("uid", F.monotonically_increasing_id())
+    v = TfIdfVectorizer(analyzer="words", ngram=1).fit(gt, "uid")
+    out = v.transform(gt, "uid").collect()
+    reps = {r["uid"] for r in out}
+    # 'inc' is in all 4 docs -> idf 0 -> the bare 'inc' name has a zero
+    # vector and no rows; the other three keep their discriminative tokens
+    assert len(reps) == 3
+    # surviving rows all carry finite weights (the zero-idf 'inc' token may
+    # appear with weight 0.0 inside nonzero-norm names — harmless)
+    assert all(r["weight"] is not None and r["weight"] == r["weight"] for r in out)
