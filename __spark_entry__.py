@@ -473,6 +473,21 @@ def q_embed_near_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs_bucketed(emb, "vec_id", "embedding", threshold=0.5)
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup in one call (the lexical sibling of
+    semantic_dedup): same signature/banding/threshold as dup_clusters,
+    composed through keep-one-per-cluster with cluster sizes; oracle =
+    the dup_clusters transitive closure + keep-one + size."""
+    from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    out = fuzzy_dedup(
+        docs, "doc_id", "text",
+        num_hashes=32, shingle_n=3, bands=8, rows_per_band=4, min_jaccard=0.5,
+    )
+    return out.select("doc_id", "source", "cluster_size")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style one-call semantic dedup: IVF-bucketed cosine pairs →
     connected components → keep min-id representative per cluster, with
@@ -1379,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": q_topn_per_group,
         "naive_pairs": q_naive_pairs,
         # --- tier 2: new in r6 / code path changed in r6 ---
+        "fuzzy_dedup": q_fuzzy_dedup,
         "semantic_dedup": q_semantic_dedup,
         "lang_id": q_lang_id,
         "supervised_quality": q_supervised_quality,  # rows-only by design
@@ -1393,7 +1409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_signatures": q_minhash_signatures,
         "dedup_drop": q_dedup_drop,
-        "noised_names": q_noised_names,              # rows-only by design
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
         "streaming_sessions": q_streaming_sessions,
@@ -1416,7 +1431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cossim_char_blocked": q_cossim_char_blocked,
         "grouped_split": q_grouped_split,
         "dup_clusters": q_dup_clusters,
-        # --- tail: green in r05 AND untouched in r6 (17 = 67 - 50) ---
+        # --- tail: green in r05 AND untouched in r6 (18 = 68 - 50;
+        # noised_names is rows-only wherever it sits, so it cedes its
+        # window slot to the new oracle-checkable fuzzy_dedup) ---
+        "noised_names": q_noised_names,              # rows-only by design
         "streaming_time_join": q_streaming_time_join,
         "source_cap": q_source_cap,
         "sample_mix": q_sample_mix,
@@ -1807,6 +1825,36 @@ _ORACLE = {
         mins AS (SELECT s, min(d) AS mn FROM reach GROUP BY s)
         SELECT doc.doc_id, least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS cluster_id
         FROM documents doc LEFT JOIN mins m ON m.s = doc.doc_id
+    """,
+    # same pair graph + closure as dup_clusters, then keep-one + size
+    "fuzzy_dedup": f"""
+        WITH RECURSIVE {_SQL_MINHASH},
+        bkeys AS (SELECT doc_id, hash_idx // 4 AS band,
+                         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS bkey
+                  FROM minh GROUP BY doc_id, band),
+        cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey
+               WHERE a.doc_id < b.doc_id),
+        est AS (SELECT p.id_a, p.id_b,
+                       sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END) / 32.0 AS ej
+                FROM cp p
+                JOIN minh x ON x.doc_id = p.id_a
+                JOIN minh y ON y.doc_id = p.id_b AND y.hash_idx = x.hash_idx
+                GROUP BY p.id_a, p.id_b),
+        und AS (SELECT id_a AS s, id_b AS d FROM est WHERE ej >= 0.5
+                UNION SELECT id_b, id_a FROM est WHERE ej >= 0.5),
+        reach AS (
+            SELECT s, d FROM und
+            UNION
+            SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+        ),
+        mins AS (SELECT s, min(d) AS mn FROM reach GROUP BY s),
+        cl AS (SELECT doc.doc_id,
+                      least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS cluster_id
+               FROM documents doc LEFT JOIN mins m ON m.s = doc.doc_id),
+        sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id)
+        SELECT d.doc_id, d.source, CAST(sz.n AS BIGINT) AS cluster_size
+        FROM documents d JOIN sz ON sz.cluster_id = d.doc_id
     """,
     "dup_clusters_star": f"""
         WITH RECURSIVE {_SQL_MINHASH},

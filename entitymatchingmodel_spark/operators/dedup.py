@@ -1281,3 +1281,53 @@ def semantic_dedup(
     return df.join(
         reps.withColumnRenamed("cluster_id", id_col), id_col, "inner"
     )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.5,
+    use_star: bool = False,
+    max_iterations: int | None = None,
+    persist_handles: list | None = None,
+) -> DataFrame:
+    """MinHash-LSH fuzzy deduplication in ONE call — the lexical sibling of
+    :func:`semantic_dedup` and the document-level fuzzy-dedup step public
+    LLM curation pipelines run (RefinedWeb / Dolma style: MinHash
+    signatures → LSH candidate pairs → Jaccard cutoff → connected
+    components → keep one document per cluster).
+
+    Composes the already-exact primitives: :func:`minhash_signatures`,
+    :func:`minhash_lsh_pairs` (filtered at ``min_jaccard`` on the
+    signature-estimated Jaccard), :func:`duplicate_clusters` (or the
+    O(log n)-round star variant), then the min-id keep-one policy shared
+    by every dedup operator in this module.
+
+    Returns the KEPT rows: every input column plus ``cluster_size``;
+    ``sum(cluster_size)`` over the output equals the input count.
+
+    Scale shape: shuffles on shingle hash / band key / id only; the
+    quadratic work is bounded per LSH bucket; clustering is O(diameter)
+    (or O(log n)) joins; the keep step is one count aggregate (the
+    representative IS the cluster id) and one equi-join back to ``df``.
+    ``persist_handles`` receives the signature cache from the LSH
+    self-join (see :func:`minhash_lsh_pairs`).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = minhash_lsh_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band,
+        persist_handles=persist_handles,
+    ).filter(F.col("est_jaccard") >= min_jaccard)
+    ids = df.select(F.col(id_col).alias("id"))
+    cluster_fn = duplicate_clusters_star if use_star else duplicate_clusters
+    kwargs = {} if max_iterations is None else {"max_iterations": max_iterations}
+    clusters = cluster_fn(ids, pairs, **kwargs)
+    reps = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return df.join(
+        reps.withColumnRenamed("cluster_id", id_col), id_col, "inner"
+    )

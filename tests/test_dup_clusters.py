@@ -111,3 +111,34 @@ def test_loop_shuffle_sizing_restores_confs(spark):
     with _loop_shuffle_partitions(spark, n_rows=100_000_000):
         assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
         assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+
+
+def test_fuzzy_dedup_one_call_composition(spark):
+    """fuzzy_dedup: planted near-identical docs collapse to their min-id
+    representative, cluster sizes account for every input row, payload
+    columns pass through, star variant agrees."""
+    from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep green forest before the morning light")
+    rows = [
+        (1, base, "a"),
+        (2, base + " extra", "a"),            # near-dup of 1
+        (3, base.replace("quick", "fast"), "a"),   # near-dup of 1
+        (10, "completely different text about spark sql aggregation engines "
+             "and columnar storage formats for analytics", "b"),
+        (20, "third unrelated document mentioning streaming watermarks and "
+             "stateful session windows in structured streaming", "c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, src string")
+    out = fuzzy_dedup(df, "id", "text", num_hashes=32, shingle_n=3,
+                      bands=16, rows_per_band=2, min_jaccard=0.4)
+    kept = {r["id"]: (r["cluster_size"], r["src"]) for r in out.collect()}
+    assert kept[1] == (3, "a"), kept
+    assert set(kept) == {1, 10, 20}
+    assert sum(s for s, _ in kept.values()) == len(rows)
+    star = {r["id"]: r["cluster_size"]
+            for r in fuzzy_dedup(df, "id", "text", num_hashes=32, shingle_n=3,
+                                 bands=16, rows_per_band=2, min_jaccard=0.4,
+                                 use_star=True).collect()}
+    assert star == {i: s for i, (s, _) in kept.items()}
