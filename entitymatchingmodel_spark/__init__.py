@@ -21,10 +21,21 @@ physical execution; Python UDFs appear only where a vectorized library is
 genuinely required, always Arrow-batched.
 """
 
+from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup, semantic_dedup
 from entitymatchingmodel_spark.operators.events import scoped_conf
 from entitymatchingmodel_spark.persistence import load_model, save_model
 from entitymatchingmodel_spark.pipeline import SparkEntityMatching
 from entitymatchingmodel_spark.session import get_spark
 
-__all__ = ["SparkEntityMatching", "get_spark", "save_model", "load_model", "scoped_conf"]
-__version__ = "0.5.0"
+__all__ = [
+    "SparkEntityMatching",
+    "get_spark",
+    "save_model",
+    "load_model",
+    "scoped_conf",
+    # one-call curation dedup (the operators a training-data user reaches
+    # for first; everything else imports from its operator module)
+    "fuzzy_dedup",
+    "semantic_dedup",
+]
+__version__ = "0.6.0"
