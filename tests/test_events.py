@@ -423,3 +423,38 @@ def test_interval_join_persist_handles_no_leak(spark):
     for h in handles:
         h.unpersist(blocking=True)
     assert handles[0].storageLevel.useMemory is False
+
+
+def test_events_null_ts_and_key_behavior_pinned(spark):
+    """NULL timestamps/keys must not crash or silently lose rows where the
+    contract is row-preserving: sessionize keeps a NULL-ts event as its own
+    session (NULL bounds) and asof_join keeps every left row (NULL match
+    for NULL ts/key). interval_join is inner-join by spec, so unmatched
+    NULL rows dropping there is the documented semantics."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.events import asof_join, sessionize
+
+    T = datetime.datetime
+    ev = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1, 0, 0), "click", 1.0),
+         (2, 10, T(2024, 1, 1, 0, 30), "purchase", 5.0),
+         (3, 10, None, "click", 2.0),
+         (4, None, T(2024, 1, 1, 1, 0), "click", 3.0)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    sess = sessionize(ev, gap_minutes=30).collect()
+    assert sum(r["n_events"] for r in sess) == 4, "every event sessionized"
+    null_ts_sessions = [r for r in sess if r["session_start"] is None]
+    assert len(null_ts_sessions) == 1 and null_ts_sessions[0]["n_events"] == 1
+
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("v")))
+    out = {r["event_id"]: r for r in
+           asof_join(ev.select("event_id", "user_id", "ts"), right,
+                     "user_id", "ts", ["v"], tolerance_seconds=3600).collect()}
+    assert set(out) == {1, 2, 3, 4}, "asof_join keeps every left row"
+    assert out[3]["asof_v"] is None and out[4]["asof_v"] is None
+    assert out[2]["asof_v"] == 5.0
