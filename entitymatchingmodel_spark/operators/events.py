@@ -353,9 +353,18 @@ def interval_join(
     end_col: str,
     bucket_minutes: int | None = None,
     persist_handles: list | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Range join: each point row matched to every interval row of the same
     key with ``start <= ts <= end`` (inclusive).
+
+    ``how="left"`` keeps points with NO containing interval as one row
+    with NULL interval columns (the as-of-join convention).  The
+    unmatched set is computed with ``exceptAll`` over the point columns —
+    multiset arithmetic, so duplicate point rows stay correct (each copy
+    either matched >= 1 intervals, cancelling out, or survives) and no
+    surrogate row id (``monotonically_increasing_id`` would need a
+    persist to be branch-stable) is ever introduced.
 
     Spark plans a naive inequality join as BroadcastNestedLoop — quadratic
     per key.  This formulation stays an EQUI-join: intervals explode to
@@ -378,6 +387,8 @@ def interval_join(
     convention as the minhash/ngram/simhash pair joins; without it the
     cached blocks live until Spark's LRU evicts them.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     for side, name in ((points, "points"), (intervals, "intervals")):
         if "_b" in side.columns:
             raise ValueError(f"interval_join reserves column '_b'; rename it on {name}")
@@ -403,4 +414,13 @@ def interval_join(
     joined = p.join(iv, [key_col, "_b"]).filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
-    return joined.drop("_b")
+    out = joined.drop("_b")
+    if how == "left":
+        ival_types = {f.name: f.dataType for f in intervals.schema.fields}
+        extra_cols = [c for c in intervals.columns if c != key_col]
+        unmatched = points.exceptAll(out.select(*points.columns))
+        nulls = unmatched.select(
+            "*", *[F.lit(None).cast(ival_types[c]).alias(c) for c in extra_cols]
+        )
+        out = out.unionByName(nulls)
+    return out

@@ -458,3 +458,55 @@ def test_events_null_ts_and_key_behavior_pinned(spark):
     assert set(out) == {1, 2, 3, 4}, "asof_join keeps every left row"
     assert out[3]["asof_v"] is None and out[4]["asof_v"] is None
     assert out[2]["asof_v"] == 5.0
+
+
+def test_interval_join_left_outer(spark):
+    """how='left' keeps uncovered points with NULL interval columns;
+    multiset correctness holds for duplicate point rows (each matched copy
+    cancels in the exceptAll complement)."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.events import interval_join
+
+    T = datetime.datetime
+    pts = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1, 0, 15)),      # inside session A
+         (2, 10, T(2024, 1, 1, 5, 0)),       # no session covers it
+         (3, 20, T(2024, 1, 1, 0, 15)),      # key with no intervals at all
+         (4, 10, T(2024, 1, 1, 5, 0)),       # duplicate-shape unmatched row
+         ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 30), "A")],
+        "user_id long, s timestamp, e timestamp, tag string",
+    )
+    out = {r["event_id"]: r for r in
+           interval_join(pts, iv, "user_id", "ts", "s", "e",
+                         bucket_minutes=30, how="left").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["tag"] == "A"
+    for eid in (2, 3, 4):
+        assert out[eid]["tag"] is None and out[eid]["s"] is None, eid
+    # inner mode unchanged; bad how rejected
+    inner = interval_join(pts, iv, "user_id", "ts", "s", "e",
+                          bucket_minutes=30).collect()
+    assert {r["event_id"] for r in inner} == {1}
+    with pytest.raises(ValueError, match="how"):
+        interval_join(pts, iv, "user_id", "ts", "s", "e", how="full")
+
+    # true duplicate point rows: two identical matched copies both survive
+    # as matches; two identical unmatched copies both survive as NULL rows
+    dup = spark.createDataFrame(
+        [(10, T(2024, 1, 1, 0, 15)), (10, T(2024, 1, 1, 0, 15)),
+         (10, T(2024, 1, 1, 9, 0)), (10, T(2024, 1, 1, 9, 0))],
+        "user_id long, ts timestamp",
+    )
+    res = interval_join(dup, iv, "user_id", "ts", "s", "e",
+                        bucket_minutes=30, how="left").collect()
+    assert len(res) == 4
+    assert sum(r["tag"] == "A" for r in res) == 2
+    assert sum(r["tag"] is None for r in res) == 2
