@@ -219,3 +219,49 @@ def test_drop_exact_duplicates_is_one_agg_no_window(spark):
     fb = drop_exact_duplicates(mapped, "doc_id", "text")
     assert "Window" in explain_str(fb)
     assert fb.count() == out.count()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with the SAME bucket count must
+    join with ZERO shuffle exchanges (the storage layout carries the hash
+    distribution), where the identical plain-parquet join shuffles both
+    sides — the co-located-join contract write_bucketed exists for."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.plans import exchange_count, explain_str
+    from entitymatchingmodel_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    gt = spark.range(0, 2000).select(
+        F.col("id").alias("uid"), (F.col("id") % 7).alias("w")
+    )
+    names = spark.range(0, 5000).select(
+        F.pmod(F.col("id"), F.lit(2000)).alias("uid"),
+        (F.col("id") % 13).alias("v"),
+    )
+    write_bucketed(gt, "t_bucket_gt", "uid", 8, sort_cols="uid")
+    write_bucketed(names, "t_bucket_names", "uid", 8, sort_cols="uid")
+    try:
+        a = read_bucketed(spark, "t_bucket_gt")
+        b = read_bucketed(spark, "t_bucket_names")
+        # force the sort-merge path so the comparison is exchange counts,
+        # not broadcast-vs-not
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed_join = a.join(b, "uid").groupBy("uid").agg(F.sum("v").alias("s"))
+            plain_join = gt.join(names, "uid").groupBy("uid").agg(F.sum("v").alias("s"))
+            nb = exchange_count(bucketed_join)
+            np_ = exchange_count(plain_join)
+            assert nb == 0, explain_str(bucketed_join)
+            assert np_ >= 2, f"plain join should shuffle both sides, saw {np_}"
+            # same answer either way
+            got_b = {(r["uid"], r["s"]) for r in bucketed_join.collect()}
+            got_p = {(r["uid"], r["s"]) for r in plain_join.collect()}
+            assert got_b == got_p
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_gt")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_names")
