@@ -143,21 +143,38 @@ def ivf_topk(
     scan with nlist dot products per row, not a quadratic pair join
     (tools/plan_audit.py whitelists it by name).
     """
+    cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
+    c_assigned = _assign_corpus(corpus, cents, id_col, vec_col, score_decimals)
+    return _probe_search(
+        queries, cents, c_assigned, id_col, vec_col, k, nprobe, score_decimals
+    )
+
+
+def _l2_normalize(df: DataFrame, vcol: str) -> DataFrame:
+    """Stage unit vectors in their own projection: norms are computed
+    once per row, and every downstream cosine is a plain dot product
+    (a nested norm inside the per-pair expression re-evaluates it for
+    every (row, centroid) pair)."""
+    n = _norm(F.col(vcol))
+    unit = F.when(
+        n > 0, F.transform(F.col(vcol), lambda x: x.cast("double") / n)
+    )
+    return df.withColumn(vcol, unit)
+
+
+def _maybe_round(c: Column, score_decimals: int | None) -> Column:
+    return F.round(c, score_decimals) if score_decimals is not None else c
+
+
+def _build_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, nlist: int, seed: int
+) -> DataFrame:
+    """(cent_id, _cent): deterministic md5-ordered sample, unit-normalized."""
     from entitymatchingmodel_spark.functions.sampling import _unit_hash
-    def l2_normalize(df: DataFrame, vcol: str) -> DataFrame:
-        """Stage unit vectors in their own projection: norms are computed
-        once per row, and every downstream cosine is a plain dot product
-        (a nested norm inside the per-pair expression re-evaluates it for
-        every (row, centroid) pair)."""
-        n = _norm(F.col(vcol))
-        unit = F.when(
-            n > 0, F.transform(F.col(vcol), lambda x: x.cast("double") / n)
-        )
-        return df.withColumn(vcol, unit)
 
     hash_order = _unit_hash(F.col(id_col), f"ivf{seed}")
     wc = Window.orderBy(F.col("_h"), F.col(id_col))
-    cents = l2_normalize(
+    return _l2_normalize(
         corpus.select(F.col(id_col), F.col(vec_col).alias("_cent"))
         .withColumn("_h", hash_order)
         .orderBy("_h", id_col)
@@ -168,34 +185,63 @@ def ivf_topk(
         .select("cent_id", "_cent"),
         "_cent",
     )
-    bc = F.broadcast(cents)
 
-    def _maybe_round(c: Column) -> Column:
-        return F.round(c, score_decimals) if score_decimals is not None else c
 
-    def nearest(df: DataFrame, id_c: str, vcol: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(bc).withColumn(
-            "_cs", _maybe_round(_dot(F.col(vcol), F.col("_cent")))
-        )
-        # Partition the top-n window by the row id, not the vector payload —
-        # hashing a float array per row as a shuffle key is pure waste.
-        w = Window.partitionBy(id_c).orderBy(F.desc("_cs"), F.asc("cent_id"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n)
-            .select(*df.columns, F.col("cent_id").alias(out))
-        )
+def _nearest_centroids(
+    df: DataFrame,
+    cents: DataFrame,
+    id_c: str,
+    vcol: str,
+    n: int,
+    out: str,
+    score_decimals: int | None,
+) -> DataFrame:
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_cs", _maybe_round(_dot(F.col(vcol), F.col("_cent")), score_decimals)
+    )
+    # Partition the top-n window by the row id, not the vector payload —
+    # hashing a float array per row as a shuffle key is pure waste.
+    w = Window.partitionBy(id_c).orderBy(F.desc("_cs"), F.asc("cent_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .select(*df.columns, F.col("cent_id").alias(out))
+    )
 
-    c = l2_normalize(
+
+def _assign_corpus(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int | None,
+) -> DataFrame:
+    """(bucket, nn_id, _cv): every corpus vector unit-normalized and
+    assigned to its nearest centroid bucket."""
+    c = _l2_normalize(
         corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")), "_cv"
     )
-    c_assigned = nearest(c, "nn_id", "_cv", 1, "bucket")
-    q = l2_normalize(
+    return _nearest_centroids(c, cents, "nn_id", "_cv", 1, "bucket", score_decimals)
+
+
+def _probe_search(
+    queries: DataFrame,
+    cents: DataFrame,
+    c_assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+    score_decimals: int | None,
+) -> DataFrame:
+    q = _l2_normalize(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")), "_qv"
     )
-    q_probed = nearest(q, "qid", "_qv", nprobe, "bucket")
+    q_probed = _nearest_centroids(q, cents, "qid", "_qv", nprobe, "bucket", score_decimals)
     scored = q_probed.join(c_assigned, "bucket").select(
-        "qid", "nn_id", _maybe_round(_dot(F.col("_qv"), F.col("_cv"))).alias("score")
+        "qid",
+        "nn_id",
+        _maybe_round(_dot(F.col("_qv"), F.col("_cv")), score_decimals).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nn_id"))
     return (
@@ -203,3 +249,95 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nn_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+class IVFIndex:
+    """Fit-once / query-many IVF index — the production ANN posture.
+
+    :func:`ivf_topk` re-assigns the WHOLE corpus to centroid buckets on
+    every call; at 100 TB that assignment pass dwarfs the query cost.
+    ``IVFIndex.build`` does it once, ``search`` reuses it, and
+    ``save``/``load`` persist it with the corpus PARTITIONED BY BUCKET —
+    a probe then reads only the ``nprobe`` probed buckets' files
+    (directory-level partition pruning: the bucket filter never touches
+    the other ``nlist - nprobe`` partitions).
+
+    ``search`` with the build-time parameters returns EXACTLY
+    :func:`ivf_topk`'s output (same centroids, same round-before-rank
+    rules) — pinned in tests/test_ann.py.
+    """
+
+    def __init__(
+        self,
+        cents: DataFrame,
+        assigned: DataFrame,
+        nlist: int,
+        seed: int,
+        score_decimals: int | None,
+    ):
+        self.cents = cents
+        self.assigned = assigned
+        self.nlist = nlist
+        self.seed = seed
+        self.score_decimals = score_decimals
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        nlist: int = 64,
+        seed: int = 42,
+        score_decimals: int | None = None,
+    ) -> "IVFIndex":
+        cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
+        # the centroid table is tiny (nlist rows) but sits under BOTH the
+        # assignment and every future probe — persist it so the sample
+        # sort-limit never recomputes
+        cents = cents.persist()
+        assigned = _assign_corpus(corpus, cents, id_col, vec_col, score_decimals)
+        return cls(cents, assigned, nlist, seed, score_decimals)
+
+    def search(
+        self, queries: DataFrame, id_col: str, vec_col: str, k: int = 10,
+        nprobe: int = 8,
+    ) -> DataFrame:
+        return _probe_search(
+            queries, self.cents, self.assigned, id_col, vec_col,
+            k, nprobe, self.score_decimals,
+        )
+
+    def save(self, path: str) -> None:
+        """Centroids + bucket-partitioned corpus + params under ``path``."""
+        import json
+
+        spark = self.cents.sparkSession
+        self.cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        (
+            self.assigned.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/corpus.parquet")
+        )
+        meta = json.dumps(
+            {"nlist": self.nlist, "seed": self.seed,
+             "score_decimals": self.score_decimals}
+        )
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/meta.json")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        import json
+
+        meta = json.loads(spark.read.json(f"{path}/meta.json").head()["meta"])
+        cents = spark.read.parquet(f"{path}/centroids.parquet").persist()
+        assigned = spark.read.parquet(f"{path}/corpus.parquet")
+        return cls(
+            cents, assigned, int(meta["nlist"]), int(meta["seed"]),
+            None if meta["score_decimals"] is None else int(meta["score_decimals"]),
+        )
+
+    def unpersist(self) -> None:
+        self.cents.unpersist()

@@ -63,3 +63,40 @@ def test_ivf_topk_subset_of_corpus_and_sane(spark):
     # each query must at least find itself (it probes its own bucket)
     self_hits = {r["qid"] for r in out if r["qid"] == r["nn_id"]}
     assert self_hits == set(range(5))
+
+
+def test_ivf_index_build_search_save_load_parity(spark, tmp_path):
+    """IVFIndex.search must equal ivf_topk exactly (same centroids, same
+    round-before-rank rules); the saved index round-trips and the loaded
+    corpus scan PRUNES to the probed bucket partitions."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.ann import IVFIndex, ivf_topk
+    from entitymatchingmodel_spark.plans import explain_str
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    want = {(r["qid"], r["nn_id"], r["score"], r["rank"]) for r in
+            ivf_topk(q, emb, "vec_id", "embedding", k=5, nlist=8, nprobe=3,
+                     score_decimals=6).collect()}
+
+    idx = IVFIndex.build(emb, "vec_id", "embedding", nlist=8, score_decimals=6)
+    got = {(r["qid"], r["nn_id"], r["score"], r["rank"]) for r in
+           idx.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
+    assert got == want and len(want) > 0
+
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    idx.unpersist()
+    loaded = IVFIndex.load(spark, path)
+    got2 = {(r["qid"], r["nn_id"], r["score"], r["rank"]) for r in
+            loaded.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
+    assert got2 == want
+
+    # the persisted corpus is partitioned by bucket: a single-bucket filter
+    # must reach the scan as a partition filter (directory pruning), so a
+    # probe never reads the other nlist-1 partitions
+    one_bucket = loaded.assigned.filter(F.col("bucket") == 0)
+    plan = explain_str(one_bucket)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan
+    loaded.unpersist()
