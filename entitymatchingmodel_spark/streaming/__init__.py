@@ -1,3 +1,4 @@
+from entitymatchingmodel_spark.streaming.curate import curate_stream
 from entitymatchingmodel_spark.streaming.dedup import (
     drop_exact_duplicates_stream,
     sessionize_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "transform_foreach_batch",
     "running_totals",
     "drop_exact_duplicates_stream",
+    "curate_stream",
     "sessionize_stream",
     "stream_time_bounded_join",
 ]

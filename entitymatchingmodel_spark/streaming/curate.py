@@ -1,0 +1,57 @@
+"""Streaming training-data curation: the ingestion front-door.
+
+A 100 TB/day document firehose wants its cheap filters applied ON INGEST —
+before anything is persisted — and its dedup state bounded.  This composes
+the batch curation primitives into their streaming shape:
+
+1. language filter  — :func:`functions.text.lang_id_chargram`, a pure
+   projection (stateless, append-safe);
+2. quality filter   — :func:`functions.text.quality_score`, same;
+3. exact dedup      — :func:`drop_exact_duplicates_stream`
+   (``dropDuplicatesWithinWatermark``: one state row per content hash
+   inside the late-data horizon, evicted behind the watermark).
+
+Only step 3 carries state, and it is watermark-bounded; steps 1-2 are
+projections Catalyst fuses into the scan.  Heavy dedup (MinHash fuzzy,
+semantic) stays a periodic BATCH job over the ingested data — its
+corpus-wide aggregations have no bounded-state streaming form, which is
+why public pipelines run ingestion filters online and fuzzy dedup offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.streaming.dedup import drop_exact_duplicates_stream
+
+
+def curate_stream(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Language filter -> quality filter -> watermark-bounded exact dedup
+    over a streaming document frame.
+
+    Output: the surviving rows plus ``lang``, ``quality``, and
+    ``content_hash`` audit columns.  ``langs=()`` keeps every detected
+    language (filter skipped).
+    """
+    if not stream.isStreaming:
+        raise ValueError("curate_stream requires a streaming DataFrame")
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id_chargram,
+        quality_score,
+    )
+
+    s = stream.withColumn("lang", lang_id_chargram(F.col(text_col)))
+    if langs:
+        s = s.filter(F.col("lang").isin(*langs))
+    s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
+        F.col("quality") >= min_quality
+    )
+    return drop_exact_duplicates_stream(s, text_col, ts_col, watermark)

@@ -275,3 +275,57 @@ def test_stream_join_state_bounded_by_watermark(spark, tmp_path):
     assert max(totals) <= 80, (max(totals), totals[-5:])
     assert totals[-1] <= 80 < ingested / 2
     assert matched, "join must still produce matches while evicting state"
+
+
+def test_curate_stream_matches_batch_curation(spark, tmp_path):
+    """Streaming ingestion curation (lang filter -> quality filter ->
+    watermark dedup) must keep exactly the documents the equivalent batch
+    curation keeps: same surviving content-hash set, one row per distinct
+    hash, lang/quality audit columns attached."""
+    import datetime
+    import os
+
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id_chargram,
+        quality_score,
+    )
+    from entitymatchingmodel_spark.operators.dedup import exact_duplicates
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    T = datetime.datetime
+    en = ("the quick brown fox and the dog went over the hills to the river "
+          "in the morning and came back before the night")
+    de = ("der schnelle fuchs und die hunde gingen durch den wald und die "
+          "wiesen bevor die nacht kam und der morgen begann")
+    rows = [
+        (1, en, T(2024, 1, 1, 0, 0)),
+        (2, en, T(2024, 1, 1, 0, 1)),            # exact duplicate of 1
+        (3, de, T(2024, 1, 1, 0, 2)),            # wrong language
+        (4, "zz", T(2024, 1, 1, 0, 3)),          # und + too short (quality)
+        (5, en + " with an extra ending clause", T(2024, 1, 1, 0, 4)),
+    ]
+    src = str(tmp_path / "cur_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    out = curate_stream(stream, "text", "ts", langs=("en",), min_quality=0.2)
+    got = []
+    q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_curate")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_kept = (
+        df.filter(lang_id_chargram(F.col("text")) == "en")
+        .filter(quality_score(F.col("text")) >= 0.2)
+    )
+    want_hashes = {r["content_hash"] for r in
+                   exact_duplicates(batch_kept, "doc_id", "text").collect()}
+    got_hashes = {r["content_hash"] for r in got}
+    assert got_hashes == want_hashes and len(got) == len(got_hashes)
+    assert {r["doc_id"] for r in got} <= {1, 2, 5}
+    assert all(r["lang"] == "en" and r["quality"] >= 0.2 for r in got)
