@@ -80,3 +80,35 @@ def test_strict_mode_raises_clearly(media):
             MM.image_features(media, "id", "payload", strict=True)
         with pytest.raises(NotImplementedError, match="STUB"):
             MM.resize_images(media, "id", "payload", 8, 8, strict=True)
+
+
+def test_multimodal_null_and_empty_binary_pinned(spark):
+    """NULL/empty binary payloads: metadata + feature + audio ops keep one
+    row per input with NULL propagation; sample_frames (a per-frame
+    explode) yields NO rows for NULL media — the explode contract, same as
+    an inner range join. Pinned so a nullable media corpus can't crash or
+    silently change shape."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.multimodal import (
+        audio_stats,
+        image_features,
+        media_metadata,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest")), (2, None), (3, bytearray(b""))],
+        "media_id long, data binary",
+    )
+    meta = {r["id"]: r for r in media_metadata(df, "media_id", "data").collect()}
+    assert set(meta) == {1, 2, 3}
+    assert meta[2]["n_bytes"] is None and meta[2]["content_md5"] is None
+    assert meta[3]["n_bytes"] == 0
+    feats = {r["id"]: r["feat"] for r in image_features(df, "media_id", "data").collect()}
+    assert set(feats) == {1, 2, 3} and feats[2] is None and feats[3] is not None
+    audio = {r["id"]: r for r in audio_stats(df, "media_id", "data").collect()}
+    assert set(audio) == {1, 2, 3}
+    assert audio[2]["n_samples"] is None and audio[3]["n_samples"] == 0
+    frames = sample_frames(df, "media_id", "data").collect()
+    assert {r["id"] for r in frames} == {1, 3}, "NULL media has no frames"
