@@ -1184,7 +1184,10 @@ def q_supervised_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pos, n_neg = F.col("np"), F.col("n") - F.col("np")
     return agg.select(
-        F.round(F.col("nbc") / F.col("nb"), 6).alias("prec_at_1"),
+        # nb=0 (no best_match row at all — the degenerate-model case this
+        # witness exists to catch) must yield NULL, not an ANSI
+        # DIVIDE_BY_ZERO that kills the correctness round
+        F.round(F.when(F.col("nb") > 0, F.col("nbc") / F.col("nb")), 6).alias("prec_at_1"),
         F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_queries"),
         F.round(
             F.when(
@@ -1374,9 +1377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     or code-path-changed in r6 (the passage-removal rebuild touches
     dedup_passages; the label fix + quality row touch the supervised
     trio; LEF dictionary growth touches lef_match), (3) long-stable
-    r5-green queries.  The 17-query tail is exactly the set that is BOTH
-    green in CORRECTNESS_r05 AND untouched by round 6, so a 50-row cutoff
-    leaves every query with a green row no older than one round."""
+    r5-green queries.  The 18-query tail (68 total - 50 window) is exactly
+    the set that is BOTH green in CORRECTNESS_r05 AND untouched by round 6
+    — plus noised_names, which is rows-only wherever it sits — so a 50-row
+    cutoff leaves every oracle-checkable query with a green row no older
+    than one round."""
     return {
         # --- tier 1: last green row is r04 (the r5 tail) ---
         "repetition_stats": q_repetition_stats,

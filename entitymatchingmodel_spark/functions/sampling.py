@@ -24,6 +24,23 @@ def _unit_hash(c: Column, salt: str) -> Column:
     return h.cast("double") / F.lit(_HASH_SPACE)
 
 
+def _require_unique(df: DataFrame, key_col: str, boundary: str) -> None:
+    """Shared ``validate=True`` probe: one aggregate over the input,
+    short-circuiting at the first duplicate key — a loud ``ValueError``
+    instead of a silently partition-layout-dependent ``boundary``."""
+    dup = (
+        df.groupBy(key_col).agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"key column {key_col!r} is not unique (e.g. {dup[0][key_col]!r} "
+            f"appears {dup[0]['_n']} times); duplicate keys make the "
+            f"deterministic order — and the {boundary} — partition-layout "
+            "dependent"
+        )
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
 ) -> DataFrame:
@@ -108,19 +125,12 @@ def _bucketed_prefix_sum(
     if persist_handles is not None:
         persist_handles.append(t)
     if validate:
-        dup = (
-            t.groupBy(key_col).agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > 1).limit(1).collect()
-        )
-        if dup:
+        try:
+            _require_unique(t, key_col, "budget/chunk boundary")
+        except ValueError:
             if persist_handles is None:
                 t.unpersist()
-            raise ValueError(
-                f"prefix-sum key column {key_col!r} is not unique (e.g. "
-                f"{dup[0][key_col]!r} appears {dup[0]['_n']} times); duplicate "
-                "keys make the deterministic order — and the budget/chunk "
-                "boundary — partition-layout dependent"
-            )
+            raise
     totals = {
         r["_b"]: r["_t"]
         for r in t.groupBy("_b").agg(F.sum(weight_col).alias("_t")).collect()
@@ -249,17 +259,7 @@ def per_group_cap(
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
     if validate:
-        dup = (
-            df.groupBy(key_col).agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > 1).limit(1).collect()
-        )
-        if dup:
-            raise ValueError(
-                f"per_group_cap key column {key_col!r} is not unique (e.g. "
-                f"{dup[0][key_col]!r} appears {dup[0]['_n']} times); duplicate "
-                "keys make the rank order — and the cap boundary — "
-                "partition-layout dependent"
-            )
+        _require_unique(df, key_col, "cap boundary")
     from pyspark.sql import Window
 
     h = _unit_hash(F.col(key_col), salt)

@@ -1271,12 +1271,24 @@ def semantic_dedup(
         df, id_col, vec_col,
         threshold=threshold, nlist=nlist, probe_margin=probe_margin, seed=seed,
     )
+    return _keep_one_per_cluster(df, id_col, pairs, use_star, max_iterations)
+
+
+def _keep_one_per_cluster(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    use_star: bool,
+    max_iterations: int | None,
+) -> DataFrame:
+    """Shared keep-one tail of the one-call dedup compositions: cluster the
+    pair graph, then keep each cluster's min-id member (the representative
+    IS the cluster id, so the per-cluster count aggregate doubles as the
+    keep table) with its ``cluster_size``."""
     ids = df.select(F.col(id_col).alias("id"))
     cluster_fn = duplicate_clusters_star if use_star else duplicate_clusters
     kwargs = {} if max_iterations is None else {"max_iterations": max_iterations}
     clusters = cluster_fn(ids, pairs, **kwargs)
-    # representative == cluster_id (component min), so the per-cluster
-    # count aggregate doubles as the keep table
     reps = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return df.join(
         reps.withColumnRenamed("cluster_id", id_col), id_col, "inner"
@@ -1323,11 +1335,4 @@ def fuzzy_dedup(
         sigs, bands=bands, rows_per_band=rows_per_band,
         persist_handles=persist_handles,
     ).filter(F.col("est_jaccard") >= min_jaccard)
-    ids = df.select(F.col(id_col).alias("id"))
-    cluster_fn = duplicate_clusters_star if use_star else duplicate_clusters
-    kwargs = {} if max_iterations is None else {"max_iterations": max_iterations}
-    clusters = cluster_fn(ids, pairs, **kwargs)
-    reps = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return df.join(
-        reps.withColumnRenamed("cluster_id", id_col), id_col, "inner"
-    )
+    return _keep_one_per_cluster(df, id_col, pairs, use_star, max_iterations)

@@ -392,6 +392,15 @@ def interval_join(
     for side, name in ((points, "points"), (intervals, "intervals")):
         if "_b" in side.columns:
             raise ValueError(f"interval_join reserves column '_b'; rename it on {name}")
+    if how == "left":
+        clash = (set(points.columns) & set(intervals.columns)) - {key_col}
+        if clash:
+            # the complement re-select and unionByName would hit
+            # AMBIGUOUS_REFERENCE at runtime — fail fast with the fix
+            raise ValueError(
+                f"interval_join(how='left') requires distinct non-key column "
+                f"names; rename {sorted(clash)} on one side"
+            )
     if bucket_minutes is None:
         intervals = intervals.persist()
         if persist_handles is not None:
@@ -416,6 +425,13 @@ def interval_join(
     )
     out = joined.drop("_b")
     if how == "left":
+        # the matched subtree feeds BOTH union branches (matches + the
+        # exceptAll complement) — persist it so the bucketed join runs
+        # once per action, not twice; same handle convention as the
+        # interval sizing cache above
+        out = out.persist()
+        if persist_handles is not None:
+            persist_handles.append(out)
         ival_types = {f.name: f.dataType for f in intervals.schema.fields}
         extra_cols = [c for c in intervals.columns if c != key_col]
         unmatched = points.exceptAll(out.select(*points.columns))

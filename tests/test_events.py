@@ -510,3 +510,26 @@ def test_interval_join_left_outer(spark):
     assert len(res) == 4
     assert sum(r["tag"] == "A" for r in res) == 2
     assert sum(r["tag"] is None for r in res) == 2
+
+
+def test_interval_join_left_rejects_ambiguous_columns(spark):
+    """how='left' fails fast with a clear ValueError when the two sides
+    share a non-key column name (the complement re-select would otherwise
+    die with AMBIGUOUS_REFERENCE at runtime)."""
+    import datetime
+
+    import pytest
+
+    from entitymatchingmodel_spark.operators.events import interval_join
+
+    T = datetime.datetime
+    pts = spark.createDataFrame(
+        [(10, T(2024, 1, 1), "web")], "user_id long, ts timestamp, source string"
+    )
+    iv = spark.createDataFrame(
+        [(10, T(2024, 1, 1), T(2024, 1, 2), "crm")],
+        "user_id long, s timestamp, e timestamp, source string",
+    )
+    with pytest.raises(ValueError, match="source"):
+        interval_join(pts, iv, "user_id", "ts", "s", "e",
+                      bucket_minutes=60, how="left")
