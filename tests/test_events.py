@@ -459,6 +459,14 @@ def test_events_null_ts_and_key_behavior_pinned(spark):
     assert out[3]["asof_v"] is None and out[4]["asof_v"] is None
     assert out[2]["asof_v"] == 5.0
 
+    # windowed_agg: an event with no timestamp belongs to no time window —
+    # Spark's window() drops it, the standard semantics (same class as the
+    # interval inner join); the remaining events aggregate normally
+    from entitymatchingmodel_spark.operators.events import windowed_agg
+
+    wrows = windowed_agg(ev).collect()
+    assert sum(r["n_events"] for r in wrows) == 3
+
 
 def test_interval_join_left_outer(spark):
     """how='left' keeps uncovered points with NULL interval columns;
