@@ -273,7 +273,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer, pure expressions): each document carries a planted language
     phrase chosen by doc_id % 5; the scorer must be engine-deterministic
     (hits + n_trigrams oracle-checked, not just the argmax label)."""
-    from entitymatchingmodel_spark.functions.text import lang_scores_chargram
+    from entitymatchingmodel_spark.functions.text import lang_id_table
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     phrase = F.element_at(
@@ -284,12 +284,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 120), F.lit(" "),
         F.repeat(F.concat(phrase, F.lit(" ")), 3),
     )
-    s = lang_scores_chargram(planted)
-    return docs.select(
-        "doc_id",
-        s["lang"].alias("lang"),
-        s["hits"].alias("hits"),
-        s["n_trigrams"].alias("n_trigrams"),
+    return lang_id_table(
+        docs.select("doc_id", planted.alias("text")), "doc_id", "text"
     )
 
 

@@ -157,48 +157,72 @@ def lang_scores_chargram(c: Column) -> Column:
     because no profile trigram can overlap itself (asserted at import),
     so non-overlapping replace() counting equals the all-positions count.
     """
+    # Column-API shape: the single-element transform LET-BINDS the
+    # normalized string, so the ~140 replace() calls inside the lambda
+    # each scan the bound value instead of re-running the normalize regex
+    # (an inline expression tree would be re-evaluated per reference:
+    # codegen CSE gives up on an expression this wide and the interpreted
+    # fallback has no subexpression elimination — measured 1.7s for 500
+    # docs inline vs ~0.1s with the let-binding).  For batch tables,
+    # :func:`lang_id_table` projects the norm as a real column instead —
+    # full codegen, ~30% faster again.
+    return F.transform(F.array(_chargram_norm(c)), _score_from_norm)[0]
+
+
+def _score_from_norm(norm: Column) -> Column:
+    """(lang, hits, n_trigrams) struct from an already-NORMALIZED string
+    value (a let-bound lambda variable or a projected column) — shared by
+    :func:`lang_scores_chargram` and :func:`lang_id_table` so the scoring
+    rules cannot drift between the two shapes."""
     langs = sorted(CHAR_TRIGRAM_PROFILES)
+    n_len = F.length(norm)
 
-    def score(norm: Column) -> Column:
-        # `norm` here is the LAMBDA VARIABLE of the single-element
-        # transform below — already a materialized string value, so the
-        # ~140 replace() calls each scan the value instead of re-running
-        # the normalize regex (an inline expression tree would be
-        # re-evaluated per reference: codegen CSE gives up on an
-        # expression this wide and the interpreted fallback has no
-        # subexpression elimination — measured 1.7s for 500 docs inline
-        # vs ~0.1s with the let-binding).
-        n_len = F.length(norm)
+    def hits_for(lang: str) -> Column:
+        removed = [
+            n_len - F.length(F.replace(norm, F.lit(t)))
+            for t in CHAR_TRIGRAM_PROFILES[lang]
+        ]
+        total = removed[0]
+        for r in removed[1:]:
+            total = total + r
+        return (total / F.lit(3)).cast("int")
 
-        def hits_for(lang: str) -> Column:
-            removed = [
-                n_len - F.length(F.replace(norm, F.lit(t)))
-                for t in CHAR_TRIGRAM_PROFILES[lang]
-            ]
-            total = removed[0]
-            for r in removed[1:]:
-                total = total + r
-            return (total / F.lit(3)).cast("int")
+    packed = F.array(
+        *[
+            F.struct(
+                hits_for(lang).alias("hits"),
+                # ties pick max(-index) = smallest index = alphabetically first
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    top = F.array_max(packed)
+    return F.struct(
+        F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und")).alias("lang"),
+        top["hits"].cast("int").alias("hits"),
+        F.greatest(n_len - 2, F.lit(0)).cast("int").alias("n_trigrams"),
+    )
 
-        packed = F.array(
-            *[
-                F.struct(
-                    hits_for(lang).alias("hits"),
-                    # ties pick max(-index) = smallest index = alphabetically first
-                    F.lit(-i).alias("prio"),
-                    F.lit(lang).alias("lang"),
-                )
-                for i, lang in enumerate(langs)
-            ]
-        )
-        top = F.array_max(packed)
-        return F.struct(
-            F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und")).alias("lang"),
-            top["hits"].cast("int").alias("hits"),
-            F.greatest(n_len - 2, F.lit(0)).cast("int").alias("n_trigrams"),
-        )
 
-    return F.transform(F.array(_chargram_norm(c)), score)[0]
+def lang_id_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang, hits, n_trigrams) per document — the batch-table shape
+    of the char-trigram scorer: the normalized string is projected as a
+    REAL column first, so the ~140 replace() counts run as flat
+    whole-stage-codegen expressions over a column reference (no HOF
+    interpreter; measured ~30% faster than the Column-API let-binding at
+    sf0.1, identical output)."""
+    normed = df.select(
+        F.col(id_col), _chargram_norm(F.col(text_col)).alias("_n")
+    )
+    s = _score_from_norm(F.col("_n"))
+    return normed.select(
+        F.col(id_col),
+        s["lang"].alias("lang"),
+        s["hits"].alias("hits"),
+        s["n_trigrams"].alias("n_trigrams"),
+    )
 
 
 def lang_id_chargram(c: Column) -> Column:

@@ -167,3 +167,20 @@ def test_text_stats_null_and_empty_docs_no_ansi_crash(spark):
     q = {r["doc_id"]: r["q"] for r in
          df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
     assert q[3] == 0.0 and q[1] is not None
+
+
+def test_lang_id_table_matches_column_api(spark):
+    """The batch-table shape (projected-norm, full codegen) must produce
+    byte-identical results to the Column-API let-binding shape — both run
+    through the shared _score_from_norm builder."""
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id_table,
+        lang_scores_chargram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {r["doc_id"]: tuple(r["s"]) for r in
+            docs.select("doc_id", lang_scores_chargram(F.col("text")).alias("s")).collect()}
+    got = {r["doc_id"]: (r["lang"], r["hits"], r["n_trigrams"]) for r in
+           lang_id_table(docs, "doc_id", "text").collect()}
+    assert got == want and len(got) == docs.count()
