@@ -265,6 +265,13 @@ class IVFIndex:
     ``search`` with the build-time parameters returns EXACTLY
     :func:`ivf_topk`'s output (same centroids, same round-before-rank
     rules) — pinned in tests/test_ann.py.
+
+    Lifecycle: ``build``/``load`` persist the (nlist-row) centroid table;
+    call :meth:`unpersist` when the index is dropped, or pass
+    ``persist_handles`` (a list, the module-wide convention — see
+    ``ngram_jaccard_pairs``) to ``build``/``load`` to receive the cached
+    DataFrame and release it with the rest of the job's handles.  Without
+    either, the blocks stay cached until Spark's LRU evicts them.
     """
 
     def __init__(
@@ -290,12 +297,15 @@ class IVFIndex:
         nlist: int = 64,
         seed: int = 42,
         score_decimals: int | None = None,
+        persist_handles: list | None = None,
     ) -> "IVFIndex":
         cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
         # the centroid table is tiny (nlist rows) but sits under BOTH the
         # assignment and every future probe — persist it so the sample
         # sort-limit never recomputes
         cents = cents.persist()
+        if persist_handles is not None:
+            persist_handles.append(cents)
         assigned = _assign_corpus(corpus, cents, id_col, vec_col, score_decimals)
         return cls(cents, assigned, nlist, seed, score_decimals)
 
@@ -328,11 +338,13 @@ class IVFIndex:
         ).json(f"{path}/meta.json")
 
     @classmethod
-    def load(cls, spark, path: str) -> "IVFIndex":
+    def load(cls, spark, path: str, persist_handles: list | None = None) -> "IVFIndex":
         import json
 
         meta = json.loads(spark.read.json(f"{path}/meta.json").head()["meta"])
         cents = spark.read.parquet(f"{path}/centroids.parquet").persist()
+        if persist_handles is not None:
+            persist_handles.append(cents)
         assigned = spark.read.parquet(f"{path}/corpus.parquet")
         return cls(
             cents, assigned, int(meta["nlist"]), int(meta["seed"]),

@@ -507,6 +507,14 @@ def remove_duplicate_passages(
 
     Output: ``(id, text, n_tokens, n_tokens_removed)``.
 
+    NULL-text rows propagate as all-NULL output columns (tokenizing NULL
+    is NULL, so every derived column stays NULL — the SQL-engine
+    convention).  Note this deliberately DIVERGES from :func:`line_dedup`,
+    whose contract pins ``(n_lines NULL, n_kept 0, text '')`` for the
+    same input (its aggregate counts zero kept lines and re-joins them to
+    ''); both conventions are oracle-checked, so composing the two means
+    normalizing ''/NULL text first if downstream code treats them alike.
+
     Scale shape: windowing is native expressions; the winner table is one
     map-side-combined aggregate on the window hash; span merge + token
     cut are per-document windows/array ops bounded by document length.
@@ -611,7 +619,11 @@ def line_dedup(
     trimmed lowercase text when ``normalize`` (C4 normalizes before
     hashing).  Returns one row per input document:
     ``(id, n_lines, n_kept, text)`` with ``text`` the kept lines re-joined
-    by ``sep`` ('' when every line of a doc was seen earlier).
+    by ``sep`` ('' when every line of a doc was seen earlier).  NULL-text
+    docs come out as ``(n_lines NULL, n_kept 0, text '')`` — the
+    aggregate-then-rejoin convention; :func:`remove_duplicate_passages`
+    instead propagates all-NULL for the same input (see its docstring) —
+    normalize ''/NULL before composing the two.
 
     Scale shape: explode lines once; the winner per distinct line is ONE
     ``min(struct(id, pos))`` hash-aggregate keyed by the line's md5
@@ -1235,6 +1247,7 @@ def semantic_dedup(
     seed: int = 42,
     use_star: bool = False,
     max_iterations: int | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication in ONE call (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1259,6 +1272,9 @@ def semantic_dedup(
     Returns the KEPT rows: every input column of ``df`` plus
     ``cluster_size`` (how many input rows this representative stands
     for); ``sum(cluster_size)`` over the output equals the input count.
+    That invariant assumes ``id_col`` is UNIQUE; ``validate=True`` checks
+    it with one short-circuiting aggregate (opt-in, same convention as
+    ``sampling.per_group_cap``).
 
     Scale shape: pair generation is the bucketed 100 TB path; clustering
     is O(diameter) (or O(log n)) joins; the keep step is one count
@@ -1271,7 +1287,8 @@ def semantic_dedup(
         df, id_col, vec_col,
         threshold=threshold, nlist=nlist, probe_margin=probe_margin, seed=seed,
     )
-    return _keep_one_per_cluster(df, id_col, pairs, use_star, max_iterations)
+    return _keep_one_per_cluster(df, id_col, pairs, use_star, max_iterations,
+                                 validate=validate)
 
 
 def _keep_one_per_cluster(
@@ -1280,11 +1297,32 @@ def _keep_one_per_cluster(
     pairs: DataFrame,
     use_star: bool,
     max_iterations: int | None,
+    validate: bool = False,
 ) -> DataFrame:
     """Shared keep-one tail of the one-call dedup compositions: cluster the
     pair graph, then keep each cluster's min-id member (the representative
     IS the cluster id, so the per-cluster count aggregate doubles as the
-    keep table) with its ``cluster_size``."""
+    keep table) with its ``cluster_size``.
+
+    PRECONDITION: ``id_col`` is unique.  Duplicate ids inflate
+    ``cluster_size`` and make the rejoin emit duplicate representative
+    rows, breaking the documented ``sum(cluster_size) == input count``
+    invariant.  ``validate=True`` enforces it with one short-circuiting
+    aggregate (the same opt-in probe as ``sampling.per_group_cap``).
+    """
+    if validate:
+        dup = (
+            df.groupBy(id_col).agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"id column {id_col!r} is not unique (e.g. "
+                f"{dup[0][id_col]!r} appears {dup[0]['_n']} times); "
+                "duplicate ids inflate cluster_size and emit duplicate "
+                "representative rows, breaking sum(cluster_size) == "
+                "input-count"
+            )
     ids = df.select(F.col(id_col).alias("id"))
     cluster_fn = duplicate_clusters_star if use_star else duplicate_clusters
     kwargs = {} if max_iterations is None else {"max_iterations": max_iterations}
@@ -1307,6 +1345,7 @@ def fuzzy_dedup(
     use_star: bool = False,
     max_iterations: int | None = None,
     persist_handles: list | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """MinHash-LSH fuzzy deduplication in ONE call — the lexical sibling of
     :func:`semantic_dedup` and the document-level fuzzy-dedup step public
@@ -1321,7 +1360,10 @@ def fuzzy_dedup(
     by every dedup operator in this module.
 
     Returns the KEPT rows: every input column plus ``cluster_size``;
-    ``sum(cluster_size)`` over the output equals the input count.
+    ``sum(cluster_size)`` over the output equals the input count.  That
+    invariant assumes ``id_col`` is UNIQUE; ``validate=True`` checks it
+    with one short-circuiting aggregate (opt-in, same convention as
+    ``sampling.per_group_cap``).
 
     Scale shape: shuffles on shingle hash / band key / id only; the
     quadratic work is bounded per LSH bucket; clustering is O(diameter)
@@ -1335,4 +1377,5 @@ def fuzzy_dedup(
         sigs, bands=bands, rows_per_band=rows_per_band,
         persist_handles=persist_handles,
     ).filter(F.col("est_jaccard") >= min_jaccard)
-    return _keep_one_per_cluster(df, id_col, pairs, use_star, max_iterations)
+    return _keep_one_per_cluster(df, id_col, pairs, use_star, max_iterations,
+                                 validate=validate)

@@ -401,6 +401,19 @@ def interval_join(
                 f"interval_join(how='left') requires distinct non-key column "
                 f"names; rename {sorted(clash)} on one side"
             )
+        from pyspark.sql.types import MapType
+
+        maps = [f.name for f in points.schema.fields if isinstance(f.dataType, MapType)]
+        if maps:
+            # the unmatched complement runs exceptAll over the point
+            # columns, and Spark set operations reject MapType — fail
+            # fast naming the real constraint instead of surfacing the
+            # analyzer's generic error mid-plan
+            raise ValueError(
+                f"interval_join(how='left') computes the unmatched set with "
+                f"exceptAll, which does not support map-typed point columns "
+                f"{maps}; cast them (e.g. to_json) or drop them first"
+            )
     if bucket_minutes is None:
         intervals = intervals.persist()
         if persist_handles is not None:

@@ -37,8 +37,29 @@ def _read_json(spark: SparkSession, path: str) -> dict:
     return json.loads(spark.read.text(path).collect()[0][0])
 
 
-def save_model(em: SparkEntityMatching, path: str) -> None:
-    """Persist a fitted SparkEntityMatching under ``path``."""
+def _bucket_table_name(path: str, i: int) -> str:
+    """Deterministic catalog name for indexer ``i``'s bucketed GT weights —
+    keyed by the model path so two models in one warehouse never collide."""
+    import hashlib
+
+    return f"emm_gtw_{hashlib.md5(path.encode()).hexdigest()[:10]}_{i}"
+
+
+def save_model(em: SparkEntityMatching, path: str,
+               bucket_weights: int | None = None) -> None:
+    """Persist a fitted SparkEntityMatching under ``path``.
+
+    ``bucket_weights=N`` stores each cosine indexer's GT token-weight
+    table as a token-BUCKETED external table (N buckets, sorted by token)
+    instead of plain parquet.  The GT side is the large, static, re-joined
+    half of every transform's token join; bucketing it means a loaded
+    model's transform shuffles only the per-batch names side — the GT scan
+    keeps the hash distribution the storage layout carries (zero Exchange
+    on that subtree, pinned in tests/test_plan_shape.py).  The bucket
+    files live under ``path`` like every other model part; the catalog
+    entry is re-created by DDL on load when the session doesn't have it,
+    so the model directory stays self-contained.
+    """
     if em.gt_ is None:
         raise ValueError("model is not fitted; call fit() first")
     spark = em.gt_.sparkSession
@@ -73,29 +94,41 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
         base = f"{path}/indexers/{i}"
         if hasattr(model, "tfidf"):  # cosine indexer
             t = model.tfidf
-            _write_json(
-                spark,
-                f"{base}/meta.json",
-                {
-                    "kind": "cosine_similarity",
-                    "k": model.k,
-                    "lower_bound": model.lower_bound,
-                    "input_col": model.input_col,
-                    "score_decimals": model.score_decimals,
-                    "strategy": model.strategy,
-                    "blocking": indexers_meta[i]["spec"].get("blocking_func"),
-                    "tfidf": {
-                        "n_docs": t.n_docs,
-                        "max_idf": t.max_idf,
-                        "analyzer": t.analyzer,
-                        "ngram": t.ngram,
-                        "binary": t.binary,
-                        "input_col": t.input_col,
-                    },
+            imeta = {
+                "kind": "cosine_similarity",
+                "k": model.k,
+                "lower_bound": model.lower_bound,
+                "input_col": model.input_col,
+                "score_decimals": model.score_decimals,
+                "strategy": model.strategy,
+                "blocking": indexers_meta[i]["spec"].get("blocking_func"),
+                "tfidf": {
+                    "n_docs": t.n_docs,
+                    "max_idf": t.max_idf,
+                    "analyzer": t.analyzer,
+                    "ngram": t.ngram,
+                    "binary": t.binary,
+                    "input_col": t.input_col,
                 },
-            )
+            }
+            if bucket_weights is not None:
+                imeta["bucketed"] = {
+                    "table": _bucket_table_name(path, i),
+                    "n_buckets": bucket_weights,
+                }
+            _write_json(spark, f"{base}/meta.json", imeta)
             t.vocab.write.mode("overwrite").parquet(f"{base}/vocab")
-            model.gt_weights.write.mode("overwrite").parquet(f"{base}/gt_weights")
+            if bucket_weights is not None:
+                (
+                    model.gt_weights.write.format("parquet")
+                    .mode("overwrite")
+                    .bucketBy(bucket_weights, "token")
+                    .sortBy("token")
+                    .option("path", f"{base}/gt_weights")
+                    .saveAsTable(imeta["bucketed"]["table"])
+                )
+            else:
+                model.gt_weights.write.mode("overwrite").parquet(f"{base}/gt_weights")
         else:  # SNI
             if getattr(model, "mapping_func", None) is not None:
                 raise ValueError(
@@ -143,6 +176,31 @@ def save_model(em: SparkEntityMatching, path: str) -> None:
         _save_sm(sm, f"{path}/supervised_extra/{mname}")
 
 
+def _bucketed_weights(spark: SparkSession, bmeta: dict, location: str) -> DataFrame:
+    """Scan for GT weights saved with ``bucket_weights``: the catalog table
+    whose bucket spec lets joins on ``token`` skip the GT-side Exchange.
+
+    A fresh session's catalog doesn't know the table, so it is re-created
+    by DDL pointing at the model directory's existing bucket files (the
+    bucketed writer's file layout IS the data; the catalog entry is just
+    metadata).  NOT persisted: caching would cost |GT index| executor
+    memory to save a scan the bucket layout already makes shuffle-free —
+    the plain-parquet path persists because every use would otherwise
+    re-shuffle it.
+    """
+    table = bmeta["table"]
+    if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(location).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY (token) SORTED BY (token) "
+            f"INTO {int(bmeta['n_buckets'])} BUCKETS "
+            f"LOCATION '{location}'"
+        )
+    return spark.table(table)
+
+
 def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
     """Load a SparkEntityMatching saved by :func:`save_model`."""
     from entitymatchingmodel_spark.operators.cossim_indexer import CosSimIndexerModel
@@ -169,9 +227,13 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
                 binary=t["binary"],
                 input_col=t["input_col"],
             )
+            if m.get("bucketed"):
+                gt_weights = _bucketed_weights(spark, m["bucketed"], f"{base}/gt_weights")
+            else:
+                gt_weights = spark.read.parquet(f"{base}/gt_weights").persist()
             model = CosSimIndexerModel(
                 tfidf=tfidf,
-                gt_weights=spark.read.parquet(f"{base}/gt_weights").persist(),
+                gt_weights=gt_weights,
                 k=m["k"],
                 lower_bound=m["lower_bound"],
                 blocking_func=_BLOCKING[m.get("blocking")],

@@ -128,3 +128,48 @@ def test_vocab_tiers_model_roundtrip(spark, tmp_path):
     b = _canon(em2.transform(names))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_bucketed_weights_roundtrip_plan_and_ddl_recreate(spark, fitted, names, tmp_path_factory):
+    """save_model(bucket_weights=N) stores GT token weights as a
+    token-bucketed table: (1) the reloaded model's transform is identical
+    to the plain-parquet round-trip, (2) its plan carries strictly fewer
+    exchanges (the GT side of the token join reads the bucket layout
+    instead of shuffling), and (3) a session whose catalog lost the table
+    (fresh session / dropped entry) re-creates it by DDL from the model
+    directory alone."""
+    from entitymatchingmodel_spark.persistence import _bucket_table_name
+    from entitymatchingmodel_spark.plans import exchange_count, explain_str
+
+    plain_path = str(tmp_path_factory.mktemp("model_plain") / "em")
+    bucket_path = str(tmp_path_factory.mktemp("model_bucket") / "em")
+    save_model(fitted, plain_path)
+    save_model(fitted, bucket_path, bucket_weights=8)
+    tables = [_bucket_table_name(bucket_path, i) for i in range(2)]
+    try:
+        plain = load_model(spark, plain_path)
+        bucketed = load_model(spark, bucket_path)
+
+        a = _canon(plain.transform(names))
+        b = _canon(bucketed.transform(names))
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            n_plain = exchange_count(plain.transform(names))
+            n_bucketed = exchange_count(bucketed.transform(names))
+            assert n_bucketed < n_plain, explain_str(bucketed.transform(names))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # catalog-miss path: drop the entries, reload -> DDL re-create
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        recreated = load_model(spark, bucket_path)
+        c = _canon(recreated.transform(names))
+        pd.testing.assert_frame_equal(a, c)
+        assert spark.catalog.tableExists(tables[0])
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
