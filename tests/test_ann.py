@@ -100,3 +100,31 @@ def test_ivf_index_build_search_save_load_parity(spark, tmp_path):
     plan = explain_str(one_bucket)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan
     loaded.unpersist()
+
+
+def test_loaded_index_probe_prunes_partitions(spark, tmp_path):
+    """The contract row's 100 TB claim, pinned: searching a LOADED index
+    joins the probed (query, bucket) pairs against the bucket-partitioned
+    corpus, and Catalyst plans DYNAMIC partition pruning on that join — the
+    corpus scan's PartitionFilters carries a dynamicpruning expression, so
+    a probe reads only the nprobe probed buckets' files, never the other
+    nlist - nprobe partitions."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.ann import IVFIndex
+    from entitymatchingmodel_spark.plans import explain_str
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex.build(emb, "vec_id", "embedding", nlist=8, score_decimals=6)
+    path = str(tmp_path / "ivf_dpp")
+    idx.save(path)
+    idx.unpersist()
+    loaded = IVFIndex.load(spark, path)
+    try:
+        res = loaded.search(emb.filter(F.col("vec_id") < 10),
+                            "vec_id", "embedding", k=5, nprobe=3)
+        plan = explain_str(res)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert res.count() > 0
+    finally:
+        loaded.unpersist()

@@ -329,3 +329,58 @@ def test_curate_stream_matches_batch_curation(spark, tmp_path):
     assert got_hashes == want_hashes and len(got) == len(got_hashes)
     assert {r["doc_id"] for r in got} <= {1, 2, 5}
     assert all(r["lang"] == "en" and r["quality"] >= 0.2 for r in got)
+
+
+def test_curate_stream_state_bounded_by_watermark(spark, tmp_path):
+    """curate_stream's only stateful step is the watermark-bounded exact
+    dedup: streaming hours of all-distinct documents through it must keep
+    the state store at ~watermark-horizon size (hashes older than the
+    horizon evicted), not accumulate one state row per document ever seen.
+    Asserted via the progress metrics (stateOperators[].numRowsTotal),
+    like the stream-stream join test above."""
+    import datetime
+    import json
+    import os
+
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "cur_state_src")
+    os.makedirs(src)
+    en = ("the quick brown fox and the dog went over the hills to the "
+          "river in the morning and came back before the night chapter")
+    n_steps, per_step = 30, 4
+    for step in range(n_steps):
+        t0 = base + datetime.timedelta(minutes=10 * step)
+        rows = [(step * per_step + i, f"{en} {step} {i}",
+                 t0 + datetime.timedelta(seconds=10 * i))
+                for i in range(per_step)]
+        spark.createDataFrame(rows, "doc_id long, text string, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = curate_stream(stream, "text", "ts", langs=("en",),
+                        min_quality=0.2, watermark="10 minutes")
+    kept = []
+    q = (out.writeStream.foreachBatch(lambda b, i: kept.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_cur_state"))
+         .start())
+    try:
+        q.processAllAvailable()
+        progresses = [json.loads(p.json) if hasattr(p, "json") else p
+                      for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    assert len(kept) == n_steps * per_step  # all distinct -> all kept
+    totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    totals = [t for t in totals if t > 0]
+    assert totals, "no state metrics captured"
+    # horizon = 10-min watermark over 10-min steps: a handful of steps'
+    # hashes at most; total docs = 120, so eviction must be visible
+    assert max(totals) < n_steps * per_step / 2, totals
