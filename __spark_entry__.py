@@ -43,6 +43,50 @@ def _trigram_sql_hits(lang: str) -> str:
     return f"({terms}) / 3"
 
 
+# The three enumeration fragments below are GENERATED from the profile dict
+# so a language added to CHAR_TRIGRAM_PROFILES flows into every oracle
+# automatically — a hand-enumerated language list desyncs silently (e.g.
+# the alphabetical tie-break clause must name every language that sorts
+# before the target, and that set changes when profiles grow).
+
+def _lang_hits_select() -> str:
+    """One ``h_<lang>`` hit-count column per profile language."""
+    return ",\n                     ".join(
+        f"{_trigram_sql_hits(lang)} AS h_{lang}"
+        for lang in sorted(CHAR_TRIGRAM_PROFILES)
+    )
+
+
+def _lang_best_expr() -> str:
+    return "greatest(" + ", ".join(
+        f"h_{lang}" for lang in sorted(CHAR_TRIGRAM_PROFILES)
+    ) + ")"
+
+
+def _lang_case_expr() -> str:
+    """Argmax label with the Spark scorer's alphabetical-first tie-break
+    (first WHEN that matches wins, langs emitted in sorted order)."""
+    langs = sorted(CHAR_TRIGRAM_PROFILES)
+    whens = "\n                    ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs[:-1]
+    )
+    return (
+        "CASE WHEN best = 0 THEN 'und'\n                    "
+        f"{whens}\n                    ELSE '{langs[-1]}' END"
+    )
+
+
+def _lang_wins_sql(lang: str) -> str:
+    """Predicate: ``lang`` is the scorer's winner — its hits equal the
+    best AND every alphabetically-earlier language is strictly below
+    (the tie-break goes to the earlier language otherwise)."""
+    langs = sorted(CHAR_TRIGRAM_PROFILES)
+    cond = f"best > 0 AND h_{lang} = best"
+    for earlier in langs[: langs.index(lang)]:
+        cond += f" AND h_{earlier} < best"
+    return cond
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -2348,25 +2392,12 @@ _ORACLE = {
                      ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z]+', ' ', 'g')) || ' ' AS t
               FROM d),
         s AS (SELECT doc_id,
-                     {_trigram_sql_hits("de")} AS h_de,
-                     {_trigram_sql_hits("en")} AS h_en,
-                     {_trigram_sql_hits("es")} AS h_es,
-                     {_trigram_sql_hits("fr")} AS h_fr,
-                     {_trigram_sql_hits("it")} AS h_it,
-                     {_trigram_sql_hits("nl")} AS h_nl,
-                     {_trigram_sql_hits("pt")} AS h_pt,
+                     {_lang_hits_select()},
                      greatest(length(t) - 2, 0) AS n_trigrams
               FROM n),
-        b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it, h_nl, h_pt) AS best FROM s)
+        b AS (SELECT *, {_lang_best_expr()} AS best FROM s)
         SELECT doc_id,
-               CASE WHEN best = 0 THEN 'und'
-                    WHEN h_de = best THEN 'de'
-                    WHEN h_en = best THEN 'en'
-                    WHEN h_es = best THEN 'es'
-                    WHEN h_fr = best THEN 'fr'
-                    WHEN h_it = best THEN 'it'
-                    WHEN h_nl = best THEN 'nl'
-                    ELSE 'pt' END AS lang,
+               {_lang_case_expr()} AS lang,
                CAST(best AS INT) AS hits,
                CAST(n_trigrams AS INT) AS n_trigrams
         FROM b
@@ -2508,17 +2539,11 @@ _ORACLE = {
                                       '[^a-z]+', ' ', 'g')) || ' ' AS t
                    FROM documents),
         s AS (SELECT doc_id, text,
-                     {_trigram_sql_hits("de")} AS h_de,
-                     {_trigram_sql_hits("en")} AS h_en,
-                     {_trigram_sql_hits("es")} AS h_es,
-                     {_trigram_sql_hits("fr")} AS h_fr,
-                     {_trigram_sql_hits("it")} AS h_it,
-                     {_trigram_sql_hits("nl")} AS h_nl,
-                     {_trigram_sql_hits("pt")} AS h_pt
+                     {_lang_hits_select()}
               FROM n),
-        b AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it, h_nl, h_pt) AS best FROM s),
+        b AS (SELECT *, {_lang_best_expr()} AS best FROM s),
         en AS (SELECT doc_id, text FROM b
-               WHERE best > 0 AND h_en = best AND h_de < best),
+               WHERE {_lang_wins_sql("en")}),
         tok AS (SELECT doc_id, text,
                        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                    x -> x <> '') AS toks

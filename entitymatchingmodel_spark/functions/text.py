@@ -111,6 +111,31 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "pt": (" de", "de ", "ao ", "os ", "as ", "que", " qu", "ue ", "ent",
            "nt ", " co", "da ", " da", "do ", " do", "cao", "com", " pa",
            "res", "ram"),
+    # r7 breadth.  Profiles are restricted to [a-z ] because the
+    # normalizer collapses every non-a-z char (including accented letters:
+    # a-ring, o-umlaut, l-stroke, dotless-i, ...) to a SPACE — so each
+    # language's trigrams are drawn from the accent-free residue of its
+    # frequent words (sv 'och/att/det', da 'og/til/ikke', pl 'nie/przez/
+    # -ego/-ych', tr 'bir/-lar/-ler', ro '-ul/-are/lui', fi 'ja/on/-ssa/
+    # -lla/-ksi'), not from raw frequency tables.
+    "sv": (" oc", "och", "ch ", " at", "att", "tt ", " de", "det", "de ",
+           "en ", "er ", "ar ", "som", " so", "om ", "et ", "nde", "ing",
+           "ng ", " ha"),
+    "da": (" de", "det", "de ", "der", "en ", "er ", " og", "og ", " at",
+           "at ", " ti", "til", "il ", "for", " fo", "nde", "ed ", "ikk",
+           "kke", " ha"),
+    "pl": (" ni", "nie", "ie ", " po", " pr", "prz", "rze", "ze ", " na",
+           "na ", "ch ", "ego", "go ", "ych", " do", "do ", "ani", "ej ",
+           "ow ", "owa"),
+    "tr": ("bir", " bi", "ir ", "lar", "ler", "eri", "an ", "in ", "er ",
+           "en ", "ar ", " ka", " ya", "ak ", "da ", " da", "de ", " de",
+           "ile", " il"),
+    "ro": (" de", "de ", "ul ", "ea ", "are", "re ", " in", "in ", "lui",
+           " cu", "cu ", "ate", "ii ", "lor", "or ", "le ", "est", "st ",
+           " ca", "te "),
+    "fi": ("en ", "in ", "an ", "on ", " on", "ist", "sta", "ta ", " ja",
+           "ja ", "aan", "lla", "lle", "ssa", "ksi", "sen", "ine", "tta",
+           "va ", "si "),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

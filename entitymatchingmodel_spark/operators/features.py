@@ -733,6 +733,41 @@ LEGAL_FORM_TERMS = sorted(
         "sau", "slu", "gbr", "stiftung", "cio", "lc", "pa", "berhad",
         "ba", "kkt", "kd", "npc", "pvba", "ltee", "cooperatie",
         "stichting", "maatschap",
+        # r7 jurisdiction breadth (public cleanco/GLEIF-style suffix forms):
+        # FR professional/commandite, IT/ES/PT full partnership forms, SK,
+        # RO/SI/HR/AL/EE/LV/LT full forms, DK/FI coop+partnership, ZA, TR
+        # partnerships, DE stacked KG forms + eG/e.K., BE nonprofit, IE/UK
+        # guarantee companies, US professional, JP/NL/PL dotted-form spaced
+        # variants, generic English nonprofit/cooperative suffix words
+        "societe en commandite par actions", "societe civile professionnelle",
+        "societa semplice", "sociedad en comandita", "sociedad colectiva",
+        "empresa individual de responsabilidade limitada",
+        "drustvo s ogranicenom odgovornoscu",
+        "druzba z omejeno odgovornostjo", "delniska druzba",
+        "societate cu raspundere limitata", "societate pe actiuni",
+        "verejna obchodna spolocnost", "komanditna spolocnost",
+        "professional limited liability company", "professional association",
+        "registered limited liability partnership",
+        "public joint stock company", "private joint stock company",
+        "company limited by guarantee", "unlimited liability corporation",
+        "societa a responsabilita limitata semplificata",
+        "besloten vennootschap met beperkte aansprakelijkheid",
+        "societe privee a responsabilite limitee",
+        "societe cooperative a responsabilite limitee",
+        "shoqeri me pergjegjesi te kufizuar", "shoqeri aksionare",
+        "aktsiaselts", "osauhing", "akciju sabiedriba",
+        "sabiedriba ar ierobezotu atbildibu", "akcine bendrove",
+        "uzdaroji akcine bendrove", "ug haftungsbeschrankt",
+        "close corporation", "edms bpk", "incorporated association",
+        "kollektif sirketi", "komandit sirketi", "spolka z o o",
+        "ag co kg", "se co kg", "ag co kgaa", "se co kgaa", "gmbh co kgaa",
+        "osuuskunta", "andelsselskab", "interessentskab",
+        "srls", "selas", "selarl", "sce", "eeig", "ewiv", "smba", "sapa",
+        "ks", "ry", "slne", "sal", "bpk", "cc", "sha", "ggmbh", "eg", "ek",
+        "rllp", "ivzw", "aisbl", "clg", "coop", "co op", "cooperative",
+        "association", "foundation", "onlus",
+        "e k", "i s", "p s", "c v", "v o f", "a g", "k k", "s c", "s k a",
+        "e u", "p c",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -885,6 +920,62 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "kd": ["partnership"], "npc": ["nonprofit"], "pvba": ["private"],
     "ltee": ["limited"], "cooperatie": ["cooperative"],
     "stichting": ["nonprofit"], "maatschap": ["partnership"],
+    # r7 additions (same public cleanco/GLEIF-style sources as the terms)
+    "societe en commandite par actions": ["partnership"],
+    "societe civile professionnelle": ["partnership"],
+    "societa semplice": ["partnership"],
+    "sociedad en comandita": ["partnership"],
+    "sociedad colectiva": ["partnership"],
+    "empresa individual de responsabilidade limitada": ["private"],
+    "drustvo s ogranicenom odgovornoscu": ["private"],
+    "druzba z omejeno odgovornostjo": ["private"],
+    "delniska druzba": ["public"],
+    "societate cu raspundere limitata": ["private"],
+    "societate pe actiuni": ["public"],
+    "verejna obchodna spolocnost": ["partnership"],
+    "komanditna spolocnost": ["partnership"],
+    "professional limited liability company": ["limited liability"],
+    "professional association": ["corporation"],
+    "registered limited liability partnership": ["limited liability partnership"],
+    "public joint stock company": ["public"],
+    "private joint stock company": ["public"],
+    "company limited by guarantee": ["limited"],
+    "unlimited liability corporation": ["unlimited"],
+    "societa a responsabilita limitata semplificata": ["private"],
+    "besloten vennootschap met beperkte aansprakelijkheid": ["private"],
+    "societe privee a responsabilite limitee": ["private"],
+    "societe cooperative a responsabilite limitee": ["cooperative"],
+    "shoqeri me pergjegjesi te kufizuar": ["private"],
+    "shoqeri aksionare": ["public"],
+    "aktsiaselts": ["public"], "osauhing": ["private"],
+    "akciju sabiedriba": ["public"],
+    "sabiedriba ar ierobezotu atbildibu": ["private"],
+    "akcine bendrove": ["public"], "uzdaroji akcine bendrove": ["private"],
+    "ug haftungsbeschrankt": ["private"],
+    "close corporation": ["limited liability"],
+    "edms bpk": ["limited"], "incorporated association": ["nonprofit"],
+    "kollektif sirketi": ["partnership"], "komandit sirketi": ["partnership"],
+    "spolka z o o": ["private"],
+    "ag co kg": ["partnership"], "se co kg": ["partnership"],
+    "ag co kgaa": ["partnership"], "se co kgaa": ["partnership"],
+    "gmbh co kgaa": ["partnership"],
+    "osuuskunta": ["cooperative"], "andelsselskab": ["cooperative"],
+    "interessentskab": ["partnership"],
+    "srls": ["private"], "selas": ["public"], "selarl": ["private"],
+    "sce": ["cooperative"], "eeig": ["partnership"], "ewiv": ["partnership"],
+    "smba": ["limited liability"], "sapa": ["partnership"],
+    "ks": ["partnership"], "ry": ["nonprofit"], "slne": ["private"],
+    "sal": ["public"], "bpk": ["limited"], "cc": ["limited liability"],
+    "sha": ["public"], "ggmbh": ["nonprofit"], "eg": ["cooperative"],
+    "ek": ["private"], "rllp": ["limited liability partnership"],
+    "ivzw": ["nonprofit"], "aisbl": ["nonprofit"], "clg": ["limited"],
+    "coop": ["cooperative"], "co op": ["cooperative"],
+    "cooperative": ["cooperative"], "association": ["nonprofit"],
+    "foundation": ["nonprofit"], "onlus": ["nonprofit"],
+    "e k": ["private"], "i s": ["partnership"], "p s": ["partnership"],
+    "c v": ["partnership"], "v o f": ["partnership"], "a g": ["public"],
+    "k k": ["public"], "s c": ["partnership"], "s k a": ["partnership"],
+    "e u": ["private"], "p c": ["corporation"],
 }
 
 

@@ -355,3 +355,51 @@ def test_lef_r6_term_breadth(spark, name, lef):
 
     df = spark.createDataFrame([(name,)], "n string")
     assert df.select(extract_lef(F.col("n")).alias("l")).collect()[0]["l"] == lef
+
+
+@pytest.mark.parametrize("name,lef", [
+    # stacked German listed-company form wins over its 'kgaa' tail
+    ("henkel ag co kgaa", "ag co kgaa"),
+    # Baltic full forms
+    ("acme uzdaroji akcine bendrove", "uzdaroji akcine bendrove"),
+    ("acme sabiedriba ar ierobezotu atbildibu",
+     "sabiedriba ar ierobezotu atbildibu"),
+    # dotted forms arrive space-separated after punctuation stripping
+    ("acme k k", "k k"),
+    ("acme v o f", "v o f"),
+    # generic English org suffixes
+    ("acme housing cooperative", "cooperative"),
+    ("acme heritage foundation", "foundation"),
+    # ZA close corporation abbreviation
+    ("acme trading cc", "cc"),
+])
+def test_lef_r7_term_breadth(spark, name, lef):
+    from entitymatchingmodel_spark.operators.features import extract_lef
+
+    df = spark.createDataFrame([(name,)], "n string")
+    assert df.select(extract_lef(F.col("n")).alias("l")).collect()[0]["l"] == lef
+
+
+@pytest.mark.parametrize(
+    ("n1", "n2", "cat"),
+    [
+        # DE cooperative (eG) vs NL cooperative
+        ("acme eg", "acme cooperatie", "identical"),
+        # Estonian public vs Lithuanian public full forms
+        ("acme aktsiaselts", "acme akcine bendrove", "identical"),
+        # FR professional private form vs plain sarl
+        ("acme selarl", "acme sarl", "identical"),
+        # Slovak partnership full form vs German KG
+        ("acme verejna obchodna spolocnost", "acme kg", "identical"),
+        # nonprofit association vs public company: no overlap
+        ("acme association", "acme plc", "no_match"),
+        # European cooperative society vs Finnish cooperative
+        ("acme sce", "acme osuuskunta", "identical"),
+    ],
+)
+def test_lef_business_type_r7_jurisdictions(spark, n1, n2, cat):
+    from entitymatchingmodel_spark.operators.features import lef_features
+
+    df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
+    row = lef_features(df, include_business_type=True).collect()[0]
+    assert row["f_bt_match"] == cat, (row["bt1"], row["bt2"])

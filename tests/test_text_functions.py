@@ -64,6 +64,14 @@ def test_lang_id_chargram_detects_planted_languages(spark):
         (8, "zzz qqq xxx", "und"),
         (9, "De snelle bruine vos springt over de luie hond en rent door het bos van een boer.", "nl"),
         (10, "A raposa marrom rapida salta sobre o cao preguicoso e corre para o rio que temos do campo.", "pt"),
+        # r7 languages (sentences in plain ascii — the normalizer turns
+        # accented letters into spaces, so profiles key on the ascii residue)
+        (11, "Den snabba raven hoppar over den lata hunden och springer till skogen som vi har sett.", "sv"),
+        (12, "Den hurtige raev hopper over den dovne hund og lober til skoven for at finde mad der.", "da"),
+        (13, "Szybki lis skacze przez leniwego psa i biegnie do lasu ktorego nie znamy od dawna.", "pl"),
+        (14, "Hizli tilki tembel kopegin uzerinden atlar ve ormana dogru kosar bir daha gelmez.", "tr"),
+        (15, "Vulpea rapida sare peste cainele lenes si alearga spre padurea pe care o stim de mult.", "ro"),
+        (16, "Nopea kettu hyppaa laiskan koiran yli ja juoksee metsaan jota emme ole koskaan nahneet.", "fi"),
     ]
     df = spark.createDataFrame(rows, "id long, text string, want string")
     got = df.select("id", "want", lang_id_chargram(F.col("text")).alias("lang")).collect()
@@ -86,14 +94,16 @@ def test_lang_id_chargram_tie_breaks_alphabetically(spark):
         lang_scores_chargram,
     )
 
-    # 'xde' -> trigrams ' xd', 'xde', 'de '; 'de ' is in both the es and
-    # fr profiles (and nothing else matches) -> exact es/fr tie at 1 hit,
-    # resolved to 'es' (alphabetically first)
-    assert "de " in CHAR_TRIGRAM_PROFILES["es"] and "de " in CHAR_TRIGRAM_PROFILES["fr"]
+    # 'xde' -> trigrams ' xd', 'xde', 'de '; 'de ' is in several profiles
+    # (da/es/fr/... but NOT the alphabetically-first de) and nothing else
+    # matches -> exact multi-way tie at 1 hit, resolved to the
+    # alphabetically-first holder, 'da'
+    assert "de " in CHAR_TRIGRAM_PROFILES["da"] and "de " in CHAR_TRIGRAM_PROFILES["es"]
+    assert "de " not in CHAR_TRIGRAM_PROFILES["de"]
     assert not any("xd" in t for p in CHAR_TRIGRAM_PROFILES.values() for t in p)
     df = spark.createDataFrame([("xde",)], "text string")
     row = df.select(lang_scores_chargram(F.col("text")).alias("s")).head()
-    assert row["s"]["lang"] == "es" and row["s"]["hits"] == 1
+    assert row["s"]["lang"] == "da" and row["s"]["hits"] == 1
 
 
 def test_lang_scores_chargram_matches_python_reference(spark):
