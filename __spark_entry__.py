@@ -1089,6 +1089,11 @@ def q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(src)
     stream = (
         spark.readStream.schema(static.schema).parquet(_stream_src_dir(src))
+        # single-file testdata arrives as ONE source split per micro-batch,
+        # which would run the per-row scorer single-threaded — same local
+        # artifact _spread() fixes for batch scans; on a real ingest the
+        # source has many splits and this shuffle is a no-op cost-wise
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
         # deterministic event time: 2024-01-01 UTC + doc_id seconds
         .withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
     )

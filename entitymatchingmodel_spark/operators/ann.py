@@ -318,14 +318,27 @@ class IVFIndex:
             k, nprobe, self.score_decimals,
         )
 
-    def save(self, path: str) -> None:
-        """Centroids + bucket-partitioned corpus + params under ``path``."""
+    def save(self, path: str, files_per_bucket: int = 1) -> None:
+        """Centroids + bucket-partitioned corpus + params under ``path``.
+
+        The corpus is pre-shuffled onto ``(bucket, salt)`` before the
+        ``partitionBy`` write: without it every write task emits one file
+        per bucket it happens to hold (tasks x nlist small files); with it
+        the file count is exactly ``nlist * files_per_bucket``.  Keep the
+        default 1 for small/medium indexes; raise ``files_per_bucket`` at
+        scale so single-bucket files stay block-sized and a one-bucket
+        probe still parallelizes across files.
+        """
         import json
 
         spark = self.cents.sparkSession
         self.cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+        salt = F.pmod(F.xxhash64("nn_id"), F.lit(files_per_bucket))
         (
-            self.assigned.write.mode("overwrite")
+            self.assigned.repartition(
+                self.nlist * files_per_bucket, F.col("bucket"), salt
+            )
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{path}/corpus.parquet")
         )

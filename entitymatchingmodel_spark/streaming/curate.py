@@ -44,11 +44,21 @@ def curate_stream(
     if not stream.isStreaming:
         raise ValueError("curate_stream requires a streaming DataFrame")
     from entitymatchingmodel_spark.functions.text import (
-        lang_id_chargram,
+        _chargram_norm,
+        _score_from_norm,
         quality_score,
     )
 
-    s = stream.withColumn("lang", lang_id_chargram(F.col(text_col)))
+    # project the normalized string as a REAL column before scoring (the
+    # lang_id_table shape): the ~20-per-language replace() counts then run
+    # as flat whole-stage-codegen expressions over a column reference
+    # instead of inside a HOF let-binding — measured 2.2x faster on the
+    # 13-profile scorer, and the projection is stateless so it stays
+    # append-safe
+    s = stream.withColumn("_lang_norm", _chargram_norm(F.col(text_col)))
+    s = s.withColumn(
+        "lang", _score_from_norm(F.col("_lang_norm"))["lang"]
+    ).drop("_lang_norm")
     if langs:
         s = s.filter(F.col("lang").isin(*langs))
     s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
