@@ -309,7 +309,30 @@ _LANG_PHRASES = [
     "le renard rapide et les chiens paresseux sont dans la maison que nous avons",  # fr
     "el zorro rapido y los perros estan en la casa que tenemos del campo",  # es
     "la volpe veloce che corre nella casa della citta con il cane di padrone",  # it
+    # r7: one phrase per new profile so the contract row witnesses all 13
+    # languages (accent-free ascii — the normalizer maps accents to spaces)
+    "de snelle vos van een boer springt over de luie hond en het schaap van de stad",  # nl
+    "a raposa marrom rapida salta sobre o cao preguicoso e corre para o rio",  # pt
+    "den snabba raven hoppar over den lata hunden och springer till skogen",  # sv
+    "den hurtige raev hopper over den dovne hund og lober til skoven for at finde mad",  # da
+    "szybki lis skacze przez leniwego psa i biegnie do lasu ktorego nie znamy",  # pl
+    "hizli tilki tembel kopegin uzerinden atlar ve ormana dogru kosar bir daha",  # tr
+    "vulpea rapida sare peste cainele lenes si alearga spre padurea pe care o stim",  # ro
+    "nopea kettu hyppaa laiskan koiran yli ja juoksee metsaan jota emme ole nahneet",  # fi
 ]
+
+
+def _lang_phrase_case_sql() -> str:
+    """doc_id -> planted phrase, generated from _LANG_PHRASES so the
+    Spark plant and the oracle plant cannot desync on list growth."""
+    whens = "\n                          ".join(
+        f"WHEN {i} THEN '{p} '" for i, p in enumerate(_LANG_PHRASES[:-1])
+    )
+    return (
+        f"CASE doc_id % {len(_LANG_PHRASES)}\n"
+        f"                          {whens}\n"
+        f"                          ELSE '{_LANG_PHRASES[-1]} ' END"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,7 +345,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     phrase = F.element_at(
         F.array(*[F.lit(p) for p in _LANG_PHRASES]),
-        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+        (F.pmod(F.col("doc_id"), F.lit(len(_LANG_PHRASES))) + 1).cast("int"),
     )
     planted = F.concat(
         F.substring("text", 1, 120), F.lit(" "),
@@ -2385,13 +2408,7 @@ _ORACLE = {
         WITH d AS (
           SELECT doc_id,
                  substring(text, 1, 120) || ' ' ||
-                 repeat(CASE doc_id % 5
-                          WHEN 0 THEN '{_LANG_PHRASES[0]} '
-                          WHEN 1 THEN '{_LANG_PHRASES[1]} '
-                          WHEN 2 THEN '{_LANG_PHRASES[2]} '
-                          WHEN 3 THEN '{_LANG_PHRASES[3]} '
-                          ELSE '{_LANG_PHRASES[4]} '
-                        END, 3) AS text
+                 repeat({_lang_phrase_case_sql()}, 3) AS text
           FROM documents),
         n AS (SELECT doc_id,
                      ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^a-z]+', ' ', 'g')) || ' ' AS t
