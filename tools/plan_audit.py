@@ -53,7 +53,9 @@ def main() -> int:
                 # the IVF centroid assignment (corpus x nlist centroids — the
                 # build side is a bounded nlist-row broadcast, so the "nested
                 # loop" is a linear scan with nlist dot products per row).
-                if name in ("naive_pairs", "ivf_topk"):
+                # (ivf_index_topk is the same assignment plan through the
+                # index's save/load cycle)
+                if name in ("naive_pairs", "ivf_topk", "ivf_index_topk"):
                     flags.append("bounded cross-join (documented)")
                 else:
                     flags.append("NESTED-LOOP <-- FAIL")
