@@ -364,5 +364,55 @@ class IVFIndex:
             None if meta["score_decimals"] is None else int(meta["score_decimals"]),
         )
 
+    def add(self, new_vectors: DataFrame, id_col: str, vec_col: str) -> "IVFIndex":
+        """Index with ``new_vectors`` assigned to the EXISTING centroids
+        and unioned into the corpus — the incremental-ingest posture: a
+        daily embedding batch joins the index without re-clustering or
+        touching the already-assigned corpus.
+
+        Centroids are frozen, so recall degrades if the new data's
+        distribution drifts from the build-time corpus; rebuild when it
+        does.  Ids are NOT checked for collisions with the existing
+        corpus (same precondition as ``build``); duplicate ids yield
+        duplicate candidates in ``search`` output.
+        """
+        extra = _assign_corpus(
+            new_vectors, self.cents, id_col, vec_col, self.score_decimals
+        )
+        return IVFIndex(
+            self.cents, self.assigned.unionByName(extra),
+            self.nlist, self.seed, self.score_decimals,
+        )
+
+    def append(
+        self,
+        path: str,
+        new_vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        files_per_bucket: int = 1,
+    ) -> "IVFIndex":
+        """Assign ``new_vectors`` to this (loaded) index's centroids and
+        APPEND them to the bucket-partitioned corpus at ``path`` — only
+        the new rows are written (into their buckets' existing
+        directories), the resident corpus files are untouched, and
+        directory-level pruning keeps working on the merged layout.
+        Returns the merged in-memory index; ``load(path)`` sees the same.
+        """
+        extra = _assign_corpus(
+            new_vectors, self.cents, id_col, vec_col, self.score_decimals
+        )
+        salt = F.pmod(F.xxhash64("nn_id"), F.lit(files_per_bucket))
+        (
+            extra.repartition(self.nlist * files_per_bucket, F.col("bucket"), salt)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/corpus.parquet")
+        )
+        return IVFIndex(
+            self.cents, self.assigned.unionByName(extra),
+            self.nlist, self.seed, self.score_decimals,
+        )
+
     def unpersist(self) -> None:
         self.cents.unpersist()

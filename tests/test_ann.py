@@ -128,3 +128,72 @@ def test_loaded_index_probe_prunes_partitions(spark, tmp_path):
         assert res.count() > 0
     finally:
         loaded.unpersist()
+
+
+def test_ivf_index_add_matches_frozen_centroid_full_build(spark):
+    """Incremental ingest: build on half the corpus, add() the other half
+    — the merged index must search EXACTLY like an index whose corpus was
+    fully assigned against the SAME frozen centroids (add re-clusters
+    nothing)."""
+    from entitymatchingmodel_spark.operators.ann import IVFIndex, _assign_corpus
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IVFIndex.build(first, "vec_id", "embedding", nlist=8, score_decimals=6)
+    merged = idx.add(rest, "vec_id", "embedding")
+
+    expected = IVFIndex(
+        idx.cents,
+        _assign_corpus(emb, idx.cents, "vec_id", "embedding", 6),
+        idx.nlist, idx.seed, idx.score_decimals,
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    got = {tuple(r) for r in merged.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
+    want = {tuple(r) for r in expected.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
+    assert got == want and got
+    idx.unpersist()
+
+
+def test_ivf_index_append_persists_incrementally(spark, tmp_path):
+    """append() writes ONLY the new rows into the saved bucket layout:
+    reload sees the merged corpus, searches like the in-memory merged
+    index, and the pre-append corpus files are untouched on disk."""
+    import glob
+    import os
+
+    from entitymatchingmodel_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    idx = IVFIndex.build(first, "vec_id", "embedding", nlist=8, score_decimals=6)
+    idx.save(path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/corpus.parquet/bucket=*/*.parquet")
+    }
+    assert before
+
+    loaded = IVFIndex.load(spark, path)
+    merged = loaded.append(path, rest, "vec_id", "embedding")
+
+    after = set(glob.glob(f"{path}/corpus.parquet/bucket=*/*.parquet"))
+    assert set(before) <= after, "append must not rewrite resident files"
+    assert len(after) > len(before), "append must add new files"
+    for f, mt in before.items():
+        assert os.path.getmtime(f) == mt, f"resident file rewritten: {f}"
+
+    reloaded = IVFIndex.load(spark, path)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = {tuple(r) for r in reloaded.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
+    want = {tuple(r) for r in merged.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
+    assert got == want and got
+    # every non-zero-norm vector (zero vectors are dropped by the
+    # normalizer) is assigned exactly once across build + append
+    n_nonzero = emb.filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
+    ).count()
+    assert reloaded.assigned.count() == n_nonzero
+    idx.unpersist(); loaded.unpersist(); reloaded.unpersist()
