@@ -325,21 +325,26 @@ _LANG_PHRASES = [
 def _lang_phrase_case_sql() -> str:
     """doc_id -> planted phrase, generated from _LANG_PHRASES so the
     Spark plant and the oracle plant cannot desync on list growth."""
+    def lit(p: str) -> str:  # SQL-escape: a phrase with an apostrophe
+        return "'" + p.replace("'", "''") + " '"
+
     whens = "\n                          ".join(
-        f"WHEN {i} THEN '{p} '" for i, p in enumerate(_LANG_PHRASES[:-1])
+        f"WHEN {i} THEN {lit(p)}" for i, p in enumerate(_LANG_PHRASES[:-1])
     )
     return (
         f"CASE doc_id % {len(_LANG_PHRASES)}\n"
         f"                          {whens}\n"
-        f"                          ELSE '{_LANG_PHRASES[-1]} ' END"
+        f"                          ELSE {lit(_LANG_PHRASES[-1])} END"
     )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language identification (Cavnar-Trenkle-style profile
     scorer, pure expressions): each document carries a planted language
-    phrase chosen by doc_id % 5; the scorer must be engine-deterministic
-    (hits + n_trigrams oracle-checked, not just the argmax label)."""
+    phrase chosen by doc_id % len(_LANG_PHRASES) — one phrase per
+    profiled language, so every profile is driver-witnessed; the scorer
+    must be engine-deterministic (hits + n_trigrams oracle-checked, not
+    just the argmax label)."""
     from entitymatchingmodel_spark.functions.text import lang_id_table
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
@@ -911,10 +916,19 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix.save(path)
     for h in handles:  # build-side centroid cache dies with the save
         h.unpersist()
-    loaded = IVFIndex.load(spark, path)  # nlist-row centroid persist only
-    return loaded.search(
+    load_handles: list = []
+    loaded = IVFIndex.load(spark, path, persist_handles=load_handles)
+    result = loaded.search(
         emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, nprobe=4
     )
+    # release the load-side centroid cache too: this function runs once
+    # per bench repeat / correctness pass, so a dropped handle would leak
+    # one cached nlist-row table per call for the session's lifetime.
+    # The returned plan stays valid — it re-reads the tiny centroid
+    # parquet instead of the cache when executed.
+    for h in load_handles:
+        h.unpersist()
+    return result
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,10 +1115,15 @@ def q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Which PHYSICAL row survives a duplicate group is arrival-order
     dependent, so the output projects only columns CONSTANT within a
-    group (content_hash, lang, quality — duplicates share the text) —
-    the result set is deterministic while the operator under test is the
-    real streaming dedup.  Event time is synthesized per doc_id (the
-    documents table carries no timestamp; the watermark needs one)."""
+    group: content_hash, and lang (the trigram normalizer collapses the
+    same trim/lower variations the content hash does, so lang cannot
+    differ within a hash group).  quality is NOT projected — it is
+    computed on the RAW text, so whitespace-variant duplicates could
+    carry different quality values and the surviving one would be
+    arrival-order dependent.  The quality FILTER itself is fine: both
+    engines apply it per raw row before dedup.  Event time is
+    synthesized per doc_id (the documents table carries no timestamp;
+    the watermark needs one)."""
     from entitymatchingmodel_spark.streaming.curate import curate_stream
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1127,7 +1146,7 @@ def q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_stream_to_memory(
         spark, curated, "q_streaming_curation_sink", "append"
     )
-    return out.select("content_hash", "lang", F.round("quality", 6).alias("quality"))
+    return out.select("content_hash", "lang")
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,9 +1608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "curation_pipeline": q_curation_pipeline,
-        # --- tier 4: stable (green r06) ---
+        # r7 substantive changes: 6 new trigram profiles + 13-phrase
+        # planting (lang_id), ~90 new suffix terms (lef_match)
         "lang_id": q_lang_id,
         "lef_match": q_lef_match,
+        # --- tier 4: stable (green r06) ---
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
@@ -2579,8 +2600,7 @@ _ORACLE = {
                           / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
               FROM tok)
         SELECT DISTINCT md5(trim(lower(text))) AS content_hash,
-               'en' AS lang,
-               quality
+               'en' AS lang
         FROM q WHERE quality >= 0.5
     """,
     # mirrors duplicate_window_stats + the query's deterministic shared

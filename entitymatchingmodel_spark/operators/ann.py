@@ -217,10 +217,13 @@ def _assign_corpus(
     score_decimals: int | None,
 ) -> DataFrame:
     """(bucket, nn_id, _cv): every corpus vector unit-normalized and
-    assigned to its nearest centroid bucket."""
+    assigned to its nearest centroid bucket.  Zero-norm vectors (NULL
+    after normalization — cosine undefined) are DROPPED, matching the
+    brute-force path's NaN filtering; without this they'd be assigned to
+    an arbitrary bucket and surface as NULL-score candidates."""
     c = _l2_normalize(
         corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv")), "_cv"
-    )
+    ).filter(F.col("_cv").isNotNull())
     return _nearest_centroids(c, cents, "nn_id", "_cv", 1, "bucket", score_decimals)
 
 
@@ -236,7 +239,7 @@ def _probe_search(
 ) -> DataFrame:
     q = _l2_normalize(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")), "_qv"
-    )
+    ).filter(F.col("_qv").isNotNull())  # zero-norm query: cosine undefined
     q_probed = _nearest_centroids(q, cents, "qid", "_qv", nprobe, "bucket", score_decimals)
     scored = q_probed.join(c_assigned, "bucket").select(
         "qid",
@@ -333,15 +336,7 @@ class IVFIndex:
 
         spark = self.cents.sparkSession
         self.cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
-        salt = F.pmod(F.xxhash64("nn_id"), F.lit(files_per_bucket))
-        (
-            self.assigned.repartition(
-                self.nlist * files_per_bucket, F.col("bucket"), salt
-            )
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/corpus.parquet")
-        )
+        self._write_corpus(self.assigned, path, "overwrite", files_per_bucket)
         meta = json.dumps(
             {"nlist": self.nlist, "seed": self.seed,
              "score_decimals": self.score_decimals}
@@ -402,16 +397,25 @@ class IVFIndex:
         extra = _assign_corpus(
             new_vectors, self.cents, id_col, vec_col, self.score_decimals
         )
-        salt = F.pmod(F.xxhash64("nn_id"), F.lit(files_per_bucket))
-        (
-            extra.repartition(self.nlist * files_per_bucket, F.col("bucket"), salt)
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(f"{path}/corpus.parquet")
-        )
+        self._write_corpus(extra, path, "append", files_per_bucket)
         return IVFIndex(
             self.cents, self.assigned.unionByName(extra),
             self.nlist, self.seed, self.score_decimals,
+        )
+
+    def _write_corpus(
+        self, df: DataFrame, path: str, mode: str, files_per_bucket: int
+    ) -> None:
+        """Bucket-partitioned corpus write, shared by save/append so the
+        small-files countermeasure cannot drift between them: pre-shuffle
+        onto (bucket, salt) so the file count is exactly nlist *
+        files_per_bucket instead of one file per (task, bucket)."""
+        salt = F.pmod(F.xxhash64("nn_id"), F.lit(files_per_bucket))
+        (
+            df.repartition(self.nlist * files_per_bucket, F.col("bucket"), salt)
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(f"{path}/corpus.parquet")
         )
 
     def unpersist(self) -> None:

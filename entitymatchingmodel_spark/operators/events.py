@@ -401,9 +401,20 @@ def interval_join(
                 f"interval_join(how='left') requires distinct non-key column "
                 f"names; rename {sorted(clash)} on one side"
             )
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
-        maps = [f.name for f in points.schema.fields if isinstance(f.dataType, MapType)]
+        def _contains_map(dt) -> bool:
+            # exceptAll rejects maps ANYWHERE in the type, including
+            # nested inside structs/arrays — walk the whole type tree
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _contains_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_contains_map(f.dataType) for f in dt.fields)
+            return False
+
+        maps = [f.name for f in points.schema.fields if _contains_map(f.dataType)]
         if maps:
             # the unmatched complement runs exceptAll over the point
             # columns, and Spark set operations reject MapType — fail

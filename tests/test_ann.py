@@ -190,10 +190,35 @@ def test_ivf_index_append_persists_incrementally(spark, tmp_path):
     got = {tuple(r) for r in reloaded.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
     want = {tuple(r) for r in merged.search(q, "vec_id", "embedding", k=5, nprobe=3).collect()}
     assert got == want and got
-    # every non-zero-norm vector (zero vectors are dropped by the
-    # normalizer) is assigned exactly once across build + append
+    # every non-zero-norm vector (zero vectors are dropped by the corpus
+    # assignment — pinned in test_ivf_drops_zero_norm_vectors) is
+    # assigned exactly once across build + append
     n_nonzero = emb.filter(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
     ).count()
     assert reloaded.assigned.count() == n_nonzero
     idx.unpersist(); loaded.unpersist(); reloaded.unpersist()
+
+
+def test_ivf_drops_zero_norm_vectors(spark):
+    """Zero-norm vectors have no cosine: the IVF corpus assignment DROPS
+    them (they must not be assigned to an arbitrary bucket and surface as
+    NULL-score candidates), and a zero-norm QUERY row yields no output —
+    mirroring the brute-force path's NaN filtering."""
+    from entitymatchingmodel_spark.operators.ann import IVFIndex
+
+    rows = [(i, [float(i % 3 + 1), float(i % 5)]) for i in range(1, 21)]
+    rows += [(98, [0.0, 0.0]), (99, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex.build(emb, "vec_id", "embedding", nlist=4, score_decimals=6)
+    try:
+        assert idx.assigned.count() == 20  # the two zero vectors dropped
+        res = idx.search(emb, "vec_id", "embedding", k=3, nprobe=2)
+        got = res.collect()
+        qids = {r["qid"] for r in got}
+        nn = {r["nn_id"] for r in got}
+        assert 98 not in qids and 99 not in qids  # zero queries: no rows
+        assert 98 not in nn and 99 not in nn      # never a neighbour
+        assert all(r["score"] is not None for r in got)
+    finally:
+        idx.unpersist()
