@@ -231,6 +231,21 @@ def test_interval_join_matches_bruteforce_random(spark):
         }
         assert got == want, bm
 
+    # how='left' on the same random data: matched pairs identical, plus
+    # exactly one NULL-interval row per point with no containing interval
+    # (multiset semantics — a point matched by N intervals appears N times)
+    matched_pids = {p for p, _ in want}
+    want_left = want | {(p, None) for p, _, _ in points if p not in matched_pids}
+    for bm in (None, 60):
+        rows = interval_join(pdf, idf, "k", "ts", "s", "e",
+                             bucket_minutes=bm, how="left").collect()
+        got_left = {(r["pid"], r["iv"]) for r in rows}
+        assert got_left == want_left, bm
+        assert len(rows) == len(want) + (len(points) - len(matched_pids)), bm
+        for r in rows:
+            if r["iv"] is None:
+                assert r["s"] is None and r["e"] is None
+
 
 def test_prefix_sum_validate_rejects_duplicate_keys(spark):
     from entitymatchingmodel_spark.functions.sampling import (
