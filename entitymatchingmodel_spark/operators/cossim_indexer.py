@@ -6,7 +6,7 @@ matrix to the driver, broadcasts it, and runs a C++ sparse-matmul kernel inside
 :295-318, 645-675).  That design caps GT size at driver/executor memory and
 bypasses Catalyst entirely.
 
-This engine expresses the same *exact* top-k cosine join behind TWO
+This engine expresses the same top-k cosine join behind THREE
 interchangeable physical strategies (SURVEY.md §2.5 J1, §7 item 4):
 
 strategy='inverted' (default) — pure Catalyst:
@@ -31,7 +31,15 @@ scored by a vectorized scatter-add kernel with top-k + threshold pushdown —
 zero shuffles in transform, one pass over the names.  Executor memory bound:
 postings (nnz x 12B) + one dense float64 accumulator of |GT| per task.
 Right when GT fits in memory and names >> GT; 'inverted' is the path past
-that.  Both strategies produce identical results (oracle-verified).
+that.  Both produce identical results (oracle-verified).
+
+strategy='lsh' — MinHash-LSH candidate pruning before the exact rescore
+(SURVEY §7's "optional later" approxSimilarityJoin alternative): band-
+bucket join over signatures of the two token SETS generates candidate
+pairs, then only those pairs are scored — exact cosine on a recall-
+bounded candidate set, with the join space bounded by band buckets
+instead of token postings.  The path for corpora where even max_df_frac
+pruning leaves the token join too hot.
 """
 
 from __future__ import annotations
@@ -49,6 +57,51 @@ def first_char_block(c: Column) -> Column:
     return F.substring(F.regexp_replace(c, "\\s", ""), 1, 1)
 
 
+def _lsh_band_keys(
+    w: DataFrame, id_col: str, num_hashes: int, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bkey) from a long-form token-weight frame: MinHash
+    signature over each id's TOKEN SET (binary tf-idf emits one row per
+    (id, token), so the frame already is the set), banded with the same
+    signature/band construction as the document LSH (operators/dedup.py
+    minhash_signatures / minhash_lsh_pairs — shared md5_int base hash and
+    xor-shift-multiply permutation family, so the DuckDB oracle for one
+    is the oracle for the other).  Ids with zero tokens have no rows here
+    and therefore no candidates — same outcome as the inverted strategy,
+    where no tokens means no postings."""
+    from entitymatchingmodel_spark.operators.dedup import _hash_family, md5_int
+
+    hv = w.select(F.col(id_col), md5_int(F.col("token")).alias("_h"))
+    mins = hv.groupBy(id_col).agg(
+        *[
+            F.min(_hash_family(F.col("_h"), i)).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"_m{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
 class CosSimIndexerModel:
     def __init__(
         self,
@@ -60,6 +113,9 @@ class CosSimIndexerModel:
         input_col: str,
         score_decimals: int | None = None,
         strategy: str = "inverted",
+        lsh_num_hashes: int = 32,
+        lsh_bands: int = 8,
+        lsh_rows_per_band: int = 4,
     ):
         self.tfidf = tfidf
         self.gt_weights = gt_weights
@@ -69,7 +125,11 @@ class CosSimIndexerModel:
         self.input_col = input_col
         self.score_decimals = score_decimals
         self.strategy = strategy
+        self.lsh_num_hashes = lsh_num_hashes
+        self.lsh_bands = lsh_bands
+        self.lsh_rows_per_band = lsh_rows_per_band
         self._bc = None  # lazy broadcast kernel state
+        self._lsh_caches: list = []  # names-side weight persists (lsh path)
 
     def unpersist(self) -> None:
         """Release cached index state — persisted GT weights/vocab and the
@@ -81,6 +141,9 @@ class CosSimIndexerModel:
         if self._bc is not None:
             self._bc.unpersist()
             self._bc = None
+        for h in self._lsh_caches:
+            h.unpersist()
+        self._lsh_caches.clear()
 
     def bucketize(self, table_name: str, buckets: int = 64) -> "CosSimIndexerModel":
         """Persist the GT inverted index as a token-bucketed table and use it.
@@ -196,19 +259,10 @@ class CosSimIndexerModel:
             kernel, schema=f"{S.UID} long, gt_uid long, score double, rank int"
         )
 
-    def transform(self, names: DataFrame) -> DataFrame:
-        """names (uid, preprocessed, ...) -> (uid, gt_uid, score, rank)."""
-        if self.strategy == "broadcast":
-            return self._transform_broadcast(names)
-        q = self.tfidf.transform(names, S.UID)
-        join_keys = ["token"]
-        if self.blocking_func is not None:
-            blocks = names.select(
-                S.UID, self.blocking_func(F.col(self.input_col)).alias("block")
-            )
-            q = q.join(blocks, S.UID)
-            join_keys = ["token", "block"]
-        pairs = q.join(self.gt_weights, join_keys)
+    def _score_topk(self, pairs: DataFrame) -> DataFrame:
+        """(uid, gt_uid, weight, gt_weight) rows -> scored top-k — the
+        shared tail of the inverted and lsh strategies, so rounding /
+        threshold / tie-break rules cannot drift between them."""
         score = F.sum(F.col("weight") * F.col("gt_weight"))
         if self.score_decimals is not None:
             # Round BEFORE threshold/rank (ref rounds before ranking, SURVEY
@@ -230,6 +284,63 @@ class CosSimIndexerModel:
                 F.col("rank").cast("int").alias("rank"),
             )
         )
+
+    def _transform_lsh(self, names: DataFrame) -> DataFrame:
+        """LSH candidate pruning before the exact rescore (SURVEY §7's
+        'optional later' approxSimilarityJoin alternative): band-bucket
+        join of MinHash signatures over the two token SETS generates
+        candidate (uid, gt_uid) pairs, then ONLY those pairs get the
+        exact cosine score — same rounding/threshold/tie rules as the
+        other strategies.
+
+        Scale shape: the inverted strategy's join space is the token
+        postings product, which hot tokens inflate quadratically (bounded
+        today by max_df_frac pruning); here the join space is band-bucket
+        sized — the classic LSH trade-off.  Output is EXACT cosine on a
+        RECALL-BOUNDED candidate set: pairs whose token sets share no
+        band are missed (probability (1 - j^r)^b for Jaccard j), so this
+        is the approximate physical strategy while 'inverted' and
+        'broadcast' stay exact.  The names-side weights feed both the
+        signature and the rescore, so they are persisted for the
+        transform's lifetime (released by unpersist())."""
+        if self.blocking_func is not None:
+            raise ValueError(
+                "blocking_func composes with the 'inverted' strategy only; "
+                "LSH banding is itself the candidate-pruning mechanism"
+            )
+        q = self.tfidf.transform(names, S.UID).persist()
+        self._lsh_caches.append(q)
+        qb = _lsh_band_keys(
+            q, S.UID, self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band
+        )
+        gb = _lsh_band_keys(
+            self.gt_weights, "gt_uid",
+            self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band,
+        )
+        cands = (
+            qb.join(gb, ["band", "bkey"])
+            .select(S.UID, "gt_uid")
+            .dropDuplicates([S.UID, "gt_uid"])
+        )
+        pairs = cands.join(q, S.UID).join(self.gt_weights, ["gt_uid", "token"])
+        return self._score_topk(pairs)
+
+    def transform(self, names: DataFrame) -> DataFrame:
+        """names (uid, preprocessed, ...) -> (uid, gt_uid, score, rank)."""
+        if self.strategy == "broadcast":
+            return self._transform_broadcast(names)
+        if self.strategy == "lsh":
+            return self._transform_lsh(names)
+        q = self.tfidf.transform(names, S.UID)
+        join_keys = ["token"]
+        if self.blocking_func is not None:
+            blocks = names.select(
+                S.UID, self.blocking_func(F.col(self.input_col)).alias("block")
+            )
+            q = q.join(blocks, S.UID)
+            join_keys = ["token", "block"]
+        pairs = q.join(self.gt_weights, join_keys)
+        return self._score_topk(pairs)
 
 
 class CosSimIndexer:
@@ -253,8 +364,11 @@ class CosSimIndexer:
         max_df_frac: float | None = None,
         score_decimals: int | None = None,
         strategy: str = "inverted",
+        lsh_num_hashes: int = 32,
+        lsh_bands: int = 8,
+        lsh_rows_per_band: int = 4,
     ):
-        if strategy not in ("inverted", "broadcast"):
+        if strategy not in ("inverted", "broadcast", "lsh"):
             raise ValueError(f"unknown strategy {strategy!r}")
         self.tokenizer = tokenizer
         self.ngram = ngram
@@ -267,6 +381,9 @@ class CosSimIndexer:
         self.max_df_frac = max_df_frac
         self.score_decimals = score_decimals
         self.strategy = strategy
+        self.lsh_num_hashes = lsh_num_hashes
+        self.lsh_bands = lsh_bands
+        self.lsh_rows_per_band = lsh_rows_per_band
 
     def fit(self, gt: DataFrame) -> CosSimIndexerModel:
         vec = TfIdfVectorizer(
@@ -298,4 +415,7 @@ class CosSimIndexer:
             input_col=self.input_col,
             score_decimals=self.score_decimals,
             strategy=self.strategy,
+            lsh_num_hashes=self.lsh_num_hashes,
+            lsh_bands=self.lsh_bands,
+            lsh_rows_per_band=self.lsh_rows_per_band,
         )

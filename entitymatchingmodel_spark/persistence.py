@@ -101,6 +101,8 @@ def save_model(em: SparkEntityMatching, path: str,
                 "input_col": model.input_col,
                 "score_decimals": model.score_decimals,
                 "strategy": model.strategy,
+                "lsh": [model.lsh_num_hashes, model.lsh_bands,
+                        model.lsh_rows_per_band],
                 "blocking": indexers_meta[i]["spec"].get("blocking_func"),
                 "tfidf": {
                     "n_docs": t.n_docs,
@@ -240,6 +242,8 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
                 input_col=m["input_col"],
                 score_decimals=m.get("score_decimals"),
                 strategy=m.get("strategy", "inverted"),
+                **dict(zip(("lsh_num_hashes", "lsh_bands", "lsh_rows_per_band"),
+                           m.get("lsh", (32, 8, 4)))),
             )
         elif m["kind"] == "sni":
             model = SNIIndexerModel(

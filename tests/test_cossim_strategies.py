@@ -60,3 +60,77 @@ def test_broadcast_rejects_blocking(spark, data):
 def test_invalid_strategy(spark):
     with pytest.raises(ValueError, match="strategy"):
         CosSimIndexer(strategy="magic")
+
+
+def test_lsh_subset_of_inverted_with_exact_scores(spark, data):
+    """The lsh strategy returns EXACT cosine scores on a candidate SUBSET:
+    every (uid, gt_uid) it emits must appear in the exhaustive inverted
+    output with the identical score, and identical-token-set pairs (all
+    bands shared) are guaranteed candidates, so a name equal to a GT name
+    must keep its rank-1 score-1 match."""
+    gt, names = data
+    kw = dict(tokenizer="words", ngram=1, k=3, lower_bound=0.05, score_decimals=6)
+    inv = CosSimIndexer(strategy="inverted", **kw).fit(gt)
+    lsh = CosSimIndexer(strategy="lsh", **kw).fit(gt)
+
+    inv_scores = {(u, g): s for u, g, s, _ in _collect(inv, names)}
+    got = _collect(lsh, names)
+    assert got  # non-empty
+    for u, g, s, _ in got:
+        assert (u, g) in inv_scores, (u, g)
+        assert s == inv_scores[(u, g)], (u, g)
+
+    # exact-name probe: identical token set => identical signature =>
+    # every band collides => candidate guaranteed; exact rescore gives 1.0
+    exact = spark.createDataFrame([(200, "microsoft corp")],
+                                  "uid long, preprocessed string")
+    top = lsh.transform(exact).filter(F.col("rank") == 1).collect()
+    assert len(top) == 1 and top[0]["gt_uid"] == 2 and top[0]["score"] == 1.0
+    inv.unpersist(); lsh.unpersist()
+
+
+def test_lsh_rejects_blocking(spark, data):
+    gt, names = data
+    m = CosSimIndexer(strategy="lsh", blocking_func=first_char_block).fit(gt)
+    with pytest.raises(ValueError, match="pruning mechanism"):
+        m.transform(names)
+    m.unpersist()
+
+
+def test_lsh_strategy_persistence_roundtrip(spark, tmp_path):
+    """An 'lsh'-strategy model round-trips through save/load with its
+    banding parameters and produces identical results after reload."""
+    from entitymatchingmodel_spark import SparkEntityMatching, load_model, save_model
+
+    gt = spark.createDataFrame(
+        [(1, "Apple Inc."), (2, "Microsoft Corp."), (3, "Alphabet B.V."),
+         (4, "Amazon Ltd"), (5, "Netflix N.V.")],
+        "id long, name string",
+    )
+    names = spark.createDataFrame(
+        [(101, "apple"), (102, "microsof corp"), (103, "netflx nv")],
+        "id long, name string",
+    )
+    em = SparkEntityMatching(indexers=[{
+        "type": "cosine_similarity", "tokenizer": "words", "ngram": 1,
+        "num_candidates": 3, "cos_sim_lower_bound": 0.05,
+        "strategy": "lsh", "lsh_bands": 8, "lsh_rows_per_band": 4,
+    }])
+    em.fit(gt)
+
+    def canon(df):
+        # unmatched names survive the left-outer rejoin with NULL scores
+        return sorted(
+            (r["uid"], r["gt_uid"],
+             None if r["score_0"] is None else round(r["score_0"], 6))
+            for r in df.select("uid", "gt_uid", "score_0").collect()
+        )
+
+    want = canon(em.transform(names))
+    path = str(tmp_path / "lsh_model")
+    save_model(em, path)
+    em2 = load_model(spark, path)
+    m2 = list(em2.indexer_models_.values())[0]
+    assert m2.strategy == "lsh" and m2.lsh_bands == 8 and m2.lsh_rows_per_band == 4
+    got = canon(em2.transform(names))
+    assert got == want and got
