@@ -129,7 +129,8 @@ class CosSimIndexerModel:
         self.lsh_bands = lsh_bands
         self.lsh_rows_per_band = lsh_rows_per_band
         self._bc = None  # lazy broadcast kernel state
-        self._lsh_caches: list = []  # names-side weight persists (lsh path)
+        self._gt_bands = None  # lazy GT band-key table (lsh path)
+        self._lsh_caches: list = []  # lsh-path persists (names weights, GT bands)
 
     def unpersist(self) -> None:
         """Release cached index state — persisted GT weights/vocab and the
@@ -144,6 +145,7 @@ class CosSimIndexerModel:
         for h in self._lsh_caches:
             h.unpersist()
         self._lsh_caches.clear()
+        self._gt_bands = None
 
     def bucketize(self, table_name: str, buckets: int = 64) -> "CosSimIndexerModel":
         """Persist the GT inverted index as a token-bucketed table and use it.
@@ -313,10 +315,16 @@ class CosSimIndexerModel:
         qb = _lsh_band_keys(
             q, S.UID, self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band
         )
-        gb = _lsh_band_keys(
-            self.gt_weights, "gt_uid",
-            self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band,
-        )
+        if self._gt_bands is None:
+            # the GT side is static per fitted model: compute its band keys
+            # once and persist (fit-once/query-many, like the broadcast
+            # kernel's lazy state); released by unpersist()
+            self._gt_bands = _lsh_band_keys(
+                self.gt_weights, "gt_uid",
+                self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band,
+            ).persist()
+            self._lsh_caches.append(self._gt_bands)
+        gb = self._gt_bands
         cands = (
             qb.join(gb, ["band", "bkey"])
             .select(S.UID, "gt_uid")
