@@ -961,6 +961,29 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# kmeans_clusters contract parameters — the oracle SQL is GENERATED from
+# these same constants (_kmeans_oracle_sql below), so query and oracle
+# cannot desync.
+_KM_K = 8
+_KM_ITER = 2
+_KM_DEC = 6
+_KM_SEED = 42
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the embeddings table (Lloyd,
+    md5-sample init shared with ivf_topk, round-before-rank at every
+    assignment and on every centroid coordinate) — fully deterministic,
+    so the unrolled-iteration DuckDB oracle is EXACT."""
+    from entitymatchingmodel_spark.operators.clustering import kmeans_clusters
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return kmeans_clusters(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED,
+        score_decimals=_KM_DEC, cent_decimals=_KM_DEC,
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a proper timestamp column.
 
@@ -1631,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join_left": q_events_interval_join_left,
         "ivf_index_topk": q_ivf_index_topk,
         "streaming_curation": q_streaming_curation,
+        "kmeans_clusters": q_kmeans_clusters,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -3133,6 +3157,64 @@ _ORACLE = {
 # parameters (tests/test_ann.py), so the persistence-cycle contract row
 # shares ivf_topk's EXACT oracle verbatim.
 _ORACLE["ivf_index_topk"] = _ORACLE["ivf_topk"]
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, dec: int, seed: int) -> str:
+    """Unrolled-iteration spherical k-means oracle, GENERATED from the same
+    constants as q_kmeans_clusters (one fragment per Lloyd step) so query
+    and oracle cannot desync.  Mirrors operators/clustering.py exactly:
+    md5-ordered init over the VALID unit vectors (salt 'km<seed>'; unlike
+    ivf's raw-corpus sample, zero-norm rows can't occupy an init slot),
+    round-before-rank dots,
+    per-coordinate rounded means, renormalize-and-round, empty/zero-norm
+    clusters keep the previous centroid."""
+    parts = [f"""
+        WITH eu AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        un AS (
+          SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vu
+          FROM eu WHERE list_dot_product(v, v) > 0
+        ),
+        ch AS (
+          SELECT vec_id, CAST(concat('0x', substring(md5(concat_ws('|', 'km{seed}',
+                   CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+          FROM un
+        ),
+        cr AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM ch),
+        cent0 AS (SELECT cr.rn - 1 AS cent_id,
+                         list_transform(u.vu, x -> round(x, {dec})) AS cu
+                  FROM cr JOIN un u USING (vec_id) WHERE cr.rn <= {k})"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        a{i} AS (SELECT vec_id, cent_id FROM (
+            SELECT u.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY u.vec_id
+                     ORDER BY round(list_dot_product(u.vu, c.cu), {dec}) DESC, c.cent_id) AS r
+            FROM un u CROSS JOIN cent{i - 1} c) WHERE r = 1),
+        e{i} AS (SELECT a.cent_id, u.vu,
+                        unnest(generate_series(1, len(u.vu))) AS pos
+                 FROM a{i} a JOIN un u USING (vec_id)),
+        m{i} AS (SELECT cent_id, pos, round(avg(vu[CAST(pos AS INT)]), {dec}) AS mv
+                 FROM e{i} GROUP BY cent_id, pos),
+        v{i} AS (SELECT cent_id, list(mv ORDER BY pos) AS m FROM m{i} GROUP BY cent_id),
+        cent{i} AS (SELECT c.cent_id,
+                      CASE WHEN v.m IS NOT NULL AND list_dot_product(v.m, v.m) > 0
+                           THEN list_transform(v.m, x -> round(x / sqrt(list_dot_product(v.m, v.m)), {dec}))
+                           ELSE c.cu END AS cu
+                    FROM cent{i - 1} c LEFT JOIN v{i} v USING (cent_id))""")
+    parts.append(f"""
+        SELECT vec_id, CAST(cent_id AS INT) AS cluster, score FROM (
+            SELECT u.vec_id, c.cent_id,
+                   round(list_dot_product(u.vu, c.cu), {dec}) AS score,
+                   row_number() OVER (PARTITION BY u.vec_id
+                     ORDER BY round(list_dot_product(u.vu, c.cu), {dec}) DESC, c.cent_id) AS r
+            FROM un u CROSS JOIN cent{n_iter} c) WHERE r = 1""")
+    return "".join(parts)
+
+
+_ORACLE["kmeans_clusters"] = _kmeans_oracle_sql(_KM_K, _KM_ITER, _KM_DEC, _KM_SEED)
 
 
 def oracle_sql() -> dict[str, str]:

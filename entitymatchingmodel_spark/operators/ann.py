@@ -195,6 +195,7 @@ def _nearest_centroids(
     n: int,
     out: str,
     score_decimals: int | None,
+    score_col: str | None = None,
 ) -> DataFrame:
     scored = df.crossJoin(F.broadcast(cents)).withColumn(
         "_cs", _maybe_round(_dot(F.col(vcol), F.col("_cent")), score_decimals)
@@ -202,10 +203,11 @@ def _nearest_centroids(
     # Partition the top-n window by the row id, not the vector payload —
     # hashing a float array per row as a shuffle key is pure waste.
     w = Window.partitionBy(id_c).orderBy(F.desc("_cs"), F.asc("cent_id"))
+    extra = [F.col("_cs").alias(score_col)] if score_col is not None else []
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n)
-        .select(*df.columns, F.col("cent_id").alias(out))
+        .select(*df.columns, F.col("cent_id").alias(out), *extra)
     )
 
 

@@ -1,0 +1,215 @@
+"""Distributed spherical k-means over an embedding column.
+
+The training-data curation primitive behind SemDeDup-style pruning and
+cluster-balanced sampling (PAPERS.md: SemDeDup, D4): cluster document
+embeddings once, then sample / prune / cap per cluster.  The reference
+engine (ing-bank/EntityMatchingModel) has no clustering operator — this
+is part of the beyond-reference LLM-pipeline surface, same family as
+``operators/dedup.py::semantic_dedup``.
+
+Scale shape (pure DataFrame ops, nothing on the driver):
+
+- **assignment** is a ``crossJoin`` against the broadcast k-row centroid
+  table — one linear corpus scan with k dot products per row (the same
+  documented bounded nested-loop as ``ann.ivf_topk``; see
+  tools/plan_audit.py), NOT a quadratic pair join.
+- **update** is ``posexplode`` -> ``groupBy(cluster, pos).avg`` — the
+  partial aggregate combines map-side, so the shuffle carries at most
+  ``k * dim`` rows per input partition regardless of corpus size.
+- each iteration's k-row centroid table is ``localCheckpoint``-ed:
+  iteration t+1's plan does not replay iterations 1..t every time the
+  centroids are referenced, and the lineage stays O(1) in ``n_iter``
+  (the same pattern as ``dedup.dup_clusters``).
+
+One Lloyd iteration therefore costs one corpus scan + one bounded
+shuffle — the plan a 1000-executor cluster wants at 100 TB.
+
+Determinism / oracle posture: init = the md5-ordered deterministic
+sample shared with ``ivf_topk`` (functions/sampling.py ``_unit_hash``),
+every cosine is rounded BEFORE its rank window, and every centroid
+coordinate is rounded after the mean and after re-normalization
+(round-before-rank, SURVEY.md §4 X15) — so the whole iteration is
+engine-portable and hash-exact against an unrolled SQL oracle
+(``__spark_entry__.py`` generates it from the same constants).
+
+Semantics (documented precisely because the oracle unrolls them):
+
+1. inputs are L2-normalized; zero-norm / NULL vectors are dropped
+   (cosine undefined — same rule as ``ann``).
+2. ``centroids_0`` = md5-ordered sample of k VALID unit vectors (the
+   sample is taken after the zero-norm/NULL filter, so all k init slots
+   are real), coordinates rounded to ``cent_decimals``.
+3. each iteration: assign every vector to the centroid with the highest
+   rounded dot product (ties -> lowest ``cent_id``); new centroid =
+   per-coordinate mean of its members rounded to ``cent_decimals``,
+   then re-normalized and rounded again.  A cluster with no members
+   (or a zero-norm mean) keeps its previous centroid.
+4. output = the assignment against the FINAL centroids:
+   ``(id_col, cluster int, score double)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.ann import (
+    _dot,
+    _l2_normalize,
+    _maybe_round,
+    _nearest_centroids,
+)
+
+
+def _round_vec(c: Column, decimals: int | None) -> Column:
+    if decimals is None:
+        return c
+    return F.transform(c, lambda x: F.round(x, decimals))
+
+
+def _unit_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return _l2_normalize(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+    ).filter(F.col("_v").isNotNull())
+
+
+def _init_centroids(
+    un: DataFrame, k: int, seed: int, cent_decimals: int | None
+) -> DataFrame:
+    """md5-ordered deterministic sample of k VALID unit vectors.
+
+    Unlike ``ann._build_centroids`` (which hash-ranks the raw corpus, so a
+    zero-norm row in the sample becomes a dead NULL centroid — harmless
+    for IVF bucket pruning, pinned by its oracle), k-means samples AFTER
+    the zero-norm/NULL filter: every one of the k init slots is a real
+    centroid, so junk embeddings can never silently reduce k."""
+    from entitymatchingmodel_spark.functions.sampling import _unit_hash
+
+    wc = Window.orderBy(F.col("_h"), F.col("_id"))
+    return (
+        un.withColumn("_h", _unit_hash(F.col("_id"), f"km{seed}"))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .withColumn("cent_id", F.row_number().over(wc) - 1)
+        .select("cent_id", _round_vec(F.col("_v"), cent_decimals).alias("_cent"))
+    )
+
+
+def _lloyd_update(
+    un: DataFrame,
+    cents: DataFrame,
+    score_decimals: int | None,
+    cent_decimals: int | None,
+) -> DataFrame:
+    """One Lloyd step: assign -> per-coordinate mean -> renormalize.
+
+    Empty clusters (and zero-norm means) keep the previous centroid, so
+    the centroid table stays exactly k rows every iteration.
+    """
+    assigned = _nearest_centroids(un, cents, "_id", "_v", 1, "cluster", score_decimals)
+    mean = (
+        assigned.select("cluster", F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy("cluster", "_pos")
+        .agg(_maybe_round(F.avg("_val"), cent_decimals).alias("_mv"))
+    )
+    # rebuild the mean vector ordered by coordinate: struct sort orders by
+    # the first field (_pos), deterministic regardless of partitioning
+    mvec = mean.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_mv"))), lambda s: s["_mv"]
+        ).alias("_m")
+    )
+    return (
+        cents.join(mvec.withColumnRenamed("cluster", "cent_id"), "cent_id", "left")
+        # stage the squared norm once; a nested norm inside transform()
+        # would re-evaluate per element
+        .withColumn("_n2", _dot(F.col("_m"), F.col("_m")))
+        .select(
+            "cent_id",
+            F.coalesce(
+                F.when(
+                    F.col("_n2") > 0,
+                    _round_vec(
+                        F.transform(F.col("_m"), lambda x: x / F.sqrt(F.col("_n2"))),
+                        cent_decimals,
+                    ),
+                ),
+                F.col("_cent"),
+            ).alias("_cent"),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    seed: int = 42,
+    score_decimals: int | None = None,
+    cent_decimals: int | None = None,
+    persist_handles: list | None = None,
+) -> DataFrame:
+    """Fit spherical k-means; return the final ``(cent_id, _cent)`` table.
+
+    The returned table is ``localCheckpoint``-ed (k rows, materialized) —
+    reuse it across many :func:`kmeans_assign` calls without re-running
+    the iterations.  Pass ``persist_handles`` (module-wide convention) to
+    also keep the unit-normalized input cached across the ``n_iter``
+    assignment scans; without it each scan re-reads + re-normalizes the
+    source (documented trade-off, no cache leak).
+    """
+    un = _unit_frame(df, id_col, vec_col)
+    if persist_handles is not None:
+        un = un.persist()
+        persist_handles.append(un)
+    cents = _init_centroids(un, k, seed, cent_decimals)
+    for _ in range(n_iter):
+        cents = _lloyd_update(un, cents, score_decimals, cent_decimals).localCheckpoint()
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid:
+    ``(id_col, cluster int, score double)``.  ``centroids`` is a
+    ``(cent_id, _cent)`` table from :func:`kmeans_fit` (unit vectors)."""
+    un = _unit_frame(df, id_col, vec_col)
+    out = _nearest_centroids(
+        un, centroids, "_id", "_v", 1, "cluster", score_decimals, score_col="score"
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    seed: int = 42,
+    score_decimals: int | None = None,
+    cent_decimals: int | None = None,
+    persist_handles: list | None = None,
+) -> DataFrame:
+    """One-call fit + assign: ``(id_col, cluster int, score double)``.
+
+    ``score`` is the (rounded) cosine of the row against its final
+    centroid.  Zero-norm / NULL vectors are dropped.  See the module
+    docstring for the exact iteration semantics and the scale shape.
+    """
+    cents = kmeans_fit(
+        df, id_col, vec_col, k, n_iter, seed,
+        score_decimals, cent_decimals, persist_handles,
+    )
+    return kmeans_assign(df, cents, id_col, vec_col, score_decimals)

@@ -1,0 +1,176 @@
+"""Unit tests for distributed spherical k-means (operators/clustering.py).
+
+The semantics under test are the oracle-pinned ones documented in the
+module docstring: md5-sample init, rounded-dot assignment with lowest-id
+tie-break, rounded means, renormalize-and-round, empty clusters keep the
+previous centroid, zero-norm rows dropped.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_clusters,
+    kmeans_fit,
+)
+
+_HASH_SPACE = float(16 ** 7)
+
+
+def _unit_hash(key, seed=42):
+    """Pure-python mirror of functions/sampling._unit_hash with the km salt."""
+    h = hashlib.md5(f"km{seed}|{key}".encode()).hexdigest()[:7]
+    return int(h, 16) / _HASH_SPACE
+
+
+def _py_kmeans(rows, k, n_iter, dec=6, seed=42):
+    """Quadratic pure-python mirror of the documented iteration semantics."""
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return None if n == 0 else [x / n for x in v]
+
+    un = {i: unit(v) for i, v in rows if v is not None and unit(v) is not None}
+    order = sorted(un, key=lambda i: (_unit_hash(i, seed), i))[:k]
+    cents = {c: [round(x, dec) for x in un[i]] for c, i in enumerate(order)}
+
+    def assign(cents):
+        out = {}
+        for i, v in un.items():
+            scored = sorted(
+                ((round(sum(a * b for a, b in zip(v, cu)), dec), c)
+                 for c, cu in cents.items()),
+                key=lambda t: (-t[0], t[1]),
+            )
+            out[i] = (scored[0][1], scored[0][0])
+        return out
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        new = {}
+        for c, cu in cents.items():
+            members = [un[i] for i, (ci, _) in a.items() if ci == c]
+            if not members:
+                new[c] = cu
+                continue
+            m = [round(sum(col) / len(col), dec)
+                 for col in zip(*members)]
+            n2 = sum(x * x for x in m)
+            if n2 <= 0:
+                new[c] = cu
+            else:
+                n = math.sqrt(n2)
+                new[c] = [round(x / n, dec) for x in m]
+        cents = new
+    return assign(cents)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # three well-separated directions plus a zero vector
+    rows = [
+        (1, [1.0, 0.05, 0.0]),
+        (2, [1.0, -0.05, 0.0]),
+        (3, [0.95, 0.0, 0.1]),
+        (4, [0.0, 1.0, 0.05]),
+        (5, [0.05, 1.0, 0.0]),
+        (6, [0.0, 0.95, -0.05]),
+        (7, [0.0, 0.05, 1.0]),
+        (8, [-0.05, 0.0, 1.0]),
+        (9, [0.0, 0.0, 0.0]),  # zero-norm: dropped
+        (10, None),  # NULL vector: dropped
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_matches_pure_python_reference(blobs):
+    rows = [(r["vec_id"], r["embedding"]) for r in blobs.collect()]
+    expect = _py_kmeans(rows, k=3, n_iter=2)
+    got = {
+        r["vec_id"]: (r["cluster"], r["score"])
+        for r in kmeans_clusters(
+            blobs, "vec_id", "embedding", k=3, n_iter=2,
+            score_decimals=6, cent_decimals=6,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_drops_zero_and_null_vectors(blobs):
+    out = kmeans_clusters(blobs, "vec_id", "embedding", k=2, n_iter=1,
+                          score_decimals=6, cent_decimals=6)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 9 not in ids and 10 not in ids
+    assert len(ids) == 8
+
+
+def test_partition_invariance(blobs):
+    base = kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=2,
+                           score_decimals=6, cent_decimals=6)
+    spread = kmeans_clusters(blobs.repartition(7), "vec_id", "embedding",
+                             k=3, n_iter=2, score_decimals=6, cent_decimals=6)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, spread.collect()))
+
+
+def test_well_separated_blobs_converge(blobs):
+    # seed 0 inits one centroid per blob (k-means is init-sensitive; the
+    # default seed lands three centroids in one blob and settles in a
+    # different — also legitimate — local optimum)
+    out = kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=3, seed=0,
+                          score_decimals=6, cent_decimals=6).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r["cluster"], set()).add(r["vec_id"])
+    # the three direction blobs must land in three distinct clusters
+    assert sorted(map(sorted, groups.values())) == [[1, 2, 3], [4, 5, 6], [7, 8]]
+    # every row scores close to its own centroid
+    assert all(r["score"] > 0.9 for r in out)
+
+
+def test_lloyd_fixed_point(blobs):
+    # on well-separated blobs the assignment stabilizes: one more
+    # iteration must not move any row
+    a = kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=3, seed=0,
+                        score_decimals=6, cent_decimals=6)
+    b = kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=4, seed=0,
+                        score_decimals=6, cent_decimals=6)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over two identical vectors + one other: init picks duplicate
+    # directions, ties go to the lowest cent_id, so one centroid ends
+    # empty — the operator must still emit exactly k centroid rows and
+    # every input row exactly once.
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, "vec_id", "embedding", k=3, n_iter=2,
+                       score_decimals=6, cent_decimals=6)
+    assert cents.count() == 3
+    out = kmeans_assign(df, cents, "vec_id", "embedding", score_decimals=6)
+    assert out.count() == 3
+    assert {r["vec_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_fit_once_assign_many(blobs):
+    handles: list = []
+    cents = kmeans_fit(blobs, "vec_id", "embedding", k=3, n_iter=2,
+                       score_decimals=6, cent_decimals=6,
+                       persist_handles=handles)
+    one = kmeans_assign(blobs, cents, "vec_id", "embedding", score_decimals=6)
+    two = kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=2,
+                          score_decimals=6, cent_decimals=6)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+    for h in handles:
+        h.unpersist()
+
+
+def test_output_schema(blobs):
+    out = kmeans_clusters(blobs, "vec_id", "embedding", k=2, n_iter=1)
+    assert out.schema.simpleString() == (
+        "struct<vec_id:bigint,cluster:int,score:double>"
+    )

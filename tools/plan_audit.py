@@ -55,7 +55,10 @@ def main() -> int:
                 # loop" is a linear scan with nlist dot products per row).
                 # (ivf_index_topk is the same assignment plan through the
                 # index's save/load cycle)
-                if name in ("naive_pairs", "ivf_topk", "ivf_index_topk"):
+                # (kmeans_clusters assigns through the same bounded k-row
+                # broadcast — linear scan, k dots per row)
+                if name in ("naive_pairs", "ivf_topk", "ivf_index_topk",
+                            "kmeans_clusters"):
                     flags.append("bounded cross-join (documented)")
                 else:
                     flags.append("NESTED-LOOP <-- FAIL")
