@@ -984,6 +984,28 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cap for the cluster_balanced_sample contract row (k-means params are
+# shared with q_kmeans_clusters; at sf0.01 every cluster holds ~55-80
+# rows, so a cap of 40 bites every cluster without emptying any)
+_KM_CAP = 40
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterClip/D4-style semantic rebalancing: k-means the embeddings,
+    then keep at most _KM_CAP rows per cluster by deterministic hash
+    rank — composition of two exact primitives, EXACT oracle."""
+    from entitymatchingmodel_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return cluster_balanced_sample(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+        max_per_cluster=_KM_CAP, seed=_KM_SEED,
+        score_decimals=_KM_DEC, cent_decimals=_KM_DEC,
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a proper timestamp column.
 
@@ -1655,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         "streaming_curation": q_streaming_curation,
         "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -3215,6 +3238,22 @@ def _kmeans_oracle_sql(k: int, n_iter: int, dec: int, seed: int) -> str:
 
 
 _ORACLE["kmeans_clusters"] = _kmeans_oracle_sql(_KM_K, _KM_ITER, _KM_DEC, _KM_SEED)
+
+# cluster_balanced_sample = the SAME generated k-means oracle with the
+# per_group_cap hash-rank membership on top (md5 'cap|id' rank within
+# cluster — the same formula as the source_cap oracle).
+_ORACLE["cluster_balanced_sample"] = f"""
+    SELECT vec_id, cluster, score FROM (
+      SELECT vec_id, cluster, score,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY CAST(CAST(concat('0x', substring(md5(concat_ws('|',
+                        'cap', CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT)
+                        AS DOUBLE) / 268435456.0 ASC,
+                        vec_id ASC) AS rn
+      FROM ({_ORACLE["kmeans_clusters"]}) base)
+    WHERE rn <= {_KM_CAP}
+"""
 
 
 def oracle_sql() -> dict[str, str]:

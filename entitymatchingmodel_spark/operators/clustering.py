@@ -213,3 +213,44 @@ def kmeans_clusters(
         score_decimals, cent_decimals, persist_handles,
     )
     return kmeans_assign(df, cents, id_col, vec_col, score_decimals)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    max_per_cluster: int = 1000,
+    seed: int = 42,
+    score_decimals: int | None = None,
+    cent_decimals: int | None = None,
+    salt: str = "cap",
+    validate: bool = False,
+    persist_handles: list | None = None,
+) -> DataFrame:
+    """ClusterClip / D4-style semantic rebalancing: spherical k-means over
+    the embedding column, then keep at most ``max_per_cluster`` rows per
+    cluster (deterministic hash-rank membership) — caps over-dense
+    semantic regions of a corpus without touching the long tail, the
+    embedding-space twin of the per-domain :func:`...sampling.per_group_cap`.
+
+    Pure composition of two already-exact primitives, so it inherits both
+    scale shapes: one corpus scan + bounded shuffle per Lloyd iteration,
+    then the skew-proof two-phase cap rank on the cluster id.  Output =
+    ``(id_col, cluster int, score double)`` for the kept rows.
+
+    ``id_col`` must be UNIQUE for a stable cap boundary (same contract as
+    ``per_group_cap``); ``validate=True`` enforces it with one extra
+    aggregate.
+    """
+    from entitymatchingmodel_spark.functions.sampling import per_group_cap
+
+    clusters = kmeans_clusters(
+        df, id_col, vec_col, k, n_iter, seed,
+        score_decimals, cent_decimals, persist_handles,
+    )
+    return per_group_cap(
+        clusters, id_col, "cluster", max_per_cluster, salt=salt,
+        validate=validate,
+    )

@@ -169,6 +169,33 @@ def test_fit_once_assign_many(blobs):
         h.unpersist()
 
 
+def test_cluster_balanced_sample_caps_each_cluster(blobs):
+    from entitymatchingmodel_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+
+    full = kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=2, seed=0,
+                           score_decimals=6, cent_decimals=6)
+    capped = cluster_balanced_sample(
+        blobs, "vec_id", "embedding", k=3, n_iter=2, seed=0,
+        max_per_cluster=2, score_decimals=6, cent_decimals=6,
+    )
+    sizes = {r["cluster"]: r["n"] for r in
+             capped.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 2 for n in sizes.values())
+    # kept rows are a subset of the full assignment, cluster/score intact
+    full_map = {r["vec_id"]: (r["cluster"], r["score"]) for r in full.collect()}
+    for r in capped.collect():
+        assert full_map[r["vec_id"]] == (r["cluster"], r["score"])
+    # nested-cap property: cap(2) is a subset of cap(3)
+    wider = cluster_balanced_sample(
+        blobs, "vec_id", "embedding", k=3, n_iter=2, seed=0,
+        max_per_cluster=3, score_decimals=6, cent_decimals=6,
+    )
+    assert {r["vec_id"] for r in capped.collect()} <= {
+        r["vec_id"] for r in wider.collect()}
+
+
 def test_output_schema(blobs):
     out = kmeans_clusters(blobs, "vec_id", "embedding", k=2, n_iter=1)
     assert out.schema.simpleString() == (

@@ -58,7 +58,7 @@ def main() -> int:
                 # (kmeans_clusters assigns through the same bounded k-row
                 # broadcast — linear scan, k dots per row)
                 if name in ("naive_pairs", "ivf_topk", "ivf_index_topk",
-                            "kmeans_clusters"):
+                            "kmeans_clusters", "cluster_balanced_sample"):
                     flags.append("bounded cross-join (documented)")
                 else:
                     flags.append("NESTED-LOOP <-- FAIL")
