@@ -349,6 +349,10 @@ _LANG_PHRASES = [
     "hizli tilki tembel kopegin uzerinden atlar ve ormana dogru kosar bir daha",  # tr
     "vulpea rapida sare peste cainele lenes si alearga spre padurea pe care o stim",  # ro
     "nopea kettu hyppaa laiskan koiran yli ja juoksee metsaan jota emme ole nahneet",  # fi
+    # r7 second tranche (id/cs/hu)
+    "rubah cepat yang melompat dan berlari dengan anjing untuk pergi ke hutan yang tidak kita kenal",  # id
+    "rychla liska skace pres lineho psa a bezi do lesa ktery pro nas neni znamy a je pod kopcem",  # cs
+    "az okos roka atugrik a lusta kutya felett es nem szalad az erdobe hogy egy nap meg lassuk",  # hu
 ]
 
 
@@ -999,8 +1003,11 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    # n_iter=1: the cap composition is what this row witnesses; the
+    # iteration mechanics are already covered by kmeans_clusters (n_iter=2)
+    # and the oracle is GENERATED per iteration count, so both stay exact
     return cluster_balanced_sample(
-        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER,
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=1,
         max_per_cluster=_KM_CAP, seed=_KM_SEED,
         score_decimals=_KM_DEC, cent_decimals=_KM_DEC,
     )
@@ -1485,6 +1492,57 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-scan revenue forecast (TPC-H Q6 shape, SURVEY §2.6): every
+    predicate and the 3-column projection push down to the parquet scan
+    (PushedFilters/ReadSchema), then one map-side-combined global agg —
+    the plan where a 100 TB table costs only the pruned row groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-agg-topk (TPC-H Q3 shape, SURVEY §2.6): filtered customer dim
+    BROADCAST into the orders-lineitem shuffle join, partial-agg revenue
+    per order, global top-10 via TakeOrderedAndProject (no full sort).
+    Revenue is rounded BEFORE the rank so the top-10 set is engine-exact."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            # string, not date: pandas renders Spark DateType and DuckDB
+            # DATE differently (date object vs datetime64), which breaks
+            # the driver's value hash on type formatting alone
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """take_topn_per_group skew guard (SURVEY §2.7 W3): top-3 orders by price per customer segment."""
     orders = _t(spark, sf_dir, "orders")
@@ -1678,6 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": q_streaming_curation,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -2596,6 +2656,30 @@ _ORACLE = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
+    "tpch_q6_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q3_shipping": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
     "topn_per_group": """
         WITH j AS (
           SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -3239,9 +3323,10 @@ def _kmeans_oracle_sql(k: int, n_iter: int, dec: int, seed: int) -> str:
 
 _ORACLE["kmeans_clusters"] = _kmeans_oracle_sql(_KM_K, _KM_ITER, _KM_DEC, _KM_SEED)
 
-# cluster_balanced_sample = the SAME generated k-means oracle with the
-# per_group_cap hash-rank membership on top (md5 'cap|id' rank within
-# cluster — the same formula as the source_cap oracle).
+# cluster_balanced_sample = the generated k-means oracle (n_iter=1, see
+# q_cluster_balanced_sample) with the per_group_cap hash-rank membership
+# on top (md5 'cap|id' rank within cluster — the same formula as the
+# source_cap oracle).
 _ORACLE["cluster_balanced_sample"] = f"""
     SELECT vec_id, cluster, score FROM (
       SELECT vec_id, cluster, score,
@@ -3251,7 +3336,7 @@ _ORACLE["cluster_balanced_sample"] = f"""
                         'cap', CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT)
                         AS DOUBLE) / 268435456.0 ASC,
                         vec_id ASC) AS rn
-      FROM ({_ORACLE["kmeans_clusters"]}) base)
+      FROM ({_kmeans_oracle_sql(_KM_K, 1, _KM_DEC, _KM_SEED)}) base)
     WHERE rn <= {_KM_CAP}
 """
 

@@ -21,6 +21,10 @@ physical execution; Python UDFs appear only where a vectorized library is
 genuinely required, always Arrow-batched.
 """
 
+from entitymatchingmodel_spark.operators.clustering import (
+    cluster_balanced_sample,
+    kmeans_clusters,
+)
 from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup, semantic_dedup
 from entitymatchingmodel_spark.operators.events import scoped_conf
 from entitymatchingmodel_spark.persistence import load_model, save_model
@@ -37,5 +41,7 @@ __all__ = [
     # for first; everything else imports from its operator module)
     "fuzzy_dedup",
     "semantic_dedup",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
 ]
-__version__ = "0.6.0"
+__version__ = "0.7.0"

@@ -136,6 +136,18 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "fi": ("en ", "in ", "an ", "on ", " on", "ist", "sta", "ta ", " ja",
            "ja ", "aan", "lla", "lle", "ssa", "ksi", "sen", "ine", "tta",
            "va ", "si "),
+    # r7 second tranche (same [a-z ]-residue rule: id 'yang/dan/untuk/
+    # dengan/tidak', cs 'je/pro/na/se/-ost/-ych' ascii residue, hu 'az/
+    # egy/nem/hogy/meg/-nek')
+    "id": ("yan", "ang", "ng ", " ya", " da", "dan", "an ", "unt", "tuk",
+           "uk ", "den", "eng", "gan", "tid", "ida", "dak", " me", "men",
+           "kan", " ad"),
+    "cs": (" je", "je ", " pr", "pro", "ro ", " na", "na ", " se", "se ",
+           "ost", "st ", "ich", "eho", "ho ", " po", "pod", " ne", "ne ",
+           "em ", "ych"),
+    "hu": (" az", "az ", " eg", "egy", "gy ", " ne", "nem", "em ", "hog",
+           "ogy", " ho", "meg", " me", "eg ", "nek", "ek ", "tt ", "ett",
+           "szt", " sz"),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

@@ -98,25 +98,30 @@ def _init_centroids(
 def _lloyd_update(
     un: DataFrame,
     cents: DataFrame,
+    dim: int,
     score_decimals: int | None,
     cent_decimals: int | None,
 ) -> DataFrame:
     """One Lloyd step: assign -> per-coordinate mean -> renormalize.
 
+    The mean is ``dim`` independent ``avg(get(_v, i))`` aggregates in ONE
+    ``groupBy(cluster)`` — a single map-side-combined shuffle carrying k
+    rows per input partition, instead of the posexplode formulation's
+    n*dim exploded rows plus a second shuffle to re-assemble the vector.
+    ``F.get`` returns NULL (never throws, even under ANSI) past a ragged
+    row's end, and ``avg`` skips NULLs — so ragged inputs average each
+    coordinate over the rows that have it, exactly like posexplode would.
+
     Empty clusters (and zero-norm means) keep the previous centroid, so
     the centroid table stays exactly k rows every iteration.
     """
     assigned = _nearest_centroids(un, cents, "_id", "_v", 1, "cluster", score_decimals)
-    mean = (
-        assigned.select("cluster", F.posexplode("_v").alias("_pos", "_val"))
-        .groupBy("cluster", "_pos")
-        .agg(_maybe_round(F.avg("_val"), cent_decimals).alias("_mv"))
-    )
-    # rebuild the mean vector ordered by coordinate: struct sort orders by
-    # the first field (_pos), deterministic regardless of partitioning
-    mvec = mean.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_pos", "_mv"))), lambda s: s["_mv"]
+    mvec = assigned.groupBy("cluster").agg(
+        F.array(
+            *[
+                _maybe_round(F.avg(F.get(F.col("_v"), i)), cent_decimals)
+                for i in range(dim)
+            ]
         ).alias("_m")
     )
     return (
@@ -155,19 +160,38 @@ def kmeans_fit(
 
     The returned table is ``localCheckpoint``-ed (k rows, materialized) —
     reuse it across many :func:`kmeans_assign` calls without re-running
-    the iterations.  Pass ``persist_handles`` (module-wide convention) to
-    also keep the unit-normalized input cached across the ``n_iter``
-    assignment scans; without it each scan re-reads + re-normalizes the
-    source (documented trade-off, no cache leak).
+    the iterations.  The unit-normalized input is cached for the fit's
+    own lifetime and released on return; pass ``persist_handles``
+    (module-wide convention) to instead keep it cached for a following
+    assignment pass and release it with the rest of the job's handles.
     """
-    un = _unit_frame(df, id_col, vec_col)
+    # The unit frame is scanned n_iter + 2 times inside this function (dim
+    # probe, init sample, one assignment per iteration), and everything
+    # that outlives the function is localCheckpoint-ed — so the cache's
+    # scope can be the fit itself: persist always, release before return
+    # unless the caller asked to hold it (persist_handles) for reuse by a
+    # following assignment pass.
+    un = _unit_frame(df, id_col, vec_col).persist()
     if persist_handles is not None:
-        un = un.persist()
         persist_handles.append(un)
-    cents = _init_centroids(un, k, seed, cent_decimals)
-    for _ in range(n_iter):
-        cents = _lloyd_update(un, cents, score_decimals, cent_decimals).localCheckpoint()
-    return cents
+    try:
+        # bounded driver action (one scalar): the widest vector fixes how
+        # many per-index avg aggregates each Lloyd shuffle carries
+        dim_row = un.agg(F.max(F.size("_v")).alias("d")).first()
+        if dim_row["d"] is None:
+            raise ValueError(
+                "no valid (non-NULL, non-zero-norm) vectors to cluster"
+            )
+        dim = int(dim_row["d"])
+        cents = _init_centroids(un, k, seed, cent_decimals)
+        for _ in range(n_iter):
+            cents = _lloyd_update(
+                un, cents, dim, score_decimals, cent_decimals
+            ).localCheckpoint()
+        return cents
+    finally:
+        if persist_handles is None:
+            un.unpersist()
 
 
 def kmeans_assign(

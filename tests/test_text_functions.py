@@ -72,6 +72,10 @@ def test_lang_id_chargram_detects_planted_languages(spark):
         (14, "Hizli tilki tembel kopegin uzerinden atlar ve ormana dogru kosar bir daha gelmez.", "tr"),
         (15, "Vulpea rapida sare peste cainele lenes si alearga spre padurea pe care o stim de mult.", "ro"),
         (16, "Nopea kettu hyppaa laiskan koiran yli ja juoksee metsaan jota emme ole koskaan nahneet.", "fi"),
+        # r7 second tranche
+        (17, "Rubah cepat yang melompat dan berlari dengan anjing untuk pergi ke hutan yang tidak kita kenal.", "id"),
+        (18, "Rychla liska skace pres lineho psa a bezi do lesa ktery pro nas neni znamy a je pod kopcem.", "cs"),
+        (19, "Az okos roka atugrik a lusta kutya felett es nem szalad az erdobe hogy egy nap meg lassuk.", "hu"),
     ]
     df = spark.createDataFrame(rows, "id long, text string, want string")
     got = df.select("id", "want", lang_id_chargram(F.col("text")).alias("lang")).collect()
