@@ -768,6 +768,24 @@ LEGAL_FORM_TERMS = sorted(
         "association", "foundation", "onlus",
         "e k", "i s", "p s", "c v", "v o f", "a g", "k k", "s c", "s k a",
         "e u", "p c",
+        # r7 second tranche (public cleanco/GLEIF-style suffix forms):
+        # bare EN limited/public variants, RU/CN transliterated full forms,
+        # LatAm SA variants (PE/VE/MX), IT accomandita per azioni full, FR
+        # professional SELARL full, DE Partnerschaftsgesellschaft (+mbB),
+        # FI full oyj/partnership, TH/HK 'company limited', Gulf single-
+        # person/Kuwaiti closed forms, NO foreign-branch NUF
+        "private limited", "public limited", "limited company",
+        "company limited", "public company limited",
+        "obshchestvo s ogranichennoy otvetstvennostyu",
+        "aktsionernoye obshchestvo",
+        "youxian gongsi", "gufen youxian gongsi",
+        "sociedad anonima de capital variable", "compania anonima",
+        "sociedad anonima cerrada", "sociedad anonima abierta",
+        "societa in accomandita per azioni",
+        "societe d exercice liberal a responsabilite limitee",
+        "partnerschaftsgesellschaft", "partg mbb",
+        "julkinen osakeyhtio", "avoin yhtio",
+        "sac", "saa", "sae", "spc", "kscc", "kscp", "nuf", "partg", "c a",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -976,6 +994,25 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "c v": ["partnership"], "v o f": ["partnership"], "a g": ["public"],
     "k k": ["public"], "s c": ["partnership"], "s k a": ["partnership"],
     "e u": ["private"], "p c": ["corporation"],
+    # r7 second tranche
+    "private limited": ["limited"], "public limited": ["limited"],
+    "limited company": ["limited"], "company limited": ["limited"],
+    "public company limited": ["limited"],
+    "obshchestvo s ogranichennoy otvetstvennostyu": ["private"],
+    "aktsionernoye obshchestvo": ["public"],
+    "youxian gongsi": ["private"], "gufen youxian gongsi": ["public"],
+    "sociedad anonima de capital variable": ["corporation"],
+    "compania anonima": ["public"], "c a": ["public"],
+    "sociedad anonima cerrada": ["private"],
+    "sociedad anonima abierta": ["public"],
+    "societa in accomandita per azioni": ["partnership"],
+    "societe d exercice liberal a responsabilite limitee": ["private"],
+    "partnerschaftsgesellschaft": ["partnership"],
+    "partg": ["partnership"], "partg mbb": ["partnership"],
+    "julkinen osakeyhtio": ["public"], "avoin yhtio": ["partnership"],
+    "sac": ["private"], "saa": ["public"], "sae": ["public"],
+    "spc": ["private"], "kscc": ["private"], "kscp": ["public"],
+    "nuf": ["private"],
 }
 
 
