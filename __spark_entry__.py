@@ -1543,6 +1543,22 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact_quantiles contract constants — the oracle's VALUES list is
+# generated from the same tuple
+_QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 quantiles of lineitem prices WITHOUT a global sort
+    (distinct-value counts -> monotone range buckets -> bucketed prefix
+    sum -> rank lookup); exact because the result is a selected input
+    value, never an interpolation."""
+    from entitymatchingmodel_spark.functions.stats import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice", _QUANTILES, n_buckets=64)
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """take_topn_per_group skew guard (SURVEY §2.7 W3): top-3 orders by price per customer segment."""
     orders = _t(spark, sf_dir, "orders")
@@ -1738,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q3_shipping": q_tpch_q3_shipping,
+        "exact_quantiles": q_exact_quantiles,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -2655,6 +2672,20 @@ _ORACLE = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    # generated VALUES list: same _QUANTILES tuple as the Spark row (the
+    # f-string below); rank semantics = value at max(1, ceil(q*n)) in
+    # value order — a SELECTED element, so doubles compare bit-exact
+    "exact_quantiles": f"""
+        WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+        nn AS (SELECT count(*) AS n FROM v),
+        s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        qs(q) AS (VALUES {", ".join(f"(CAST({q} AS DOUBLE))" for q in _QUANTILES)})
+        SELECT q, min(x) AS value
+        FROM s, nn, qs
+        WHERE s.rn >= greatest(1, CAST(ceil(q * nn.n) AS BIGINT))
+        GROUP BY q
     """,
     "tpch_q6_forecast": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
