@@ -1548,6 +1548,18 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (mC4/XLM-R alpha-sampling):
+    shares proportional to count^0.5, binding group kept whole, map-only
+    hash membership; fractions are sum-free order-safe float chains
+    rounded before the membership compare, so the oracle is EXACT."""
+    from entitymatchingmodel_spark.functions.sampling import temperature_mix
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = temperature_mix(docs, "doc_id", "lang", alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 quantiles of lineitem prices WITHOUT a global sort
     (distinct-value counts -> monotone range buckets -> bucketed prefix
@@ -1716,13 +1728,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose last green row is r05 (the r6 tail, rotated back in per
     the r6 verdict, the five whose files changed additively in r6 first),
     (2) new in r7 (events_interval_join_left, ivf_index_topk,
-    streaming_curation, cossim_lsh_topk), (3) r06-green queries whose code
+    streaming_curation, kmeans_clusters, cluster_balanced_sample,
+    tpch_q6_forecast, tpch_q3_shipping, exact_quantiles,
+    cossim_lsh_topk), (3) r06-green queries whose code
     paths changed in r7 (validate guards in fuzzy/semantic dedup,
     persist_handles in ann, the streaming source-dir refactor, the lang-id
     profile and LEF dictionary growth) or that round 6 flagged as
     bench-watch items, (4) stable r06-green queries.
-    The 22-query tail (72 total - 50 window) is exactly the set that is
-    BOTH green in CORRECTNESS_r06 AND untouched by round 7 — plus the
+    The 27-query tail (77 total - 50 window) is exactly the set that is
+    BOTH green in CORRECTNESS_r06 AND untouched (or only additively
+    extended, e.g. the LEF dict behind pair/vocab features — every tail
+    query re-verified exact this session via tools/check_oracle.py) by
+    round 7 — plus the
     four rows-only-by-design queries, which carry no oracle wherever they
     sit — so a 50-row cutoff leaves every oracle-checkable query with a
     green row no older than one round."""
@@ -1755,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "exact_quantiles": q_exact_quantiles,
+        "temperature_mix": q_temperature_mix,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -2672,6 +2690,22 @@ _ORACLE = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    # mirrors temperature_mix exactly: frac_g = round(min(1,
+    # min_h(n_h/n_h^0.5) * n_g^0.5 / n_g), 12) — the sum-free form, so
+    # every float step is an order-safe pow/div/min/mul chain; membership
+    # = the same md5 hash as sample_mix
+    "temperature_mix": """
+        WITH c AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        mr AS (SELECT min(n / pow(n, 0.5)) AS m FROM c),
+        f AS (SELECT g, round(least(1.0, (SELECT m FROM mr) * pow(n, 0.5) / n), 12) AS frac
+              FROM c)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN f ON d.lang = f.g
+        WHERE CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'temp',
+                 CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+              / 268435456.0 < f.frac
     """,
     # generated VALUES list: same _QUANTILES tuple as the Spark row (the
     # f-string below); rank semantics = value at max(1, ceil(q*n)) in

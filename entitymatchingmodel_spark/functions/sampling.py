@@ -338,6 +338,54 @@ def sample_to_mix(
     return df.filter(_unit_hash(F.col(key_col), salt) < frac)
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float,
+    salt: str = "temp",
+    frac_decimals: int = 12,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the mC4/XLM-R multilingual
+    'sampling with exponent alpha' primitive): the target share of group
+    g is proportional to ``count_g ** alpha``.  ``alpha=1`` keeps the
+    natural distribution (every fraction is 1); ``alpha=0`` equalizes
+    groups; ``0 < alpha < 1`` upweights the tail by DOWNSAMPLING the
+    head.  No group is ever upsampled — the binding group (smallest
+    count/target ratio) is kept whole, exactly like
+    :func:`sample_to_mix`, whose scale shape this shares: one bounded
+    count aggregate (n_groups rows to the driver), then a map-only
+    hash-membership filter.
+
+    Exactness posture: the per-group fraction is computed WITHOUT a
+    normalizing sum — ``frac_g = min(1, min_h(n_h / n_h**alpha) *
+    n_g**alpha / n_g)`` (the share denominator cancels algebraically) —
+    so every float step is an order-safe pow/div/min/mul chain both
+    engines evaluate identically; the fraction is then rounded to
+    ``frac_decimals`` BEFORE the membership compare (round-before-rank,
+    SURVEY §4 X15), so a last-ulp wobble can never flip a row across the
+    hash boundary.  Rows with a NULL group are dropped.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["g"] is not None and r["n"] > 0
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    min_ratio = min(n / n**alpha for n in counts.values())
+    frac = F.lit(0.0)
+    for g in sorted(counts):
+        n = counts[g]
+        f = round(min(1.0, min_ratio * n**alpha / n), frac_decimals)
+        frac = F.when(F.col(group_col) == g, F.lit(f)).otherwise(frac)
+    return df.filter(_unit_hash(F.col(key_col), salt) < frac)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

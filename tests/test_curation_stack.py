@@ -164,6 +164,58 @@ def test_sample_to_mix_binding_group_and_shares(spark):
         sample_to_mix(df, "id", "grp", {"a": -1.0})
 
 
+def test_temperature_mix_membership_matches_python_mirror(spark):
+    """Exact membership: the kept set equals a pure-python replay of the
+    documented sum-free fraction formula + md5 membership."""
+    import hashlib
+
+    from entitymatchingmodel_spark.functions.sampling import temperature_mix
+
+    rows = (
+        [(i, "a") for i in range(900)]
+        + [(2000 + i, "b") for i in range(100)]
+        + [(4000 + i, "c") for i in range(400)]
+        + [(9000, None)]  # NULL group: dropped
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    alpha = 0.5
+    counts = {"a": 900, "b": 100, "c": 400}
+    min_ratio = min(n / n**alpha for n in counts.values())
+    fracs = {g: round(min(1.0, min_ratio * n**alpha / n), 12)
+             for g, n in counts.items()}
+
+    def h(key):
+        return int(hashlib.md5(f"temp|{key}".encode()).hexdigest()[:7], 16) / 16**7
+
+    expect = {i for i, g in rows if g is not None and h(i) < fracs[g]}
+    got = {r["id"] for r in temperature_mix(df, "id", "grp", alpha).collect()}
+    assert got == expect
+    # binding group (smallest count) kept whole at alpha < 1
+    assert fracs["b"] == 1.0
+    assert sum(1 for i, g in rows if g == "b" and i in got) == 100
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    from entitymatchingmodel_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(800)] + [(9000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    # alpha=1: natural distribution — every fraction 1, everything kept
+    assert temperature_mix(df, "id", "grp", 1.0).count() == 850
+    # alpha=0: equal target shares — small binds (kept whole), big is
+    # hash-downsampled toward 50 (expected value; hash sampling)
+    out = temperature_mix(df, "id", "grp", 0.0)
+    sizes = {r["grp"]: r["n"] for r in
+             out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes["small"] == 50
+    assert abs(sizes["big"] - 50) <= 25, sizes
+    with pytest.raises(ValueError):
+        temperature_mix(df, "id", "grp", -0.1)
+    # empty / all-NULL-group input: empty result, no crash
+    empty = spark.createDataFrame([(1, None)], "id long, grp string")
+    assert temperature_mix(empty, "id", "grp", 0.5).count() == 0
+
+
 def test_per_group_cap_two_phase_equals_single_window(spark):
     """The skew-proof pre-cap must not change the result: global N
     smallest hashes per group are a subset of the per-bucket N smallest."""
