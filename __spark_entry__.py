@@ -1730,12 +1730,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) new in r7 (events_interval_join_left, ivf_index_topk,
     streaming_curation, kmeans_clusters, cluster_balanced_sample,
     tpch_q6_forecast, tpch_q3_shipping, exact_quantiles,
-    cossim_lsh_topk), (3) r06-green queries whose code
+    temperature_mix, cossim_lsh_topk), (3) r06-green queries whose code
     paths changed in r7 (validate guards in fuzzy/semantic dedup,
     persist_handles in ann, the streaming source-dir refactor, the lang-id
     profile and LEF dictionary growth) or that round 6 flagged as
     bench-watch items, (4) stable r06-green queries.
-    The 27-query tail (77 total - 50 window) is exactly the set that is
+    The 28-query tail (78 total - 50 window) is exactly the set that is
     BOTH green in CORRECTNESS_r06 AND untouched (or only additively
     extended, e.g. the LEF dict behind pair/vocab features — every tail
     query re-verified exact this session via tools/check_oracle.py) by

@@ -329,12 +329,23 @@ def sample_to_mix(
         return df.filter(F.lit(False))
     # binding group: smallest available/target ratio; kept in full
     scale = min(counts[g] / (weights[g] / total_w) for g in positive)
-    frac = F.lit(0.0)
-    for g in sorted(counts):
+    fracs = {}
+    for g in counts:
         share = weights[g] / total_w
-        target = scale * share
-        f = min(1.0, target / counts[g]) if counts[g] else 0.0
-        frac = F.when(F.col(group_col) == g, F.lit(f)).otherwise(frac)
+        fracs[g] = min(1.0, scale * share / counts[g]) if counts[g] else 0.0
+    return _group_fraction_filter(df, key_col, group_col, fracs, salt)
+
+
+def _group_fraction_filter(
+    df: DataFrame, key_col: str, group_col: str, fracs: dict, salt: str
+) -> DataFrame:
+    """Map-only membership filter shared by :func:`sample_to_mix` and
+    :func:`temperature_mix`: keep a row iff its key's unit hash is below
+    its group's fraction.  Groups absent from ``fracs`` (including NULL
+    groups) fall through to fraction 0 and are dropped."""
+    frac = F.lit(0.0)
+    for g in sorted(fracs):
+        frac = F.when(F.col(group_col) == g, F.lit(fracs[g])).otherwise(frac)
     return df.filter(_unit_hash(F.col(key_col), salt) < frac)
 
 
@@ -378,12 +389,11 @@ def temperature_mix(
     if not counts:
         return df.filter(F.lit(False))
     min_ratio = min(n / n**alpha for n in counts.values())
-    frac = F.lit(0.0)
-    for g in sorted(counts):
-        n = counts[g]
-        f = round(min(1.0, min_ratio * n**alpha / n), frac_decimals)
-        frac = F.when(F.col(group_col) == g, F.lit(f)).otherwise(frac)
-    return df.filter(_unit_hash(F.col(key_col), salt) < frac)
+    fracs = {
+        g: round(min(1.0, min_ratio * n**alpha / n), frac_decimals)
+        for g, n in counts.items()
+    }
+    return _group_fraction_filter(df, key_col, group_col, fracs, salt)
 
 
 def stratified_sample(

@@ -35,7 +35,8 @@ engine-portable and hash-exact against an unrolled SQL oracle
 Semantics (documented precisely because the oracle unrolls them):
 
 1. inputs are L2-normalized; zero-norm / NULL vectors are dropped
-   (cosine undefined — same rule as ``ann``).
+   (cosine undefined — same rule as ``ann``); mixed vector dimensions
+   are rejected with a loud ``ValueError``.
 2. ``centroids_0`` = md5-ordered sample of k VALID unit vectors (the
    sample is taken after the zero-norm/NULL filter, so all k init slots
    are real), coordinates rounded to ``cent_decimals``.
@@ -108,9 +109,9 @@ def _lloyd_update(
     ``groupBy(cluster)`` — a single map-side-combined shuffle carrying k
     rows per input partition, instead of the posexplode formulation's
     n*dim exploded rows plus a second shuffle to re-assemble the vector.
-    ``F.get`` returns NULL (never throws, even under ANSI) past a ragged
-    row's end, and ``avg`` skips NULLs — so ragged inputs average each
-    coordinate over the rows that have it, exactly like posexplode would.
+    Inputs are guaranteed uniform-dimension by :func:`kmeans_fit`'s
+    fail-fast check (mixed dimensions would NULL-poison the dot products
+    and silently freeze centroids).
 
     Empty clusters (and zero-norm means) keep the previous centroid, so
     the centroid table stays exactly k rows every iteration.
@@ -171,19 +172,36 @@ def kmeans_fit(
     # scope can be the fit itself: persist always, release before return
     # unless the caller asked to hold it (persist_handles) for reuse by a
     # following assignment pass.
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
     un = _unit_frame(df, id_col, vec_col).persist()
     if persist_handles is not None:
         persist_handles.append(un)
     try:
-        # bounded driver action (one scalar): the widest vector fixes how
-        # many per-index avg aggregates each Lloyd shuffle carries
-        dim_row = un.agg(F.max(F.size("_v")).alias("d")).first()
+        # bounded driver action (two scalars): the vector dimension fixes
+        # how many per-index avg aggregates each Lloyd shuffle carries,
+        # and mixed dimensions fail fast — a ragged corpus would
+        # NULL-poison zip_with dot products and silently freeze centroids
+        dim_row = un.agg(
+            F.max(F.size("_v")).alias("d"), F.min(F.size("_v")).alias("d0")
+        ).first()
         if dim_row["d"] is None:
             raise ValueError(
                 "no valid (non-NULL, non-zero-norm) vectors to cluster"
             )
+        if dim_row["d"] != dim_row["d0"]:
+            raise ValueError(
+                f"mixed vector dimensions ({dim_row['d0']} and {dim_row['d']}); "
+                "k-means requires a uniform-dimension embedding column"
+            )
         dim = int(dim_row["d"])
         cents = _init_centroids(un, k, seed, cent_decimals)
+        if n_iter == 0:
+            # keep the documented invariant: the returned table is always
+            # materialized + lineage-truncated
+            return cents.localCheckpoint()
         for _ in range(n_iter):
             cents = _lloyd_update(
                 un, cents, dim, score_decimals, cent_decimals

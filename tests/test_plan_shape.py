@@ -303,8 +303,10 @@ def test_tpch_q3_broadcasts_filtered_dim(spark):
     — never a shuffle of the fact side on c_custkey just to reach a
     small dim."""
     import importlib.util
+    from pathlib import Path
 
-    spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
+    entry = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("e", str(entry))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     q = mod.q_tpch_q3_shipping(spark, SF_DIR)
@@ -335,8 +337,7 @@ def test_exact_quantiles_no_global_window_or_sort(spark):
         assert "_b" in m.group(1) or "windowspecdefinition" in m.group(1), (
             "un-partitioned window in quantile plan: " + m.group(0)[:120]
         )
-    assert "Sort [_x" not in plan.replace("Sort [_x#", "Sort [_x#"), "diagnostic"
-    # global top-level sort would appear as an Exchange rangepartitioning
+    # a global top-level sort would appear as an Exchange rangepartitioning
     assert "rangepartitioning" not in plan, "global sort leaked into the quantile plan"
 
 
