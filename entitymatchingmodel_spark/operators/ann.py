@@ -303,8 +303,24 @@ class IVFIndex:
         seed: int = 42,
         score_decimals: int | None = None,
         persist_handles: list | None = None,
+        centroids: DataFrame | None = None,
     ) -> "IVFIndex":
-        cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
+        """``centroids`` (optional): a ``(cent_id, _cent)`` table of UNIT
+        vectors — e.g. :func:`...clustering.kmeans_fit`'s output — to use
+        instead of the default md5-sample.  Trained centroids are the
+        production IVF posture: Lloyd iterations balance bucket sizes, so
+        probes prune more evenly than a random sample does.  ``cent_id``
+        must be dense 0..nlist-1 ints (kmeans_fit guarantees this)."""
+        if centroids is None:
+            cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
+        else:
+            missing = {"cent_id", "_cent"} - set(centroids.columns)
+            if missing:
+                raise ValueError(
+                    f"centroids frame is missing columns {sorted(missing)}; "
+                    "expected the (cent_id, _cent) shape kmeans_fit returns"
+                )
+            cents = centroids.select("cent_id", "_cent")
         # the centroid table is tiny (nlist rows) but sits under BOTH the
         # assignment and every future probe — persist it so the sample
         # sort-limit never recomputes

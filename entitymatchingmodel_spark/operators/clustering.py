@@ -13,13 +13,16 @@ Scale shape (pure DataFrame ops, nothing on the driver):
   table — one linear corpus scan with k dot products per row (the same
   documented bounded nested-loop as ``ann.ivf_topk``; see
   tools/plan_audit.py), NOT a quadratic pair join.
-- **update** is ``posexplode`` -> ``groupBy(cluster, pos).avg`` — the
-  partial aggregate combines map-side, so the shuffle carries at most
-  ``k * dim`` rows per input partition regardless of corpus size.
-- each iteration's k-row centroid table is ``localCheckpoint``-ed:
-  iteration t+1's plan does not replay iterations 1..t every time the
-  centroids are referenced, and the lineage stays O(1) in ``n_iter``
-  (the same pattern as ``dedup.dup_clusters``).
+- **update** is ``dim`` per-index ``avg`` aggregates in ONE
+  ``groupBy(cluster)`` — the partial aggregates combine map-side, so the
+  shuffle carries k rows (each dim wide) per input partition regardless
+  of corpus size.
+- each iteration's k-row centroid table is checkpointed
+  (``localCheckpoint``, or the fault-tolerant dir with
+  ``reliable_checkpoint=True``): iteration t+1's plan does not replay
+  iterations 1..t every time the centroids are referenced, and the
+  lineage stays O(1) in ``n_iter`` (the same pattern as
+  ``dedup.dup_clusters``).
 
 One Lloyd iteration therefore costs one corpus scan + one bounded
 shuffle — the plan a 1000-executor cluster wants at 100 TB.
@@ -60,6 +63,7 @@ from entitymatchingmodel_spark.operators.ann import (
     _maybe_round,
     _nearest_centroids,
 )
+from entitymatchingmodel_spark.operators.dedup import _iter_checkpoint
 
 
 def _round_vec(c: Column, decimals: int | None) -> Column:
@@ -156,8 +160,15 @@ def kmeans_fit(
     score_decimals: int | None = None,
     cent_decimals: int | None = None,
     persist_handles: list | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Fit spherical k-means; return the final ``(cent_id, _cent)`` table.
+
+    ``reliable_checkpoint=True`` snapshots each iteration's centroids to
+    the session's fault-tolerant checkpoint dir instead of executor-local
+    storage (the same cluster-grade option as ``dedup.dup_clusters``) —
+    with ``localCheckpoint`` a lost executor kills the lineage-truncated
+    plan; requires ``setCheckpointDir`` first.
 
     The returned table is ``localCheckpoint``-ed (k rows, materialized) —
     reuse it across many :func:`kmeans_assign` calls without re-running
@@ -201,11 +212,12 @@ def kmeans_fit(
         if n_iter == 0:
             # keep the documented invariant: the returned table is always
             # materialized + lineage-truncated
-            return cents.localCheckpoint()
+            return _iter_checkpoint(cents, reliable_checkpoint)
         for _ in range(n_iter):
-            cents = _lloyd_update(
-                un, cents, dim, score_decimals, cent_decimals
-            ).localCheckpoint()
+            cents = _iter_checkpoint(
+                _lloyd_update(un, cents, dim, score_decimals, cent_decimals),
+                reliable_checkpoint,
+            )
         return cents
     finally:
         if persist_handles is None:

@@ -196,6 +196,63 @@ def test_cluster_balanced_sample_caps_each_cluster(blobs):
         r["vec_id"] for r in wider.collect()}
 
 
+def test_reliable_checkpoint_requires_dir(blobs):
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        kmeans_fit(blobs, "vec_id", "embedding", k=2, n_iter=1,
+                   reliable_checkpoint=True)
+
+
+def test_param_validation(blobs):
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_clusters(blobs, "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_clusters(blobs, "vec_id", "embedding", k=2, n_iter=-1)
+
+
+def test_mixed_dimensions_rejected(spark):
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mixed vector dimensions"):
+        kmeans_clusters(ragged, "vec_id", "embedding", k=2, n_iter=1)
+
+
+def test_n_iter_zero_returns_init_centroids(blobs):
+    cents = kmeans_fit(blobs, "vec_id", "embedding", k=3, n_iter=0,
+                       cent_decimals=6)
+    assert cents.count() == 3
+    # materialized + lineage-truncated: the plan reads an ExistingRDD
+    assert "ExistingRDD" in cents._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_index_accepts_kmeans_centroids(blobs):
+    """Trained-centroid IVF: searching an index built on kmeans_fit output
+    must equal a probe-search against those same centroids (and reject a
+    frame without the (cent_id, _cent) shape)."""
+    from entitymatchingmodel_spark.operators.ann import IVFIndex
+
+    cents = kmeans_fit(blobs, "vec_id", "embedding", k=3, n_iter=2, seed=0,
+                       score_decimals=6, cent_decimals=6)
+    handles: list = []
+    ix = IVFIndex.build(blobs, "vec_id", "embedding", nlist=3,
+                        score_decimals=6, persist_handles=handles,
+                        centroids=cents)
+    got = ix.search(blobs.filter(F.col("vec_id") <= 2), "vec_id", "embedding",
+                    k=2, nprobe=1).collect()
+    # with nprobe=1 every query's neighbours share its own kmeans cluster
+    assign = {r["vec_id"]: r["cluster"] for r in
+              kmeans_clusters(blobs, "vec_id", "embedding", k=3, n_iter=2,
+                              seed=0, score_decimals=6, cent_decimals=6).collect()}
+    for r in got:
+        assert assign[r["qid"]] == assign[r["nn_id"]], r
+    for h in handles:
+        h.unpersist()
+    with pytest.raises(ValueError, match="missing columns"):
+        IVFIndex.build(blobs, "vec_id", "embedding",
+                       centroids=blobs.select("vec_id"))
+
+
 def test_output_schema(blobs):
     out = kmeans_clusters(blobs, "vec_id", "embedding", k=2, n_iter=1)
     assert out.schema.simpleString() == (
