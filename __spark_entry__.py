@@ -1548,6 +1548,17 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (self-perplexity over the
+    documents corpus): Laplace-smoothed counts as two aggregates, scoring
+    as two left joins + one per-doc agg; avg log-prob rounded before
+    perplexity derives from it, so the oracle is EXACT."""
+    from entitymatchingmodel_spark.operators.lm import bigram_lm_scores
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return bigram_lm_scores(docs, "doc_id", "text", score_decimals=6)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture resampling (mC4/XLM-R alpha-sampling):
     shares proportional to count^0.5, binding group kept whole, map-only
@@ -1730,12 +1741,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) new in r7 (events_interval_join_left, ivf_index_topk,
     streaming_curation, kmeans_clusters, cluster_balanced_sample,
     tpch_q6_forecast, tpch_q3_shipping, exact_quantiles,
-    temperature_mix, cossim_lsh_topk), (3) r06-green queries whose code
+    temperature_mix, lm_perplexity, cossim_lsh_topk), (3) r06-green
+    queries whose code
     paths changed in r7 (validate guards in fuzzy/semantic dedup,
     persist_handles in ann, the streaming source-dir refactor, the lang-id
     profile and LEF dictionary growth) or that round 6 flagged as
     bench-watch items, (4) stable r06-green queries.
-    The 28-query tail (78 total - 50 window) is exactly the set that is
+    The 29-query tail (79 total - 50 window) is exactly the set that is
     BOTH green in CORRECTNESS_r06 AND untouched (or only additively
     extended, e.g. the LEF dict behind pair/vocab features — every tail
     query re-verified exact this session via tools/check_oracle.py) by
@@ -1773,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "exact_quantiles": q_exact_quantiles,
         "temperature_mix": q_temperature_mix,
+        "lm_perplexity": q_lm_perplexity,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -2690,6 +2703,33 @@ _ORACLE = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    # mirrors operators/lm.py exactly: same tokenization as every text
+    # oracle, Laplace a=1, V = distinct reference tokens, avg log2
+    # rounded BEFORE perplexity derives from it
+    "lm_perplexity": """
+        WITH tok AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                     FROM documents),
+        bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS i
+                     FROM tok WHERE len(toks) >= 2)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest(toks) AS t FROM tok)),
+        lp AS (SELECT b.doc_id,
+                      log2((coalesce(c12.c12, 0) + 1.0)
+                           / (coalesce(c1.c1, 0) + 1.0 * (SELECT v FROM v))) AS lp
+               FROM bg b LEFT JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2)),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+               FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               pd.avg_logp,
+               round(pow(2.0, -pd.avg_logp), 6) AS perplexity
+        FROM documents d LEFT JOIN pd USING (doc_id)
     """,
     # mirrors temperature_mix exactly: frac_g = round(min(1,
     # min_h(n_h/n_h^0.5) * n_g^0.5 / n_g), 12) — the sum-free form, so

@@ -1,0 +1,107 @@
+"""Unit tests for bigram-LM quality scoring (operators/lm.py)."""
+
+import math
+import re
+
+import pytest
+
+from entitymatchingmodel_spark.operators.lm import bigram_lm_scores
+
+
+def _toks(t):
+    return [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+
+
+def _py_scores(docs, ref, a=1.0, dec=6):
+    """Quadratic mirror of the documented Laplace-bigram semantics."""
+    c12, c1, vocab = {}, {}, set()
+    for _, t in ref:
+        ts = _toks(t)
+        vocab.update(ts)
+        for w1, w2 in zip(ts, ts[1:]):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    v = len(vocab)
+    out = {}
+    for i, t in docs:
+        bgs = list(zip(_toks(t), _toks(t)[1:]))
+        if not bgs:
+            out[i] = (0, None, None)
+            continue
+        lps = [
+            math.log2((c12.get(b, 0) + a) / (c1.get(b[0], 0) + a * v))
+            for b in bgs
+        ]
+        avg = round(sum(lps) / len(lps), dec)
+        out[i] = (len(bgs), avg, round(2.0 ** (-avg), dec))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+        (4, "one"),     # <2 tokens: NULL scores
+        (5, None),      # NULL text: NULL scores
+        (6, "the cat sat on the mat"),  # duplicate of 1: identical scores
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_matches_pure_python_reference(corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expect = _py_scores(rows, rows)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in bigram_lm_scores(corpus, "doc_id", "text", score_decimals=6).collect()
+    }
+    assert got == expect
+
+
+def test_separate_reference_corpus(spark, corpus):
+    """CCNet posture: train on a clean reference, score another corpus —
+    a doc made of bigrams the reference never saw floors at the smoothed
+    minimum, below any in-reference doc."""
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_logp"] for r in
+           bigram_lm_scores(corpus, "doc_id", "text", reference=ref,
+                            score_decimals=6).collect()}
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expect = _py_scores(rows, [(100, "the quick brown fox jumps over the lazy dog")])
+    assert out == {i: t[1] for i, t in expect.items()}
+
+
+def test_duplicate_docs_score_identically(corpus):
+    got = {r["doc_id"]: (r["avg_logp"], r["perplexity"]) for r in
+           bigram_lm_scores(corpus, "doc_id", "text", score_decimals=6).collect()}
+    assert got[1] == got[6]
+
+
+def test_short_and_null_docs_keep_rows(corpus):
+    got = {r["doc_id"]: r for r in
+           bigram_lm_scores(corpus, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for i in (4, 5):
+        assert got[i]["n_bigrams"] == 0
+        assert got[i]["avg_logp"] is None and got[i]["perplexity"] is None
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError, match="smoothing"):
+        bigram_lm_scores(corpus, "doc_id", "text", smoothing=0.0)
+    empty_ref = spark.createDataFrame([(1, "???")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        bigram_lm_scores(corpus, "doc_id", "text", reference=empty_ref)
+
+
+def test_partition_invariance(corpus):
+    a = sorted(map(tuple, bigram_lm_scores(corpus, "doc_id", "text",
+                                           score_decimals=6).collect()))
+    b = sorted(map(tuple, bigram_lm_scores(corpus.repartition(7), "doc_id",
+                                           "text", score_decimals=6).collect()))
+    assert a == b
