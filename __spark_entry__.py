@@ -1582,6 +1582,22 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(li, "l_extendedprice", _QUANTILES, n_buckets=64)
 
 
+_GQ_QUANTILES = (0.1, 0.5, 0.9, 1.0)
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p10/p50/p90/max document length per
+    source), fully in-plan — no driver state, so the group count can be
+    unbounded; distinct (group, value) counts collapse duplicates before
+    any per-group ordering."""
+    from entitymatchingmodel_spark.functions.stats import grouped_quantiles
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "source", F.length("text").cast("double").alias("text_len")
+    )
+    return grouped_quantiles(docs, "source", "text_len", _GQ_QUANTILES)
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """take_topn_per_group skew guard (SURVEY §2.7 W3): top-3 orders by price per customer segment."""
     orders = _t(spark, sf_dir, "orders")
@@ -1741,13 +1757,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) new in r7 (events_interval_join_left, ivf_index_topk,
     streaming_curation, kmeans_clusters, cluster_balanced_sample,
     tpch_q6_forecast, tpch_q3_shipping, exact_quantiles,
-    temperature_mix, lm_perplexity, cossim_lsh_topk), (3) r06-green
+    temperature_mix, lm_perplexity, grouped_quantiles, cossim_lsh_topk), (3) r06-green
     queries whose code
     paths changed in r7 (validate guards in fuzzy/semantic dedup,
     persist_handles in ann, the streaming source-dir refactor, the lang-id
     profile and LEF dictionary growth) or that round 6 flagged as
     bench-watch items, (4) stable r06-green queries.
-    The 29-query tail (79 total - 50 window) is exactly the set that is
+    The 30-query tail (80 total - 50 window) is exactly the set that is
     BOTH green in CORRECTNESS_r06 AND untouched (or only additively
     extended, e.g. the LEF dict behind pair/vocab features — every tail
     query re-verified exact this session via tools/check_oracle.py) by
@@ -1786,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "temperature_mix": q_temperature_mix,
         "lm_perplexity": q_lm_perplexity,
+        "grouped_quantiles": q_grouped_quantiles,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
@@ -2760,6 +2777,20 @@ _ORACLE = {
         FROM s, nn, qs
         WHERE s.rn >= greatest(1, CAST(ceil(q * nn.n) AS BIGINT))
         GROUP BY q
+    """,
+    # generated VALUES list from _GQ_QUANTILES; same type-1 rank
+    # semantics as exact_quantiles, per group
+    "grouped_quantiles": f"""
+        WITH v AS (SELECT source AS g, CAST(length(text) AS DOUBLE) AS x
+                   FROM documents WHERE text IS NOT NULL),
+        s AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM v),
+        qs(q) AS (VALUES {", ".join(f"(CAST({q} AS DOUBLE))" for q in _GQ_QUANTILES)})
+        SELECT g AS source, q, min(x) AS value
+        FROM s, qs
+        WHERE s.rn >= greatest(1, CAST(ceil(q * s.n) AS BIGINT))
+        GROUP BY g, q
     """,
     "tpch_q6_forecast": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

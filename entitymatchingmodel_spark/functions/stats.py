@@ -133,3 +133,77 @@ def exact_quantiles(
             # after this (cheap: one scan + one shuffle); callers that want
             # the cache to outlive the call pass persist_handles
             d.unpersist()
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact type-1 quantiles PER GROUP — "p50/p95 document length per
+    source" — one row per (group, q): ``(group_col, q double, value
+    double)``.  Same semantics as :func:`exact_quantiles` (NULL/NaN
+    ignored, q=0 min, q=1 max, result always a selected input value);
+    groups whose values are all NULL/NaN are absent from the output.
+
+    Fully in-plan (no driver state at all — group count is unbounded, so
+    nothing here may collect): distinct ``(group, value)`` counts in one
+    map-side-combined shuffle, a per-group running count ordered by
+    value, a window total per group, then each q picks ``min(v |
+    count_le(v) >= max(1, ceil(q*n_g)))`` in one aggregate.
+
+    Skew note: the running count sorts each group's DISTINCT values in
+    one task (duplicates collapse first).  That is the right trade for
+    grouped data — a per-group bucket refinement would add a shuffle per
+    group-size class; for a single giant group use
+    :func:`exact_quantiles`, whose range-bucket pass bounds every task.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    bad = [q for q in qs if not (0.0 <= q <= 1.0)]
+    if bad:
+        raise ValueError(f"quantiles must be in [0, 1]: {bad}")
+    if len(set(qs)) != len(qs):
+        raise ValueError("duplicate quantiles requested")
+
+    v = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_x")
+    ).filter(F.col("_x").isNotNull() & ~F.isnan("_x"))
+    d = v.groupBy("_g", "_x").agg(F.count("*").alias("_c"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_x").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("_g")
+    cum = d.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wall)
+    )
+    qlit = [float(q) for q in qs]
+    out = (
+        cum.groupBy("_g")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cum")
+                        >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n"))),
+                        F.col("_x"),
+                    )
+                ).alias(f"_q{i}")
+                for i, q in enumerate(qlit)
+            ]
+        )
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"_q{i}").alias("value"))
+                    for i, q in enumerate(qlit)
+                ]
+            )
+        ).alias("_s"),
+    ).select(group_col, F.col("_s.q").alias("q"), F.col("_s.value").alias("value"))

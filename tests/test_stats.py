@@ -77,6 +77,43 @@ def test_validation_errors(values, spark):
         exact_quantiles(empty, "x", (0.5,))
 
 
+def test_grouped_matches_per_group_reference(spark):
+    import random
+
+    from entitymatchingmodel_spark.functions.stats import grouped_quantiles
+
+    rng = random.Random(11)
+    rows = []
+    for g, n in (("a", 97), ("b", 4), ("c", 250)):
+        rows += [(g, round(rng.uniform(0, 50), 2)) for _ in range(n)]
+    rows += [("c", 7.5)] * 40          # heavy duplication inside one group
+    rows += [("d", None), ("d", float("nan"))]  # all-invalid group: absent
+    df = spark.createDataFrame(rows, "g string, x double")
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    got = {}
+    for r in grouped_quantiles(df.repartition(7), "g", "x", qs).collect():
+        got.setdefault(r["g"], {})[r["q"]] = r["value"]
+    by_group = {}
+    for g, x in rows:
+        if x is not None and not math.isnan(x):
+            by_group.setdefault(g, []).append(x)
+    expect = {g: _py_quantiles(vals, qs) for g, vals in by_group.items()}
+    assert got == expect
+    assert "d" not in got
+
+
+def test_grouped_validation(spark):
+    from entitymatchingmodel_spark.functions.stats import grouped_quantiles
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles(df, "g", "x", ())
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        grouped_quantiles(df, "g", "x", (2.0,))
+    with pytest.raises(ValueError, match="duplicate"):
+        grouped_quantiles(df, "g", "x", (0.5, 0.5))
+
+
 def test_persist_handles_convention(values):
     handles: list = []
     out = exact_quantiles(values, "x", (0.5,), persist_handles=handles)
