@@ -269,6 +269,62 @@ def kmeans_clusters(
     return kmeans_assign(df, cents, id_col, vec_col, score_decimals)
 
 
+def kmeans_assign_streaming(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Stateless streaming twin of :func:`kmeans_assign` — the embedding
+    router for an ingest pipeline (assign each arriving document's
+    embedding to its training-data cluster, then filter/route/cap
+    downstream).
+
+    The k-row centroid table is collected ONCE into a literal
+    array-of-structs expression (bounded driver materialization — a
+    model artifact, the same posture as ``cosine_topk``'s query matrix),
+    so assignment becomes a pure per-row projection: no join, no window,
+    no state — legal in ANY streaming plan, no watermark required, and
+    usable on batch frames too (pinned equal to :func:`kmeans_assign`
+    in tests).  Ties break to the lowest ``cent_id``, zero-norm / NULL
+    vectors are dropped — identical semantics to the batch path.
+    """
+    rows = centroids.select("cent_id", "_cent").orderBy("cent_id").collect()
+    if not rows:
+        raise ValueError("empty centroid table")
+    un = _unit_frame(df, id_col, vec_col)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).alias("c"),
+                F.array(*[F.lit(float(x)) for x in r["_cent"]]).alias("v"),
+            )
+            for r in rows
+        ]
+    )
+    # argmax via array_max over (score, -cent_id) structs: struct order
+    # compares fields left to right, so the highest score wins and a tie
+    # falls to the HIGHEST -c = lowest cent_id — the batch window's
+    # exact tie rule
+    scored = F.array_max(
+        F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                _maybe_round(_dot(F.col("_v"), s["v"]), score_decimals).alias(
+                    "score"
+                ),
+                (-s["c"]).alias("nc"),
+            ),
+        )
+    )
+    return un.select(
+        F.col("_id").alias(id_col),
+        (-scored["nc"]).cast("int").alias("cluster"),
+        scored["score"].cast("double").alias("score"),
+    )
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     id_col: str,

@@ -253,6 +253,49 @@ def test_ivf_index_accepts_kmeans_centroids(blobs):
                        centroids=blobs.select("vec_id"))
 
 
+def test_streaming_assign_matches_batch(blobs, spark, tmp_path):
+    """kmeans_assign_streaming == kmeans_assign on the same centroids —
+    checked on a batch frame AND through a real availableNow stream."""
+    from entitymatchingmodel_spark.operators.clustering import (
+        kmeans_assign_streaming,
+    )
+
+    cents = kmeans_fit(blobs, "vec_id", "embedding", k=3, n_iter=2, seed=0,
+                       score_decimals=6, cent_decimals=6)
+    batch = sorted(map(tuple, kmeans_assign(
+        blobs, cents, "vec_id", "embedding", score_decimals=6).collect()))
+    lit = sorted(map(tuple, kmeans_assign_streaming(
+        blobs, cents, "vec_id", "embedding", score_decimals=6).collect()))
+    assert lit == batch
+
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    blobs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    out = kmeans_assign_streaming(stream, cents, "vec_id", "embedding",
+                                  score_decimals=6)
+    assert out.isStreaming
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(map(tuple, got)) == batch
+
+    with pytest.raises(ValueError, match="empty centroid"):
+        kmeans_assign_streaming(blobs, cents.filter("cent_id < 0"),
+                                "vec_id", "embedding")
+
+
 def test_output_schema(blobs):
     out = kmeans_clusters(blobs, "vec_id", "embedding", k=2, n_iter=1)
     assert out.schema.simpleString() == (
