@@ -988,6 +988,38 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_stream_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding router as a CONTRACT query: fit k-means in
+    batch (identical params to kmeans_clusters), then assign the same
+    embeddings arriving as a STREAM (readStream + availableNow into a
+    memory sink — harness devices) via the stateless literal-centroid
+    projection (clustering.kmeans_assign_streaming — no join, window, or
+    state).  Stream output == batch assignment exactly, so this row
+    shares kmeans_clusters' GENERATED oracle verbatim."""
+    from entitymatchingmodel_spark.operators.clustering import (
+        kmeans_assign_streaming,
+        kmeans_fit,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED,
+        score_decimals=_KM_DEC, cent_decimals=_KM_DEC,
+    )
+    src = os.path.realpath(f"{sf_dir}/embeddings.parquet")
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema).parquet(_stream_src_dir(src))
+        # single-file testdata arrives as one split; same local artifact
+        # _spread() fixes for batch scans
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
+    out = kmeans_assign_streaming(stream, cents, "vec_id", "embedding", _KM_DEC)
+    return _run_stream_to_memory(
+        spark, out, "q_kmeans_stream_assign_sink", "append"
+    )
+
+
 # cap for the cluster_balanced_sample contract row (k-means params are
 # shared with q_kmeans_clusters; at sf0.01 every cluster holds ~55-80
 # rows, so a cap of 40 bites every cluster without emptying any)
@@ -1757,13 +1789,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) new in r7 (events_interval_join_left, ivf_index_topk,
     streaming_curation, kmeans_clusters, cluster_balanced_sample,
     tpch_q6_forecast, tpch_q3_shipping, exact_quantiles,
-    temperature_mix, lm_perplexity, grouped_quantiles, cossim_lsh_topk), (3) r06-green
+    temperature_mix, lm_perplexity, grouped_quantiles,
+    kmeans_stream_assign, cossim_lsh_topk), (3) r06-green
     queries whose code
     paths changed in r7 (validate guards in fuzzy/semantic dedup,
     persist_handles in ann, the streaming source-dir refactor, the lang-id
     profile and LEF dictionary growth) or that round 6 flagged as
     bench-watch items, (4) stable r06-green queries.
-    The 30-query tail (80 total - 50 window) is exactly the set that is
+    The 31-query tail (81 total - 50 window) is exactly the set that is
     BOTH green in CORRECTNESS_r06 AND untouched (or only additively
     extended, e.g. the LEF dict behind pair/vocab features — every tail
     query re-verified exact this session via tools/check_oracle.py) by
@@ -1797,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": q_streaming_curation,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "kmeans_stream_assign": q_kmeans_stream_assign,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "exact_quantiles": q_exact_quantiles,
@@ -3458,6 +3492,11 @@ def _kmeans_oracle_sql(k: int, n_iter: int, dec: int, seed: int) -> str:
 
 
 _ORACLE["kmeans_clusters"] = _kmeans_oracle_sql(_KM_K, _KM_ITER, _KM_DEC, _KM_SEED)
+
+# the streaming router is pinned equal to the batch assignment
+# (tests/test_clustering.py::test_streaming_assign_matches_batch), so the
+# stream contract row shares the generated batch oracle verbatim
+_ORACLE["kmeans_stream_assign"] = _ORACLE["kmeans_clusters"]
 
 # cluster_balanced_sample = the generated k-means oracle (n_iter=1, see
 # q_cluster_balanced_sample) with the per_group_cap hash-rank membership
