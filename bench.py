@@ -95,14 +95,38 @@ def main() -> None:
     timings = {name: timings[name] for name in qs}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+
+    # Output contract (round 8): the driver captures the TAIL of stdout and
+    # parses the LAST JSON line.  With 80+ per-query entries the single
+    # detail line outran that capture in round 7 (BENCH_r07.json
+    # "parsed": null), so the detail now goes on an EARLIER line plus a
+    # side file, and the LAST line is a compact, tail-capture-safe summary.
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
+                "n_queries": len(timings),
+                "queries_file": detail_path,
             }
         )
     )

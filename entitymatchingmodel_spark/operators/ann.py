@@ -299,7 +299,7 @@ class IVFIndex:
         corpus: DataFrame,
         id_col: str,
         vec_col: str,
-        nlist: int = 64,
+        nlist: int | None = None,
         seed: int = 42,
         score_decimals: int | None = None,
         persist_handles: list | None = None,
@@ -310,8 +310,15 @@ class IVFIndex:
         instead of the default md5-sample.  Trained centroids are the
         production IVF posture: Lloyd iterations balance bucket sizes, so
         probes prune more evenly than a random sample does.  ``cent_id``
-        must be dense 0..nlist-1 ints (kmeans_fit guarantees this)."""
+        must be dense 0..nlist-1 ints (kmeans_fit guarantees this).
+
+        ``nlist`` defaults to 64 without ``centroids`` and to the
+        supplied table's row count with them; passing BOTH cross-checks
+        the two (a kmeans_fit(k=32) table under a stale nlist=64 would
+        otherwise record a wrong nlist in meta.json and mis-size the
+        bucket-partitioned save — round-7 review finding)."""
         if centroids is None:
+            nlist = 64 if nlist is None else nlist
             cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
         else:
             missing = {"cent_id", "_cent"} - set(centroids.columns)
@@ -321,6 +328,19 @@ class IVFIndex:
                     "expected the (cent_id, _cent) shape kmeans_fit returns"
                 )
             cents = centroids.select("cent_id", "_cent")
+            # bounded action (the table is nlist rows by contract):
+            # reconcile the declared nlist with the actual centroid count
+            n_cents = cents.count()
+            if n_cents == 0:
+                raise ValueError("centroids frame is empty")
+            if nlist is None:
+                nlist = int(n_cents)
+            elif int(n_cents) != nlist:
+                raise ValueError(
+                    f"nlist={nlist} disagrees with the supplied centroids "
+                    f"table ({n_cents} rows); omit nlist to derive it from "
+                    "the centroids"
+                )
         # the centroid table is tiny (nlist rows) but sits under BOTH the
         # assignment and every future probe — persist it so the sample
         # sort-limit never recomputes

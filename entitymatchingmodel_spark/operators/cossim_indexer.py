@@ -57,6 +57,24 @@ def first_char_block(c: Column) -> Column:
     return F.substring(F.regexp_replace(c, "\\s", ""), 1, 1)
 
 
+def _validate_lsh_params(num_hashes: int, bands: int, rows_per_band: int) -> None:
+    """Fail fast at CONSTRUCTION on an impossible banding layout: band b
+    reads signature slots [b*rows_per_band, (b+1)*rows_per_band), so
+    bands * rows_per_band > num_hashes would otherwise surface much later
+    inside transform() as an unresolved-column `_m{i}` AnalysisException
+    (round-7 review finding)."""
+    if num_hashes < 1 or bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            "lsh_num_hashes, lsh_bands and lsh_rows_per_band must all be >= 1"
+        )
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"lsh_bands * lsh_rows_per_band ({bands} * {rows_per_band} = "
+            f"{bands * rows_per_band}) exceeds lsh_num_hashes ({num_hashes}); "
+            "each band consumes rows_per_band distinct signature slots"
+        )
+
+
 def _lsh_band_keys(
     w: DataFrame, id_col: str, num_hashes: int, bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -128,9 +146,17 @@ class CosSimIndexerModel:
         self.lsh_num_hashes = lsh_num_hashes
         self.lsh_bands = lsh_bands
         self.lsh_rows_per_band = lsh_rows_per_band
+        if strategy == "lsh":
+            _validate_lsh_params(lsh_num_hashes, lsh_bands, lsh_rows_per_band)
         self._bc = None  # lazy broadcast kernel state
         self._gt_bands = None  # lazy GT band-key table (lsh path)
-        self._lsh_caches: list = []  # lsh-path persists (names weights, GT bands)
+        # lsh path: ONE rotating slot for the current transform's
+        # names-side weight cache — each transform() releases the
+        # previous call's frame, so a fit-once/transform-many loop holds
+        # at most one names-side cache plus the static GT bands (round-7
+        # review: the old append-only list grew one persisted frame per
+        # batch for the model's lifetime).
+        self._lsh_names_cache = None
 
     def unpersist(self) -> None:
         """Release cached index state — persisted GT weights/vocab and the
@@ -142,10 +168,12 @@ class CosSimIndexerModel:
         if self._bc is not None:
             self._bc.unpersist()
             self._bc = None
-        for h in self._lsh_caches:
-            h.unpersist()
-        self._lsh_caches.clear()
-        self._gt_bands = None
+        if self._lsh_names_cache is not None:
+            self._lsh_names_cache.unpersist()
+            self._lsh_names_cache = None
+        if self._gt_bands is not None:
+            self._gt_bands.unpersist()
+            self._gt_bands = None
 
     def bucketize(self, table_name: str, buckets: int = 64) -> "CosSimIndexerModel":
         """Persist the GT inverted index as a token-bucketed table and use it.
@@ -310,8 +338,19 @@ class CosSimIndexerModel:
                 "blocking_func composes with the 'inverted' strategy only; "
                 "LSH banding is itself the candidate-pruning mechanism"
             )
+        # Rotate the names-side cache: release the PREVIOUS transform's
+        # weight frame before persisting this one (the order matters —
+        # Spark's CacheManager matches cached plans STRUCTURALLY, so for
+        # an identical names batch persist-then-unpersist would drop the
+        # shared entry), keeping a fit-once/transform-many loop at one
+        # cached names frame, not one per batch.  The previous call's
+        # returned plan stays valid — it recomputes from lineage if
+        # executed again after eviction.
+        if self._lsh_names_cache is not None:
+            self._lsh_names_cache.unpersist()
+            self._lsh_names_cache = None
         q = self.tfidf.transform(names, S.UID).persist()
-        self._lsh_caches.append(q)
+        self._lsh_names_cache = q
         qb = _lsh_band_keys(
             q, S.UID, self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band
         )
@@ -323,7 +362,6 @@ class CosSimIndexerModel:
                 self.gt_weights, "gt_uid",
                 self.lsh_num_hashes, self.lsh_bands, self.lsh_rows_per_band,
             ).persist()
-            self._lsh_caches.append(self._gt_bands)
         gb = self._gt_bands
         cands = (
             qb.join(gb, ["band", "bkey"])
@@ -378,6 +416,8 @@ class CosSimIndexer:
     ):
         if strategy not in ("inverted", "broadcast", "lsh"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if strategy == "lsh":
+            _validate_lsh_params(lsh_num_hashes, lsh_bands, lsh_rows_per_band)
         self.tokenizer = tokenizer
         self.ngram = ngram
         self.k = k

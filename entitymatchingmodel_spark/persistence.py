@@ -191,6 +191,24 @@ def _bucketed_weights(spark: SparkSession, bmeta: dict, location: str) -> DataFr
     re-shuffle it.
     """
     table = bmeta["table"]
+    if spark.catalog.tableExists(table):
+        # The catalog entry is only trustworthy if it still describes THIS
+        # model: a re-save with a different bucket_weights N, or a table
+        # left pointing at another model's files, would make Spark trust a
+        # stale bucket spec and the shuffle-free join silently wrong
+        # (round-7 review finding).  Verify location + bucket count; drop
+        # and re-create on any mismatch.
+        import os as _os
+
+        info = {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }
+        cat_loc = info.get("Location", "").removeprefix("file:")
+        same_loc = _os.path.realpath(cat_loc) == _os.path.realpath(location)
+        same_buckets = info.get("Num Buckets") == str(int(bmeta["n_buckets"]))
+        if not (same_loc and same_buckets):
+            spark.sql(f"DROP TABLE {table}")
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(location).schema
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)

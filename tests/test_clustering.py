@@ -253,6 +253,24 @@ def test_ivf_index_accepts_kmeans_centroids(blobs):
                        centroids=blobs.select("vec_id"))
 
 
+def test_ivf_nlist_reconciled_with_centroids(blobs):
+    """nlist is DERIVED from a supplied centroid table (round-7 review:
+    a stale nlist argument silently mis-described the saved index) and a
+    contradictory explicit nlist raises."""
+    from entitymatchingmodel_spark.operators.ann import IVFIndex
+
+    cents = kmeans_fit(blobs, "vec_id", "embedding", k=3, n_iter=1, seed=0,
+                       score_decimals=6, cent_decimals=6)
+    ix = IVFIndex.build(blobs, "vec_id", "embedding", centroids=cents)
+    assert ix.nlist == 3
+    with pytest.raises(ValueError, match="disagrees"):
+        IVFIndex.build(blobs, "vec_id", "embedding", nlist=64, centroids=cents)
+    with pytest.raises(ValueError, match="empty"):
+        IVFIndex.build(blobs, "vec_id", "embedding",
+                       centroids=cents.filter("cent_id < 0"))
+    ix.unpersist()
+
+
 def test_streaming_assign_matches_batch(blobs, spark, tmp_path):
     """kmeans_assign_streaming == kmeans_assign on the same centroids —
     checked on a batch frame AND through a real availableNow stream."""

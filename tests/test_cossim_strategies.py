@@ -89,6 +89,52 @@ def test_lsh_subset_of_inverted_with_exact_scores(spark, data):
     inv.unpersist(); lsh.unpersist()
 
 
+def test_lsh_transform_cache_does_not_grow(spark, data):
+    """Fit-once/transform-many on one 'lsh' model must NOT accumulate
+    cached names-side frames: the model rotates a single names-cache slot
+    (plus the static GT bands), so the JVM storage-block count after
+    transform N equals the count after transform 1 (round-7 review: the
+    old append-only list leaked one persisted frame per batch)."""
+    gt, names = data
+    kw = dict(tokenizer="words", ngram=1, k=3, lower_bound=0.05, score_decimals=6)
+    spark.catalog.clearCache()
+    m = CosSimIndexer(strategy="lsh", **kw).fit(gt)
+
+    def n_cached_rdds():
+        jsc = spark.sparkContext._jsc.sc()
+        return jsc.getPersistentRDDs().size()
+
+    m.transform(names).count()
+    after_first = n_cached_rdds()
+    for _ in range(3):
+        m.transform(names).count()
+    assert n_cached_rdds() == after_first
+    m.unpersist()
+    # unpersist() releases the rotating slot and the GT bands too
+    m2 = CosSimIndexer(strategy="lsh", **kw).fit(gt)
+    m2.transform(names).count()
+    before = n_cached_rdds()
+    m2.unpersist()
+    assert n_cached_rdds() < before
+
+
+def test_lsh_params_fail_fast(spark):
+    """bands * rows_per_band > num_hashes is an impossible banding layout
+    and must raise at CONSTRUCTION, not as an unresolved-column error
+    deep inside transform()."""
+    with pytest.raises(ValueError, match="exceeds lsh_num_hashes"):
+        CosSimIndexer(strategy="lsh", lsh_num_hashes=32, lsh_bands=16,
+                      lsh_rows_per_band=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        CosSimIndexer(strategy="lsh", lsh_num_hashes=32, lsh_bands=0,
+                      lsh_rows_per_band=4)
+    # a legal layout constructs fine; the non-lsh strategies don't care
+    CosSimIndexer(strategy="lsh", lsh_num_hashes=32, lsh_bands=8,
+                  lsh_rows_per_band=4)
+    CosSimIndexer(strategy="inverted", lsh_num_hashes=1, lsh_bands=99,
+                  lsh_rows_per_band=99)
+
+
 def test_lsh_rejects_blocking(spark, data):
     gt, names = data
     m = CosSimIndexer(strategy="lsh", blocking_func=first_char_block).fit(gt)

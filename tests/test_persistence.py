@@ -170,6 +170,32 @@ def test_bucketed_weights_roundtrip_plan_and_ddl_recreate(spark, fitted, names, 
         c = _canon(recreated.transform(names))
         pd.testing.assert_frame_equal(a, c)
         assert spark.catalog.tableExists(tables[0])
+
+        # stale-catalog path (round-7 review): if the catalog entry's
+        # bucket spec no longer matches the model's meta.json (here: a
+        # hand-planted 4-bucket entry over the 8-bucket files), trusting
+        # it would make the shuffle-free join silently wrong — the loader
+        # must detect the mismatch and DROP + re-create the entry.
+        schema_sql = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in spark.read.parquet(
+                f"{bucket_path}/indexers/0/gt_weights"
+            ).schema.fields
+        )
+        spark.sql(f"DROP TABLE {tables[0]}")
+        spark.sql(
+            f"CREATE TABLE {tables[0]} ({schema_sql}) USING parquet "
+            f"CLUSTERED BY (token) SORTED BY (token) INTO 4 BUCKETS "
+            f"LOCATION '{bucket_path}/indexers/0/gt_weights'"
+        )
+        resaved = load_model(spark, bucket_path)
+        d = _canon(resaved.transform(names))
+        pd.testing.assert_frame_equal(a, d)
+        described = {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {tables[0]}").collect()
+        }
+        assert described.get("Num Buckets") == "8", described
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
