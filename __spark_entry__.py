@@ -989,23 +989,31 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_stream_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming embedding router as a CONTRACT query: fit k-means in
-    batch (identical params to kmeans_clusters), then assign the same
-    embeddings arriving as a STREAM (readStream + availableNow into a
-    memory sink — harness devices) via the stateless literal-centroid
-    projection (clustering.kmeans_assign_streaming — no join, window, or
-    state).  Stream output == batch assignment exactly, so this row
-    shares kmeans_clusters' GENERATED oracle verbatim."""
-    from entitymatchingmodel_spark.operators.clustering import (
-        kmeans_assign_streaming,
-        kmeans_fit,
-    )
+    """Streaming embedding router through its FULL persistence cycle
+    (r8): fit k-means in batch (identical params to kmeans_clusters),
+    SAVE the fitted model (k-row centroid table + params), LOAD it back
+    — the fresh-session production ingest posture, no corpus access on
+    the load side — then route the same embeddings arriving as a STREAM
+    (readStream + availableNow into a memory sink — harness devices) via
+    the loaded model's stateless literal-centroid projection
+    (clustering.KMeansModel.assign_streaming — no join, window, or
+    state).  Stream output == batch assignment exactly (centroids are
+    rounded doubles; parquet round-trips them exactly), so this row
+    STILL shares kmeans_clusters' GENERATED oracle verbatim."""
+    import hashlib
+
+    from entitymatchingmodel_spark.operators.clustering import KMeansModel
 
     emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
-    cents = kmeans_fit(
+    model = KMeansModel.fit(
         emb, "vec_id", "embedding", k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED,
         score_decimals=_KM_DEC, cent_decimals=_KM_DEC,
     )
+    path = ("/tmp/emm_km_model_"
+            + hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12])
+    model.save(path)
+    load_handles: list = []
+    loaded = KMeansModel.load(spark, path, persist_handles=load_handles)
     src = os.path.realpath(f"{sf_dir}/embeddings.parquet")
     static = spark.read.parquet(src)
     stream = (
@@ -1014,10 +1022,15 @@ def q_kmeans_stream_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _spread() fixes for batch scans
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
-    out = kmeans_assign_streaming(stream, cents, "vec_id", "embedding", _KM_DEC)
-    return _run_stream_to_memory(
+    out = loaded.assign_streaming(stream, "vec_id", "embedding")
+    result = _run_stream_to_memory(
         spark, out, "q_kmeans_stream_assign_sink", "append"
     )
+    # assign_streaming collected the centroids into the plan already; the
+    # load-side cache would otherwise leak one k-row table per call
+    for h in load_handles:
+        h.unpersist()
+    return result
 
 
 # cap for the cluster_balanced_sample contract row (k-means params are
@@ -1128,7 +1141,8 @@ def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
                           output_mode: str,
-                          shuffle_partitions: int = 8) -> DataFrame:
+                          shuffle_partitions: int = 8,
+                          expect_single_batch: bool = False) -> DataFrame:
     """availableNow trigger into a memory sink; returns the sink table.
     Harness device only — the plan under test is the streaming one.
 
@@ -1156,6 +1170,20 @@ def _run_stream_to_memory(spark: SparkSession, df: DataFrame, name: str,
             .start()
         )
         q.awaitTermination()
+    if expect_single_batch:
+        # Some contract oracles (streaming_curation's global DISTINCT vs
+        # its watermark-bounded dedup) are only equivalent when the whole
+        # source arrives in ONE micro-batch — true today (single-file
+        # testdata, no maxFilesPerTrigger).  Assert it so a harness change
+        # (multi-file source splitting the batch) fails LOUDLY here
+        # instead of surfacing as a flaky hash mismatch (r7 advice).
+        fed = [p for p in q.recentProgress if int(p["numInputRows"]) > 0]
+        if len(fed) > 1:
+            raise AssertionError(
+                f"stream {name!r} ran {len(fed)} non-empty micro-batches; "
+                "the contract oracle assumes exactly one (watermark-bounded "
+                "state vs global-DISTINCT equivalence)"
+            )
     return spark.table(name)
 
 
@@ -1258,7 +1286,10 @@ def q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     )
     out = _run_stream_to_memory(
-        spark, curated, "q_streaming_curation_sink", "append"
+        spark, curated, "q_streaming_curation_sink", "append",
+        # the 10-minute watermark only equals the oracle's global DISTINCT
+        # when the whole file arrives in one micro-batch — pinned loudly
+        expect_single_batch=True,
     )
     return out.select("content_hash", "lang")
 
@@ -1591,6 +1622,40 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs, "doc_id", "text", score_decimals=6)
 
 
+# clean-reference filter for the lm_fit_score row: the oracle fragment is
+# GENERATED from this same constant (below), so query and oracle cannot
+# desync.  'en' is the documents table's majority language — the CCNet
+# "train on the clean corpus, score the crawl" split.
+_LM_REF_FILTER = "lang = 'en'"
+
+
+def q_lm_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM through its FULL persistence cycle (the CCNet posture
+    proper): FIT on the clean reference slice (_LM_REF_FILTER), SAVE the
+    trained counts + V scalar, LOAD them back — fresh-session scoring, no
+    reference access on the load side — then SCORE the whole corpus.
+    Counts are integers and round-trip exactly, so the oracle (generated
+    with the same reference filter) is EXACT."""
+    import hashlib
+
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    model = BigramLM.fit(docs.filter(_LM_REF_FILTER), "text", score_decimals=6)
+    path = ("/tmp/emm_lm_model_"
+            + hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12])
+    model.save(path)
+    model.unpersist()
+    load_handles: list = []
+    loaded = BigramLM.load(spark, path, persist_handles=load_handles)
+    result = loaded.score(docs, "doc_id", "text")
+    # this function runs once per bench repeat / correctness pass; a held
+    # handle would leak one cached count table pair per call
+    for h in load_handles:
+        h.unpersist()
+    return result
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture resampling (mC4/XLM-R alpha-sampling):
     shares proportional to count^0.5, binding group kept whole, map-only
@@ -1601,6 +1666,42 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = temperature_mix(docs, "doc_id", "lang", alpha=0.5)
     return out.select("doc_id", "lang")
+
+
+def q_temperature_mix_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling with UPSAMPLING (r8 — the other half of the
+    mC4/XLM-R recipe): the largest count/target-ratio group anchors at
+    repeat factor 1 and every tail group REPEATS (integer repeats via a
+    map-only sequence+explode, fractional remainder hash-gated).  The
+    repeat factors are the same sum-free order-safe float chain as
+    temperature_mix, rounded before the gate, so the oracle is EXACT."""
+    from entitymatchingmodel_spark.functions.sampling import temperature_mix
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = temperature_mix(docs, "doc_id", "lang", alpha=0.5,
+                          allow_upsample=True)
+    return out.select("doc_id", "lang", "copy")
+
+
+# resample_to_mix contract weights — DYADIC doubles (exactly representable,
+# so the weight sum is order-free exact in both engines); the oracle
+# VALUES list is GENERATED from this same dict so query and oracle cannot
+# desync.  en (the majority language) shrinks, the tail upsamples.
+_RMIX_WEIGHTS = {"en": 0.25, "zh": 0.25, "es": 0.1875, "de": 0.1875, "fr": 0.125}
+
+
+def q_resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix resampling with total preservation (r8 — the DoReMi
+    /fixed-mixture half of the upsampling family): group shares move to
+    _RMIX_WEIGHTS while the corpus size is preserved, over-represented
+    groups hash-downsampling and tail groups repeat-factor upsampling.
+    Repeat factors are integer-count x dyadic-literal mul/div chains
+    rounded before the gate — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.sampling import resample_to_mix
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = resample_to_mix(docs, "doc_id", "lang", _RMIX_WEIGHTS)
+    return out.select("doc_id", "lang", "copy")
 
 
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,7 +1936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "exact_quantiles": q_exact_quantiles,
         "temperature_mix": q_temperature_mix,
+        "temperature_mix_up": q_temperature_mix_up,
+        "resample_to_mix": q_resample_to_mix,
         "lm_perplexity": q_lm_perplexity,
+        "lm_fit_score": q_lm_fit_score,
         "grouped_quantiles": q_grouped_quantiles,
         "cossim_lsh_topk": q_cossim_lsh_topk,
         # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
@@ -1958,6 +2062,49 @@ _SQL_MINHASH = f"""
         minh AS (SELECT doc_id, hash_idx, min(xor(x2, x2 >> 16)) AS minhash
                  FROM grid2 GROUP BY doc_id, hash_idx)
 """
+
+# GENERATED bigram-LM oracle, parameterized by the reference-corpus filter
+# so the self-perplexity row (lm_perplexity, ref = whole corpus) and the
+# persistence-cycle row (lm_fit_score, ref = _LM_REF_FILTER) share one
+# fragment and cannot desync from each other: mirrors operators/lm.py
+# exactly — same tokenization as every text oracle, Laplace a=1, V =
+# distinct reference tokens, avg log2 rounded BEFORE perplexity derives
+# from it.
+def _lm_oracle_sql(ref_where: str) -> str:
+    return f"""
+        WITH rtok AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                        '[^a-z0-9]+'), x -> x <> '') AS toks
+                      FROM documents WHERE {ref_where}),
+        rbg AS (SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+                FROM (SELECT toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM rtok WHERE len(toks) >= 2)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM rbg GROUP BY w1),
+        v AS (SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest(toks) AS t FROM rtok)),
+        tok AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS toks
+                FROM documents),
+        bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                      toks[CAST(i AS INT) + 1] AS w2
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS i
+                     FROM tok WHERE len(toks) >= 2)),
+        lp AS (SELECT b.doc_id,
+                      log2((coalesce(c12.c12, 0) + 1.0)
+                           / (coalesce(c1.c1, 0) + 1.0 * (SELECT v FROM v))) AS lp
+               FROM bg b LEFT JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2)),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+               FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               pd.avg_logp,
+               round(pow(2.0, -pd.avg_logp), 6) AS perplexity
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+
 
 _ORACLE = {
     "preprocess_names": """
@@ -2755,33 +2902,10 @@ _ORACLE = {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    # mirrors operators/lm.py exactly: same tokenization as every text
-    # oracle, Laplace a=1, V = distinct reference tokens, avg log2
-    # rounded BEFORE perplexity derives from it
-    "lm_perplexity": """
-        WITH tok AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-                     FROM documents),
-        bg AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
-               FROM (SELECT doc_id, toks,
-                            unnest(generate_series(1, len(toks) - 1)) AS i
-                     FROM tok WHERE len(toks) >= 2)),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-        v AS (SELECT count(DISTINCT t) AS v
-              FROM (SELECT unnest(toks) AS t FROM tok)),
-        lp AS (SELECT b.doc_id,
-                      log2((coalesce(c12.c12, 0) + 1.0)
-                           / (coalesce(c1.c1, 0) + 1.0 * (SELECT v FROM v))) AS lp
-               FROM bg b LEFT JOIN c1 USING (w1) LEFT JOIN c12 USING (w1, w2)),
-        pd AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp
-               FROM lp GROUP BY doc_id)
-        SELECT d.doc_id,
-               CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-               pd.avg_logp,
-               round(pow(2.0, -pd.avg_logp), 6) AS perplexity
-        FROM documents d LEFT JOIN pd USING (doc_id)
-    """,
+    # GENERATED from _lm_oracle_sql (self-perplexity: reference = the
+    # whole corpus); the lm_fit_score sibling shares the fragment with
+    # the _LM_REF_FILTER slice
+    "lm_perplexity": _lm_oracle_sql("TRUE"),
     # mirrors temperature_mix exactly: frac_g = round(min(1,
     # min_h(n_h/n_h^0.5) * n_g^0.5 / n_g), 12) — the sum-free form, so
     # every float step is an order-safe pow/div/min/mul chain; membership
@@ -2797,6 +2921,59 @@ _ORACLE = {
         WHERE CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'temp',
                  CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
               / 268435456.0 < f.frac
+    """,
+    # mirrors temperature_mix(allow_upsample=True) exactly: r_g =
+    # round(greatest(1, max_h(n_h/n_h^0.5) * n_g^0.5 / n_g), 12) — the
+    # max-anchored sum-free chain; copies = floor(r) full repeats + one
+    # hash-gated fractional copy (generate_series(0, total-1), empty when
+    # total = 0)
+    "temperature_mix_up": """
+        WITH c AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        mr AS (SELECT max(n / pow(n, 0.5)) AS m FROM c),
+        f AS (SELECT g, round(greatest(1.0, (SELECT m FROM mr) * pow(n, 0.5) / n), 12) AS r
+              FROM c),
+        e AS (SELECT d.doc_id, d.lang, f.r,
+                     CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'temp',
+                          CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+                     / 268435456.0 AS h
+              FROM documents d JOIN f ON d.lang = f.g)
+        SELECT doc_id, lang, CAST(copy AS INT) AS copy
+        FROM (SELECT doc_id, lang,
+                     unnest(generate_series(0,
+                        CAST(floor(r) AS BIGINT)
+                        + (CASE WHEN h < r - floor(r) THEN 1 ELSE 0 END)
+                        - 1)) AS copy
+              FROM e)
+    """,
+    # generated VALUES list from _RMIX_WEIGHTS (dyadic doubles: the weight
+    # sum is order-free exact); r_g = round(N * w_g / W / n_g, 12) with
+    # N/W over the PRESENT positive listed groups (the documented
+    # renormalization), same repeat-explode as temperature_mix_up but
+    # salt 'remix'
+    "resample_to_mix": f"""
+        WITH w(g, w) AS (VALUES {", ".join(
+            f"('{g}', CAST({v} AS DOUBLE))" for g, v in sorted(_RMIX_WEIGHTS.items())
+        )}),
+        c AS (SELECT lang AS g, count(*) AS n
+              FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        p AS (SELECT c.g, CAST(c.n AS DOUBLE) AS n, w.w
+              FROM c JOIN w USING (g) WHERE w.w > 0 AND c.n > 0),
+        t AS (SELECT sum(n) AS tn, sum(w) AS tw FROM p),
+        f AS (SELECT g, round((SELECT tn FROM t) * w / (SELECT tw FROM t) / n, 12) AS r
+              FROM p),
+        e AS (SELECT d.doc_id, d.lang, f.r,
+                     CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'remix',
+                          CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+                     / 268435456.0 AS h
+              FROM documents d JOIN f ON d.lang = f.g)
+        SELECT doc_id, lang, CAST(copy AS INT) AS copy
+        FROM (SELECT doc_id, lang,
+                     unnest(generate_series(0,
+                        CAST(floor(r) AS BIGINT)
+                        + (CASE WHEN h < r - floor(r) THEN 1 ELSE 0 END)
+                        - 1)) AS copy
+              FROM e)
     """,
     # generated VALUES list: same _QUANTILES tuple as the Spark row (the
     # f-string below); rank semantics = value at max(1, ceil(q*n)) in
@@ -3434,6 +3611,13 @@ _ORACLE = {
 # parameters (tests/test_ann.py), so the persistence-cycle contract row
 # shares ivf_topk's EXACT oracle verbatim.
 _ORACLE["ivf_index_topk"] = _ORACLE["ivf_topk"]
+
+# BigramLM fit->save->load->score with the clean-reference slice: the
+# oracle is the SAME generated fragment as lm_perplexity, reference
+# filtered by the SAME constant the Spark row uses (integer counts + the
+# V scalar round-trip through parquet/json exactly, pinned in
+# tests/test_lm.py).
+_ORACLE["lm_fit_score"] = _lm_oracle_sql(_LM_REF_FILTER)
 
 
 def _kmeans_oracle_sql(k: int, n_iter: int, dec: int, seed: int) -> str:

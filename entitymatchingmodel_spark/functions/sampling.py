@@ -349,6 +349,92 @@ def _group_fraction_filter(
     return df.filter(_unit_hash(F.col(key_col), salt) < frac)
 
 
+def _group_repeat_explode(
+    df: DataFrame, key_col: str, group_col: str, repeats: dict, salt: str
+) -> DataFrame:
+    """Deterministic repeat-factor resampling shared by the
+    ``allow_upsample`` mixture ops: emit each row ``floor(r_g)`` times
+    plus one extra copy iff its key's unit hash falls below the
+    fractional remainder ``r_g - floor(r_g)`` — the repeat-factor twin of
+    :func:`_group_fraction_filter` (to which it degenerates for
+    ``r_g <= 1``: zero full copies, hash-gated copy 0).
+
+    Output = the input columns plus ``copy int`` (0-based repeat index),
+    so every emitted row stays uniquely addressable.  Groups absent from
+    ``repeats`` (including NULL groups) get factor 0 and are dropped.
+
+    Scale shape: a map-only per-row ``sequence``+``explode`` — no
+    shuffle, no driver state beyond the bounded ``repeats`` dict; output
+    size is sum(n_g * r_g), exactly the requested resample."""
+    rep = F.lit(0.0)
+    for g in sorted(repeats):
+        rep = F.when(F.col(group_col) == g, F.lit(float(repeats[g]))).otherwise(rep)
+    n_full = F.floor(rep).cast("long")
+    extra = (_unit_hash(F.col(key_col), salt) < (rep - F.floor(rep))).cast("long")
+    total = n_full + extra
+    return (
+        df.withColumn(
+            "_copies",
+            F.when(total >= 1, F.sequence(F.lit(0).cast("long"), total - 1)),
+        )
+        .withColumn("copy", F.explode("_copies"))
+        .drop("_copies")
+        .withColumn("copy", F.col("copy").cast("int"))
+    )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "remix",
+    frac_decimals: int = 12,
+) -> DataFrame:
+    """Resample groups to a TARGET MIX with UPSAMPLING — the half of the
+    mC4/DoReMi mixing recipe :func:`sample_to_mix` can't express: the
+    total row count is PRESERVED (in expectation, exactly per group up to
+    the hash-gated fractional copy) while each group's share moves to its
+    target weight, over-represented groups shrinking and tail groups
+    REPEATING (epoch-style repeat-factor upsampling, deterministic
+    integer repeats + hash-gated fractional remainder).
+
+    ``weights`` maps group value -> target share; groups absent from
+    ``weights`` are dropped; listed-but-absent groups redistribute their
+    share (weights are renormalized over the groups actually present).
+    Repeat factor: ``r_g = round((N * w_g / W) / n_g, frac_decimals)``
+    with N = total rows across present listed groups and W their weight
+    sum — pure mul/div over integer counts and user literals, rounded
+    BEFORE the membership compare (round-before-rank, SURVEY §4 X15), so
+    both engines agree bit-for-bit.  Output adds a 0-based ``copy`` int
+    column (so upsampled rows stay uniquely addressable).
+
+    Scale shape: one bounded count aggregate (n_groups rows to the
+    driver), then the map-only repeat-explode — no shuffle."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for v in weights.values():
+        if v < 0:
+            raise ValueError("weights must be >= 0")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["g"] in weights
+    }
+    positive = {g: n for g, n in counts.items() if weights[g] > 0 and n > 0}
+    if not positive:
+        return _group_repeat_explode(df, key_col, group_col, {}, salt)
+    total_n = sum(positive.values())
+    total_w = float(sum(weights[g] for g in positive))
+    repeats = {
+        g: round(total_n * weights[g] / total_w / n, frac_decimals)
+        for g, n in positive.items()
+    }
+    return _group_repeat_explode(df, key_col, group_col, repeats, salt)
+
+
 def temperature_mix(
     df: DataFrame,
     key_col: str,
@@ -356,6 +442,7 @@ def temperature_mix(
     alpha: float,
     salt: str = "temp",
     frac_decimals: int = 12,
+    allow_upsample: bool = False,
 ) -> DataFrame:
     """Temperature-based mixture resampling (the mC4/XLM-R multilingual
     'sampling with exponent alpha' primitive): the target share of group
@@ -376,6 +463,17 @@ def temperature_mix(
     ``frac_decimals`` BEFORE the membership compare (round-before-rank,
     SURVEY §4 X15), so a last-ulp wobble can never flip a row across the
     hash boundary.  Rows with a NULL group are dropped.
+
+    ``allow_upsample=True`` flips the anchor (r8): instead of keeping the
+    binding group whole and downsampling everyone else, the group with
+    the LARGEST count/target ratio is kept whole and every other group is
+    repeat-factor UPSAMPLED to match — ``r_g = round(max_h(n_h /
+    n_h**alpha) * n_g**alpha / n_g, frac_decimals) >= 1`` for every
+    group, so no original row is ever discarded (the multi-epoch
+    tail-repeat recipe of mC4/XLM-R alpha sampling).  The output then
+    carries an extra 0-based ``copy`` int column (see
+    :func:`_group_repeat_explode`); the same sum-free order-safe float
+    chain keeps it engine-exact.
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
@@ -386,6 +484,15 @@ def temperature_mix(
         .collect()
         if r["g"] is not None and r["n"] > 0
     }
+    if allow_upsample:
+        if not counts:
+            return _group_repeat_explode(df, key_col, group_col, {}, salt)
+        max_ratio = max(n / n**alpha for n in counts.values())
+        repeats = {
+            g: round(max(1.0, max_ratio * n**alpha / n), frac_decimals)
+            for g, n in counts.items()
+        }
+        return _group_repeat_explode(df, key_col, group_col, repeats, salt)
     if not counts:
         return df.filter(F.lit(False))
     min_ratio = min(n / n**alpha for n in counts.values())

@@ -364,3 +364,120 @@ def cluster_balanced_sample(
         clusters, id_col, "cluster", max_per_cluster, salt=salt,
         validate=validate,
     )
+
+
+class KMeansModel:
+    """Fit-once / assign-many spherical k-means with ``save``/``load`` —
+    the production ingest posture: fit weekly on the curated corpus,
+    persist the centroid table, and route every arriving batch/stream
+    through :meth:`assign` / :meth:`assign_streaming` in a FRESH session
+    without refitting (the round-7 streaming router could only run in
+    the fitting session).
+
+    Same persistence layout as ``ann.IVFIndex.save/load`` (parquet +
+    1-row meta.json; reference precedent for model side-files:
+    emm/helper/spark_custom_reader_writer.py:36-140): the saved state is
+    the k-row ``(cent_id, _cent)`` table plus the fit parameters, so a
+    reload is one tiny parquet scan — no corpus access.  ``load`` output
+    is pinned byte-identical to the fitting session's assignments in
+    tests/test_clustering.py (centroid coordinates are rounded doubles;
+    parquet round-trips them exactly).
+    """
+
+    def __init__(
+        self,
+        centroids: DataFrame,
+        k: int,
+        n_iter: int,
+        seed: int,
+        score_decimals: int | None,
+        cent_decimals: int | None,
+    ):
+        self.centroids = centroids
+        self.k = k
+        self.n_iter = n_iter
+        self.seed = seed
+        self.score_decimals = score_decimals
+        self.cent_decimals = cent_decimals
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        k: int = 8,
+        n_iter: int = 2,
+        seed: int = 42,
+        score_decimals: int | None = None,
+        cent_decimals: int | None = None,
+        persist_handles: list | None = None,
+        reliable_checkpoint: bool = False,
+    ) -> "KMeansModel":
+        """:func:`kmeans_fit` wrapped into a persistable model; the
+        centroid table it holds is the fit's localCheckpoint-ed output
+        (k rows, materialized), so constructing the model adds no work."""
+        cents = kmeans_fit(
+            df, id_col, vec_col, k, n_iter, seed,
+            score_decimals, cent_decimals, persist_handles,
+            reliable_checkpoint,
+        )
+        return cls(cents, k, n_iter, seed, score_decimals, cent_decimals)
+
+    def assign(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        return kmeans_assign(
+            df, self.centroids, id_col, vec_col, self.score_decimals
+        )
+
+    def assign_streaming(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        return kmeans_assign_streaming(
+            df, self.centroids, id_col, vec_col, self.score_decimals
+        )
+
+    def save(self, path: str) -> None:
+        """k-row centroid table + fit params under ``path`` (any Hadoop
+        scheme Spark supports).  coalesce(1): k centroid rows never need
+        more than one file."""
+        import json
+
+        spark = self.centroids.sparkSession
+        self.centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids.parquet"
+        )
+        meta = json.dumps(
+            {
+                "k": self.k,
+                "n_iter": self.n_iter,
+                "seed": self.seed,
+                "score_decimals": self.score_decimals,
+                "cent_decimals": self.cent_decimals,
+            }
+        )
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/meta.json")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, persist_handles: list | None = None
+    ) -> "KMeansModel":
+        """Reload; the k-row centroid table is persisted (it sits under
+        every assignment join) — release it via :meth:`unpersist` or the
+        ``persist_handles`` convention."""
+        import json
+
+        meta = json.loads(spark.read.json(f"{path}/meta.json").head()["meta"])
+        cents = spark.read.parquet(f"{path}/centroids.parquet").persist()
+        if persist_handles is not None:
+            persist_handles.append(cents)
+        return cls(
+            cents,
+            int(meta["k"]),
+            int(meta["n_iter"]),
+            int(meta["seed"]),
+            None if meta["score_decimals"] is None else int(meta["score_decimals"]),
+            None if meta["cent_decimals"] is None else int(meta["cent_decimals"]),
+        )
+
+    def unpersist(self) -> None:
+        self.centroids.unpersist()

@@ -47,18 +47,173 @@ from pyspark.sql import functions as F
 from entitymatchingmodel_spark.functions.text import tokens
 
 
-def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per adjacent token pair, native slice+zip."""
+def _pairs_expr(text_col: str):
+    """Array-of-(w1,w2)-structs expression over a text column (NULL when
+    the text has fewer than 2 tokens) — native slice+zip, no UDF."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     pairs = F.arrays_zip(
         F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
     )
+    return F.when(n >= 2, pairs)
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair, native slice+zip."""
     return (
-        df.select(F.col(id_col), F.when(n >= 2, pairs).alias("_ps"))
+        df.select(F.col(id_col), _pairs_expr(text_col).alias("_ps"))
         .select(id_col, F.explode("_ps").alias("_p"))
         .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
+
+
+class BigramLM:
+    """Fit-once / score-many Laplace-smoothed bigram LM with
+    ``save``/``load`` — the CCNet posture proper: *train on the clean
+    reference corpus once, score every crawl batch against it*.  The
+    one-call :func:`bigram_lm_scores` (which delegates here) retrains
+    the counts on every invocation; a production pipeline fits weekly
+    and applies daily, so the trained state — the two count tables and
+    the vocabulary-size scalar — must out-live the fitting session.
+
+    Persistence layout mirrors the other fitted models
+    (``ann.IVFIndex``, ``clustering.KMeansModel``; reference precedent
+    emm/helper/spark_custom_reader_writer.py:36-140): ``c1.parquet`` +
+    ``c12.parquet`` side-files and a 1-row ``meta.json`` carrying
+    ``vocab``/``smoothing``/``score_decimals``.  Counts are integers and
+    parquet round-trips them exactly, so a loaded model's scores are
+    byte-identical to the fitting session's (pinned in tests/test_lm.py).
+
+    Scale shape: fit = the two map-side-combined count shuffles (output
+    bounded by vocabulary, not corpus); score = two left equi-joins +
+    one per-doc aggregate, exactly :func:`bigram_lm_scores`'s scoring
+    half.  Driver state = ONE integer (V).
+    """
+
+    def __init__(
+        self,
+        c1: DataFrame,
+        c12: DataFrame,
+        vocab: int,
+        smoothing: float = 1.0,
+        score_decimals: int | None = None,
+    ):
+        if smoothing <= 0:
+            raise ValueError("smoothing must be > 0 (Laplace)")
+        if vocab <= 0:
+            raise ValueError("vocab must be > 0")
+        self.c1 = c1
+        self.c12 = c12
+        self.vocab = int(vocab)
+        self.smoothing = float(smoothing)
+        self.score_decimals = score_decimals
+
+    @classmethod
+    def fit(
+        cls,
+        reference: DataFrame,
+        text_col: str,
+        smoothing: float = 1.0,
+        score_decimals: int | None = None,
+        persist_handles: list | None = None,
+    ) -> "BigramLM":
+        """Train on ``reference[text_col]`` (no id column required).
+
+        The two count tables are persisted by default — they sit under
+        every future :meth:`score` — and released via :meth:`unpersist`
+        or the module-wide ``persist_handles`` convention."""
+        if smoothing <= 0:
+            raise ValueError("smoothing must be > 0 (Laplace)")
+        rb = (
+            reference.select(_pairs_expr(text_col).alias("_ps"))
+            .select(F.explode("_ps").alias("_p"))
+            .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        )
+        c12 = rb.groupBy("w1", "w2").agg(F.count("*").alias("_c12")).persist()
+        c1 = rb.groupBy("w1").agg(F.count("*").alias("_c1")).persist()
+        if persist_handles is not None:
+            persist_handles.extend([c12, c1])
+        # vocabulary of the reference (all tokens, incl. sentence-final
+        # ones): ONE bounded scalar to the driver — the Laplace denominator
+        v_row = (
+            reference.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+            .agg(F.countDistinct("_w").alias("v"))
+            .first()
+        )
+        vocab = int(v_row["v"] or 0)
+        if vocab == 0:
+            raise ValueError("reference corpus has no tokens to train on")
+        return cls(c1, c12, vocab, smoothing, score_decimals)
+
+    def score(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """``(id_col, n_bigrams, avg_logp, perplexity)`` — see
+        :func:`bigram_lm_scores` for the exact semantics (unseen bigrams
+        and contexts fall back to the smoothed floor via LEFT joins;
+        <2-token / NULL-text docs keep their row with all-NULL scores)."""
+        db = _bigrams(docs, id_col, text_col)
+        a = self.smoothing
+        p = (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(a)) / (
+            F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(a * self.vocab)
+        )
+        scored = (
+            db.join(self.c1, "w1", "left")
+            .join(self.c12, ["w1", "w2"], "left")
+            .select(id_col, F.log2(p).alias("_lp"))
+        )
+        sd = self.score_decimals
+        rounder = (lambda c: F.round(c, sd)) if sd is not None else (lambda c: c)
+        per_doc = scored.groupBy(id_col).agg(
+            F.count("*").alias("n_bigrams"), rounder(F.avg("_lp")).alias("avg_logp")
+        )
+        out = docs.select(id_col).join(per_doc, id_col, "left")
+        return out.select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_logp"),
+            rounder(F.pow(F.lit(2.0), -F.col("avg_logp"))).alias("perplexity"),
+        )
+
+    def save(self, path: str) -> None:
+        import json
+
+        spark = self.c1.sparkSession
+        self.c1.write.mode("overwrite").parquet(f"{path}/c1.parquet")
+        self.c12.write.mode("overwrite").parquet(f"{path}/c12.parquet")
+        meta = json.dumps(
+            {
+                "vocab": self.vocab,
+                "smoothing": self.smoothing,
+                "score_decimals": self.score_decimals,
+            }
+        )
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/meta.json")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, persist_handles: list | None = None
+    ) -> "BigramLM":
+        import json
+
+        meta = json.loads(spark.read.json(f"{path}/meta.json").head()["meta"])
+        c1 = spark.read.parquet(f"{path}/c1.parquet").persist()
+        c12 = spark.read.parquet(f"{path}/c12.parquet").persist()
+        if persist_handles is not None:
+            persist_handles.extend([c12, c1])
+        return cls(
+            c1,
+            c12,
+            int(meta["vocab"]),
+            float(meta["smoothing"]),
+            None
+            if meta["score_decimals"] is None
+            else int(meta["score_decimals"]),
+        )
+
+    def unpersist(self) -> None:
+        self.c1.unpersist()
+        self.c12.unpersist()
 
 
 def bigram_lm_scores(
@@ -84,40 +239,12 @@ def bigram_lm_scores(
         raise ValueError("smoothing must be > 0 (Laplace)")
     ref = docs if reference is None else reference
     rtext = text_col if ref_text_col is None else ref_text_col
-    rb = _bigrams(ref, id_col, rtext).select("w1", "w2")
-    c12 = rb.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
-    c1 = rb.groupBy("w1").agg(F.count("*").alias("_c1"))
-    # vocabulary of the reference (all tokens, incl. sentence-final ones):
-    # ONE bounded scalar to the driver — the Laplace denominator
-    v_row = (
-        ref.select(F.explode(tokens(F.col(rtext))).alias("_w"))
-        .agg(F.countDistinct("_w").alias("v"))
-        .first()
-    )
-    vocab = int(v_row["v"] or 0)
-    if vocab == 0:
-        raise ValueError("reference corpus has no tokens to train on")
-
-    db = _bigrams(docs, id_col, text_col)
-    a = float(smoothing)
-    p = (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(a)) / (
-        F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(a * vocab)
-    )
-    scored = (
-        db.join(c1, "w1", "left")
-        .join(c12, ["w1", "w2"], "left")
-        .select(id_col, F.log2(p).alias("_lp"))
-    )
-    rounder = (lambda c: F.round(c, score_decimals)) if score_decimals is not None else (lambda c: c)
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"), rounder(F.avg("_lp")).alias("avg_logp")
-    )
-    # LEFT join back so <2-token / NULL-text docs keep their row (all-NULL
-    # scores, n_bigrams 0)
-    out = docs.select(id_col).join(per_doc, id_col, "left")
-    return out.select(
-        id_col,
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.col("avg_logp"),
-        rounder(F.pow(F.lit(2.0), -F.col("avg_logp"))).alias("perplexity"),
-    )
+    # one-shot path: fit + score in one plan, then drop the fit's count
+    # caches before returning — the counts are consumed exactly once, so
+    # the unpersisted plan recomputes them in place (identical cost to
+    # the pre-split inline formulation) and no cached state outlives the
+    # call.  Fit-once/score-many callers use BigramLM directly.
+    model = BigramLM.fit(ref, rtext, smoothing, score_decimals)
+    out = model.score(docs, id_col, text_col)
+    model.unpersist()
+    return out

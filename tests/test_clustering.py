@@ -319,3 +319,63 @@ def test_output_schema(blobs):
     assert out.schema.simpleString() == (
         "struct<vec_id:bigint,cluster:int,score:double>"
     )
+
+
+def test_kmeans_model_save_load_roundtrip(blobs, spark, tmp_path):
+    """KMeansModel: fit -> save -> load; the loaded model's batch AND
+    streaming-shape assignments are byte-identical to the fitting
+    session's kmeans_clusters output (rounded-double centroids round-trip
+    through parquet exactly), params survive, and load-then-route needs
+    no corpus access (the production ingest posture)."""
+    from entitymatchingmodel_spark.operators.clustering import KMeansModel
+
+    expect = sorted(map(tuple, kmeans_clusters(
+        blobs, "vec_id", "embedding", k=3, n_iter=2, seed=0,
+        score_decimals=6, cent_decimals=6).collect()))
+
+    model = KMeansModel.fit(blobs, "vec_id", "embedding", k=3, n_iter=2,
+                            seed=0, score_decimals=6, cent_decimals=6)
+    path = str(tmp_path / "km")
+    model.save(path)
+    assert sorted(map(tuple, model.assign(blobs, "vec_id", "embedding")
+                      .collect())) == expect
+
+    handles: list = []
+    loaded = KMeansModel.load(spark, path, persist_handles=handles)
+    assert (loaded.k, loaded.n_iter, loaded.seed) == (3, 2, 0)
+    assert (loaded.score_decimals, loaded.cent_decimals) == (6, 6)
+    got_batch = sorted(map(tuple, loaded.assign(blobs, "vec_id", "embedding")
+                           .collect()))
+    got_stream = sorted(map(tuple, loaded.assign_streaming(
+        blobs, "vec_id", "embedding").collect()))
+    assert got_batch == expect
+    assert got_stream == expect
+    for h in handles:
+        h.unpersist()
+
+
+def test_kmeans_model_load_routes_real_stream(blobs, spark, tmp_path):
+    """Load-then-route through a REAL availableNow stream: the loaded
+    centroids drive kmeans_assign_streaming's stateless projection on a
+    file stream, matching the batch assignment row-for-row."""
+    from entitymatchingmodel_spark.operators.clustering import KMeansModel
+
+    model = KMeansModel.fit(blobs, "vec_id", "embedding", k=3, n_iter=1,
+                            seed=0, score_decimals=6, cent_decimals=6)
+    path = str(tmp_path / "km2")
+    model.save(path)
+    loaded = KMeansModel.load(spark, path)
+
+    src = str(tmp_path / "src")
+    blobs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(blobs.schema).parquet(src)
+    out = loaded.assign_streaming(stream, "vec_id", "embedding")
+    q = (out.writeStream.format("memory").queryName("km_route_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("km_route_sink").collect()))
+    expect = sorted(map(tuple, loaded.assign(blobs, "vec_id", "embedding")
+                        .collect()))
+    assert got == expect and got
+    loaded.unpersist()
+    model.unpersist()

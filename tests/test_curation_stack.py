@@ -275,3 +275,94 @@ def test_semantic_dedup_stage_on_real_embeddings(spark):
     again = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9, nlist=8).collect()
     key = lambda rs: sorted((r["vec_id"], r["cluster_size"]) for r in rs)
     assert key(rows) == key(again)
+
+
+def test_temperature_mix_upsample_matches_python_mirror(spark):
+    """allow_upsample=True: the emitted (id, copy) multiset equals a pure
+    python replay of the documented max-anchored repeat formula + md5
+    fractional gate; no original row is lost; anchor group untouched."""
+    import hashlib
+    import math
+
+    from entitymatchingmodel_spark.functions.sampling import temperature_mix
+
+    rows = (
+        [(i, "a") for i in range(900)]
+        + [(2000 + i, "b") for i in range(100)]
+        + [(4000 + i, "c") for i in range(400)]
+        + [(9000, None)]  # NULL group: dropped
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    alpha = 0.5
+    counts = {"a": 900, "b": 100, "c": 400}
+    max_ratio = max(n / n**alpha for n in counts.values())
+    reps = {g: round(max(1.0, max_ratio * n**alpha / n), 12)
+            for g, n in counts.items()}
+
+    def h(key, salt="temp"):
+        return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:7], 16) / 16**7
+
+    expect = set()
+    for i, g in rows:
+        if g is None:
+            continue
+        r = reps[g]
+        total = math.floor(r) + (1 if h(i) < r - math.floor(r) else 0)
+        expect.update((i, c) for c in range(int(total)))
+
+    out = temperature_mix(df, "id", "grp", alpha, allow_upsample=True)
+    got = {(r["id"], r["copy"]) for r in out.collect()}
+    assert out.count() == len(got)  # (id, copy) unique
+    assert got == expect
+    # anchor group a (largest at alpha<1) kept exactly whole, copy 0 only
+    assert reps["a"] == 1.0
+    assert sum(1 for i, c in got if i < 1000) == 900
+    # no original row lost: every non-NULL id appears with copy 0
+    assert {i for i, c in got if c == 0} == {i for i, g in rows if g is not None}
+    # tail group b repeats ~3x (900/100)**0.5 = 3
+    n_b = sum(1 for i, c in got if 2000 <= i < 3000)
+    assert abs(n_b - 300) <= 30, n_b
+
+
+def test_resample_to_mix_preserves_total_and_hits_shares(spark):
+    """resample_to_mix: total preserved (+- fractional-gate noise), group
+    shares move to the target weights, upsampled rows carry distinct
+    copy indices, determinism across calls."""
+    from entitymatchingmodel_spark.functions.sampling import resample_to_mix
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(2000 + i, "b") for i in range(100)]
+        + [(4000 + i, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = resample_to_mix(df, "id", "grp", {"a": 0.25, "b": 0.5, "c": 0.25})
+    sizes = {r["grp"]: r["n"] for r in
+             out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # targets: 1600 * (0.25, 0.5, 0.25) = (400, 800, 400)
+    assert abs(sizes["a"] - 400) <= 50, sizes      # downsampled 1000 -> ~400
+    assert abs(sizes["b"] - 800) <= 50, sizes      # upsampled 100 -> ~800 (8x)
+    assert abs(sizes["c"] - 400) <= 50, sizes
+    total = sum(sizes.values())
+    assert abs(total - 1600) <= 90, total
+    # b's integer repeats: every b id appears at least floor(8.0)=8 times
+    b_counts = {}
+    for r in out.filter(F.col("grp") == "b").collect():
+        b_counts[r["id"]] = b_counts.get(r["id"], 0) + 1
+    assert all(c >= 8 for c in b_counts.values())
+    # determinism
+    again = sorted((r["id"], r["copy"]) for r in resample_to_mix(
+        df, "id", "grp", {"a": 0.25, "b": 0.5, "c": 0.25}).collect())
+    assert again == sorted((r["id"], r["copy"]) for r in out.collect())
+    # unlisted groups dropped; listed-but-absent redistribute (renormalize)
+    out2 = resample_to_mix(df, "id", "grp", {"b": 0.5, "zzz": 0.5})
+    sizes2 = {r["grp"]: r["n"] for r in
+              out2.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes2) == {"b"} and sizes2["b"] == 100  # renormalized to 1.0
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "id", "grp", {})
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "id", "grp", {"a": -0.1})
+    # all listed groups absent-or-zero: empty, same schema (with copy)
+    out3 = resample_to_mix(df, "id", "grp", {"zzz": 1.0})
+    assert out3.count() == 0 and "copy" in out3.columns

@@ -105,3 +105,73 @@ def test_partition_invariance(corpus):
     b = sorted(map(tuple, bigram_lm_scores(corpus.repartition(7), "doc_id",
                                            "text", score_decimals=6).collect()))
     assert a == b
+
+
+def test_fit_once_score_many_equals_one_call(spark, corpus):
+    """BigramLM.fit(ref).score(docs) is pinned EQUAL to the one-call
+    bigram_lm_scores path, and a second score() on the same fitted model
+    returns the same rows (fit-once/score-many)."""
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+
+    one_call = sorted(
+        map(tuple, bigram_lm_scores(corpus, "doc_id", "text",
+                                    score_decimals=6).collect())
+    )
+    model = BigramLM.fit(corpus, "text", score_decimals=6)
+    first = sorted(map(tuple, model.score(corpus, "doc_id", "text").collect()))
+    second = sorted(map(tuple, model.score(corpus, "doc_id", "text").collect()))
+    model.unpersist()
+    assert first == one_call
+    assert second == one_call
+
+
+def test_bigram_lm_save_load_roundtrip(spark, corpus, tmp_path):
+    """save -> load in-session: integer counts + the V scalar round-trip
+    through parquet/json exactly, so the loaded model's scores are
+    byte-identical; params survive too."""
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+
+    model = BigramLM.fit(corpus, "text", smoothing=0.5, score_decimals=6)
+    path = str(tmp_path / "lm")
+    model.save(path)
+    expect = sorted(map(tuple, model.score(corpus, "doc_id", "text").collect()))
+    model.unpersist()
+
+    handles: list = []
+    loaded = BigramLM.load(spark, path, persist_handles=handles)
+    assert loaded.vocab == model.vocab
+    assert loaded.smoothing == 0.5
+    assert loaded.score_decimals == 6
+    got = sorted(map(tuple, loaded.score(corpus, "doc_id", "text").collect()))
+    assert got == expect
+    for h in handles:
+        h.unpersist()
+
+
+def test_bigram_lm_train_clean_score_crawl(spark, corpus):
+    """The CCNet posture: fit on a clean reference, score a different
+    corpus — matches the quadratic python mirror with that reference."""
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+
+    ref_rows = [(10, "the cat sat on the mat"), (11, "the dog sat on the rug")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs_rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expect = _py_scores(docs_rows, ref_rows)
+
+    model = BigramLM.fit(ref, "text", score_decimals=6)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in model.score(corpus, "doc_id", "text").collect()
+    }
+    model.unpersist()
+    assert got == expect
+
+
+def test_bigram_lm_validation(spark, corpus):
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+
+    with pytest.raises(ValueError, match="smoothing"):
+        BigramLM.fit(corpus, "text", smoothing=0.0)
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        BigramLM.fit(empty, "text")
