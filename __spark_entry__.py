@@ -353,6 +353,12 @@ _LANG_PHRASES = [
     "rubah cepat yang melompat dan berlari dengan anjing untuk pergi ke hutan yang tidak kita kenal",  # id
     "rychla liska skace pres lineho psa a bezi do lesa ktery pro nas neni znamy a je pod kopcem",  # cs
     "az okos roka atugrik a lusta kutya felett es nem szalad az erdobe hogy egy nap meg lassuk",  # hu
+    # r8 tranche (no/vi/ca/sk/hr — accent-free ascii residue, as above)
+    "den raske reven og hunden ble ikke som andre og lober fra skogen til vannet av en grunn som han har",  # no
+    "con cao nhanh nhay qua con cho luoi va chay vao trong rung cua chung ta khong ai biet duoc ngay nay",  # vi
+    "la guineu rapida salta per sobre dels gossos mandrosos i corre cap al bosc que tenim amb els amics",  # ca
+    "ako rychla liska pre nas skace cez psa do lesa ktory sa vola stary a nie je znamy v tych miestach ktore mame",  # sk
+    "brza lisica skace preko lijenog psa koji se ne da i bit ce da ima sto na putu ali se ne zna je li to sve",  # hr
 ]
 
 

@@ -148,6 +148,24 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "hu": (" az", "az ", " eg", "egy", "gy ", " ne", "nem", "em ", "hog",
            "ogy", " ho", "meg", " me", "eg ", "nek", "ek ", "tt ", "ett",
            "szt", " sz"),
+    # r8 breadth (same [a-z ]-residue rule: no 'og/som/til/av/ikke/-sjon',
+    # vi 'khong/cua/duoc/trong/nguoi' ascii residue, ca 'que/els/amb/per/
+    # una', sk 'ako/ktory/pre/sa/nie', hr 'koji/da/je/se/bit/ima/sto/ali')
+    "no": (" og", "og ", "som", " so", "om ", "til", " ti", "il ", " av",
+           "av ", "ikk", "kke", " ik", "sjo", "jon", "ble", " bl", "fra",
+           " fr", "har"),
+    "vi": ("ong", "ng ", " kh", "kho", "hon", "ngu", "guo", "uoi", "oi ",
+           "uoc", "oc ", " cu", "cua", "ua ", " tr", "tro", "ron", " ng",
+           "ay ", "nay"),
+    "ca": ("que", " qu", "ue ", "els", "ls ", " el", "les", " le", "amb",
+           " am", "mb ", "per", " pe", "er ", "una", " un", "del", "est",
+           "aqu", "nt "),
+    "sk": ("ako", " ak", "ko ", "kto", " kt", "tor", "ory", "ry ", "pre",
+           " pr", "re ", " sa", "sa ", " je", "je ", "nie", "ie ", " ni",
+           "ova", "ach"),
+    "hr": (" ko", "koj", "oji", "ji ", " da", "da ", " je", "je ", " se",
+           "se ", " na", "na ", "bit", "ti ", "ima", " im", "sto", " st",
+           "ali", " al"),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

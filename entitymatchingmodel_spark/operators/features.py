@@ -786,6 +786,49 @@ LEGAL_FORM_TERMS = sorted(
         "partnerschaftsgesellschaft", "partg mbb",
         "julkinen osakeyhtio", "avoin yhtio",
         "sac", "saa", "sae", "spc", "kscc", "kscp", "nuf", "partg", "c a",
+        # r8 jurisdiction breadth (public cleanco/GLEIF-style suffix forms):
+        # FR unipersonnelle/civile/participation full forms, LatAm SAS +
+        # Spanish-language partnership/EIRL full forms, PT quota companies,
+        # FI/NO/SE full public-company and partnership forms, ex-Yugoslav +
+        # BG + GR + UA + CZ + HU transliterated full forms, DE OHG/GbR/e.K.
+        # full forms + AT small partnerships, NL mutuals, RU additional-
+        # liability companies, CN/JP/KR/VN transliterated forms, IN one-
+        # person companies, AU no-liability/ILP, UK/IE mutuals, and the
+        # spaced single-letter variants of already-covered dotted forms
+        "societe par actions simplifiee unipersonnelle",
+        "entreprise unipersonnelle a responsabilite limitee",
+        "societe en participation", "societe civile",
+        "groupement d interet economique", "societe d economie mixte",
+        "sociedad por acciones simplificada", "sociedad civil",
+        "sociedad en nombre colectivo", "sociedad en comandita por acciones",
+        "sociedad en comandita simple",
+        "empresa individual de responsabilidad limitada",
+        "sociedade unipessoal por quotas", "sociedade por quotas",
+        "sociedade em nome coletivo", "societa consortile per azioni",
+        "kommandiittiyhtio", "allmennaksjeselskap", "ansvarlig selskap",
+        "publikt aktiebolag", "akcionarsko drustvo",
+        "drustvo sa ogranicenom odgovornoscu", "komanditno drustvo",
+        "aktsionerno druzhestvo", "druzhestvo s ogranichena otgovornost",
+        "etaireia periorismenis efthynis", "anonymi etaireia",
+        "idiotiki kefalaiouchiki etaireia", "omorrythmos etaireia",
+        "eterorrythmos etaireia",
+        "tovarystvo z obmezhenoyu vidpovidalnistyu",
+        "spolecnost s rucenim omezenym", "verejna obchodni spolecnost",
+        "komanditni spolecnost", "korlatolt felelossegu tarsasag",
+        "reszvenytarsasag", "beteti tarsasag", "kozkereseti tarsasag",
+        "zartkoruen mukodo reszvenytarsasag",
+        "nyilvanosan mukodo reszvenytarsasag", "dionicko drustvo",
+        "offene handelsgesellschaft", "eingetragener kaufmann",
+        "eingetragene kauffrau", "gesellschaft burgerlichen rechts",
+        "kommanditaktiengesellschaft", "onderlinge waarborgmaatschappij",
+        "obshchestvo s dopolnitelnoy otvetstvennostyu",
+        "youxian zeren gongsi", "godo gaisha", "jusik hoesa", "hapja hoesa",
+        "hapmyeong hoesa", "cong ty trach nhiem huu han", "cong ty co phan",
+        "one person company", "incorporated limited partnership",
+        "no liability", "credit union", "building society",
+        "ohf", "abp", "plt", "opc", "ctcp", "zat", "vat", "odo", "gesbr",
+        "keg", "oeg", "anstalt", "persero", "sccl", "scp", "sep",
+        "o u", "a p s", "a b", "o y", "g k", "y k", "e p e", "i k e",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -1013,6 +1056,74 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "sac": ["private"], "saa": ["public"], "sae": ["public"],
     "spc": ["private"], "kscc": ["private"], "kscp": ["public"],
     "nuf": ["private"],
+    # r8 additions (same public cleanco/GLEIF-style sources as the terms)
+    "societe par actions simplifiee unipersonnelle": ["public"],
+    "entreprise unipersonnelle a responsabilite limitee": ["private"],
+    "societe en participation": ["partnership"],
+    "societe civile": ["partnership"],
+    "groupement d interet economique": ["partnership"],
+    "societe d economie mixte": ["corporation"],
+    "sociedad por acciones simplificada": ["public"],
+    "sociedad civil": ["partnership"],
+    "sociedad en nombre colectivo": ["partnership"],
+    "sociedad en comandita por acciones": ["partnership"],
+    "sociedad en comandita simple": ["partnership"],
+    "empresa individual de responsabilidad limitada": ["private"],
+    "sociedade unipessoal por quotas": ["private"],
+    "sociedade por quotas": ["private"],
+    "sociedade em nome coletivo": ["partnership"],
+    "societa consortile per azioni": ["public"],
+    "kommandiittiyhtio": ["partnership"],
+    "allmennaksjeselskap": ["public"],
+    "ansvarlig selskap": ["partnership"],
+    "publikt aktiebolag": ["public"],
+    "akcionarsko drustvo": ["public"],
+    "drustvo sa ogranicenom odgovornoscu": ["private"],
+    "komanditno drustvo": ["partnership"],
+    "aktsionerno druzhestvo": ["public"],
+    "druzhestvo s ogranichena otgovornost": ["private"],
+    "etaireia periorismenis efthynis": ["private"],
+    "anonymi etaireia": ["public"],
+    "idiotiki kefalaiouchiki etaireia": ["private"],
+    "omorrythmos etaireia": ["partnership"],
+    "eterorrythmos etaireia": ["partnership"],
+    "tovarystvo z obmezhenoyu vidpovidalnistyu": ["private"],
+    "spolecnost s rucenim omezenym": ["private"],
+    "verejna obchodni spolecnost": ["partnership"],
+    "komanditni spolecnost": ["partnership"],
+    "korlatolt felelossegu tarsasag": ["private"],
+    "reszvenytarsasag": ["public"],
+    "beteti tarsasag": ["partnership"],
+    "kozkereseti tarsasag": ["partnership"],
+    "zartkoruen mukodo reszvenytarsasag": ["public"],
+    "nyilvanosan mukodo reszvenytarsasag": ["public"],
+    "dionicko drustvo": ["public"],
+    "offene handelsgesellschaft": ["partnership"],
+    "eingetragener kaufmann": ["private"],
+    "eingetragene kauffrau": ["private"],
+    "gesellschaft burgerlichen rechts": ["partnership"],
+    "kommanditaktiengesellschaft": ["partnership"],
+    "onderlinge waarborgmaatschappij": ["cooperative"],
+    "obshchestvo s dopolnitelnoy otvetstvennostyu": ["private"],
+    "youxian zeren gongsi": ["private"],
+    "godo gaisha": ["limited liability"],
+    "jusik hoesa": ["public"], "hapja hoesa": ["partnership"],
+    "hapmyeong hoesa": ["partnership"],
+    "cong ty trach nhiem huu han": ["private"],
+    "cong ty co phan": ["public"],
+    "one person company": ["private"],
+    "incorporated limited partnership": ["partnership"],
+    "no liability": ["corporation"],
+    "credit union": ["cooperative"], "building society": ["cooperative"],
+    "ohf": ["public"], "abp": ["public"],
+    "plt": ["limited liability partnership"], "opc": ["private"],
+    "ctcp": ["public"], "zat": ["public"], "vat": ["public"],
+    "odo": ["private"], "gesbr": ["partnership"], "keg": ["partnership"],
+    "oeg": ["partnership"], "anstalt": ["private"], "persero": ["public"],
+    "sccl": ["cooperative"], "scp": ["partnership"], "sep": ["partnership"],
+    "o u": ["private"], "a p s": ["private"], "a b": ["public"],
+    "o y": ["private"], "g k": ["limited liability"], "y k": ["private"],
+    "e p e": ["private"], "i k e": ["private"],
 }
 
 

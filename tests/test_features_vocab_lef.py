@@ -403,3 +403,61 @@ def test_lef_business_type_r7_jurisdictions(spark, n1, n2, cat):
     df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
     row = lef_features(df, include_business_type=True).collect()[0]
     assert row["f_bt_match"] == cat, (row["bt1"], row["bt2"])
+
+
+@pytest.mark.parametrize("name,lef", [
+    # Czech full private form (vs the Slovak 'spolocnost' spelling already
+    # covered) and the Czech partnership full forms
+    ("acme spolecnost s rucenim omezenym", "spolecnost s rucenim omezenym"),
+    ("acme verejna obchodni spolecnost", "verejna obchodni spolecnost"),
+    # Greek transliterated full forms
+    ("acme etaireia periorismenis efthynis", "etaireia periorismenis efthynis"),
+    ("acme anonymi etaireia", "anonymi etaireia"),
+    # Vietnamese + Chinese transliterated forms
+    ("acme cong ty co phan", "cong ty co phan"),
+    ("acme youxian zeren gongsi", "youxian zeren gongsi"),
+    # German full OHG / e.K. forms
+    ("acme offene handelsgesellschaft", "offene handelsgesellschaft"),
+    ("acme eingetragener kaufmann", "eingetragener kaufmann"),
+    # stacked: full Hungarian public form after a name, longest-first
+    ("acme zartkoruen mukodo reszvenytarsasag",
+     "zartkoruen mukodo reszvenytarsasag"),
+    # spaced dotted forms + AT/UA/BY single tokens
+    ("acme o u", "o u"),
+    ("acme a p s", "a p s"),
+    ("acme keg", "keg"),
+    ("acme zat", "zat"),
+    # UK mutuals / AU no-liability
+    ("acme building society", "building society"),
+    ("northern gold mines no liability", "no liability"),
+])
+def test_lef_r8_term_breadth(spark, name, lef):
+    from entitymatchingmodel_spark.operators.features import extract_lef
+
+    df = spark.createDataFrame([(name,)], "n string")
+    assert df.select(extract_lef(F.col("n")).alias("l")).collect()[0]["l"] == lef
+
+
+@pytest.mark.parametrize(
+    ("n1", "n2", "cat"),
+    [
+        # Czech full private form vs German GmbH
+        ("acme spolecnost s rucenim omezenym", "acme gmbh", "identical"),
+        # Greek public full form vs French SA
+        ("acme anonymi etaireia", "acme societe anonyme", "identical"),
+        # Vietnamese JSC vs Korean JSC (both 'public')
+        ("acme cong ty co phan", "acme jusik hoesa", "identical"),
+        # Norwegian full public form vs Swedish full public form
+        ("acme allmennaksjeselskap", "acme publikt aktiebolag", "identical"),
+        # credit union (cooperative) vs plc: no overlap
+        ("acme credit union", "acme plc", "no_match"),
+        # Austrian small partnership vs Spanish sociedad civil
+        ("acme keg", "acme sociedad civil", "identical"),
+    ],
+)
+def test_lef_business_type_r8_jurisdictions(spark, n1, n2, cat):
+    from entitymatchingmodel_spark.operators.features import lef_features
+
+    df = spark.createDataFrame([(n1, n2)], "preprocessed string, gt_preprocessed string")
+    row = lef_features(df, include_business_type=True).collect()[0]
+    assert row["f_bt_match"] == cat, (row["bt1"], row["bt2"])

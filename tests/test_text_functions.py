@@ -76,6 +76,12 @@ def test_lang_id_chargram_detects_planted_languages(spark):
         (17, "Rubah cepat yang melompat dan berlari dengan anjing untuk pergi ke hutan yang tidak kita kenal.", "id"),
         (18, "Rychla liska skace pres lineho psa a bezi do lesa ktery pro nas neni znamy a je pod kopcem.", "cs"),
         (19, "Az okos roka atugrik a lusta kutya felett es nem szalad az erdobe hogy egy nap meg lassuk.", "hu"),
+        # r8 tranche (no/vi/ca/sk/hr)
+        (20, "Den raske reven og hunden ble ikke som andre og lober fra skogen til vannet av en grunn som han har.", "no"),
+        (21, "Con cao nhanh nhay qua con cho luoi va chay vao trong rung cua chung ta khong ai biet duoc ngay nay.", "vi"),
+        (22, "La guineu rapida salta per sobre dels gossos mandrosos i corre cap al bosc que tenim amb els amics.", "ca"),
+        (23, "Ako rychla liska pre nas skace cez psa do lesa ktory sa vola stary a nie je znamy v tych miestach ktore mame.", "sk"),
+        (24, "Brza lisica skace preko lijenog psa koji se ne da i bit ce da ima sto na putu ali se ne zna je li to sve.", "hr"),
     ]
     df = spark.createDataFrame(rows, "id long, text string, want string")
     got = df.select("id", "want", lang_id_chargram(F.col("text")).alias("lang")).collect()
