@@ -330,6 +330,61 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs, "doc_id", "text")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule table (Rae et al. 2021 §A1.1.2 defaults):
+    per-doc word/line rule columns + the keep flag, one map-only
+    projection — every ratio is a per-row integer division rounded to
+    6dp, so the oracle is EXACT."""
+    from entitymatchingmodel_spark.functions.text import gopher_rules_table
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return gopher_rules_table(docs, "doc_id", "text")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus observability rollup ("data card" numbers): ONE
+    map-side-combined aggregate — counts/sums exact, averages rounded to
+    6dp (the quality formula is the same fragment the curation oracle
+    mirrors)."""
+    from entitymatchingmodel_spark.functions.text import corpus_profile
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return corpus_profile(docs, "source", "text")
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL normalization: each doc gets a deterministic planted
+    URL (scheme/WWW case, utm query, fragment, trailing-slash variants by
+    doc_id — the same plant-then-transform pattern as pii_scrub/lang_id),
+    then host/domain/registered-domain/normalized-key columns.  Pure
+    anchored-regex pipeline in the Java∩RE2 subset — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.web import (
+        url_domain,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=news"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#section-2"))
+        .otherwise(F.lit("/"))
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/Docs/"),
+        (F.col("doc_id") % 5).cast("string"), F.lit("/"),
+        F.col("doc_id").cast("string"), tail,
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    return planted.select(
+        "doc_id",
+        url_domain(F.col("url")).alias("domain"),
+        url_registered_domain(F.col("url")).alias("reg_domain"),
+        url_normalize(F.col("url")).alias("url_norm"),
+    )
+
+
 # ASCII-only planted phrases for the lang-id contract (the synthetic corpus
 # text is language-agnostic, so each doc gets a deterministic language tag
 # appended — the same plant-then-detect pattern as pii_scrub).
@@ -1890,77 +1945,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate for the CORRECTNESS check only (the bench
     shuffles its own execution order per repeat, see bench.py): the
     driver's correctness file holds at most 50 rows per round, so queries
-    are listed most-in-need-of-a-check first — (1) the 17 oracle-checkable
-    queries whose last green row is r05 (the r6 tail, rotated back in per
-    the r6 verdict, the five whose files changed additively in r6 first),
-    (2) new in r7 (events_interval_join_left, ivf_index_topk,
-    streaming_curation, kmeans_clusters, cluster_balanced_sample,
-    tpch_q6_forecast, tpch_q3_shipping, exact_quantiles,
-    temperature_mix, lm_perplexity, grouped_quantiles,
-    kmeans_stream_assign, cossim_lsh_topk), (3) r06-green
-    queries whose code
-    paths changed in r7 (validate guards in fuzzy/semantic dedup,
-    persist_handles in ann, the streaming source-dir refactor, the lang-id
-    profile and LEF dictionary growth) or that round 6 flagged as
-    bench-watch items, (4) stable r06-green queries.
-    The 31-query tail (81 total - 50 window) is exactly the set that is
-    BOTH green in CORRECTNESS_r06 AND untouched (or only additively
-    extended, e.g. the LEF dict behind pair/vocab features — every tail
-    query re-verified exact this session via tools/check_oracle.py) by
-    round 7 — plus the
+    are listed most-in-need-of-a-check first — (1) the 27 oracle-checkable
+    queries whose last green row is r06 (the r7 tail, rotated back in per
+    the r7 verdict, the five whose files changed in r7 first:
+    vocab/pair features grew the LEF dict, agg/cossim/dup shared-module
+    churn), (2) new in r8 (lm_fit_score, temperature_mix_up,
+    resample_to_mix), (3) queries whose code paths changed in r8 (the
+    KMeansModel/BigramLM persistence rows, the lm_perplexity delegation
+    refactor, sampling.py upsample additions, the LSH cache rotation +
+    fail-fast, the IVF nlist reconciliation, the lang-id/LEF growth, the
+    stream-runner single-batch assertion), (4) round-8-probed watch items.
+    The 34-query tail (84 total - 50 window) is exactly the set that is
+    BOTH green in CORRECTNESS_r07 AND untouched by round 8 — plus the
     four rows-only-by-design queries, which carry no oracle wherever they
     sit — so a 50-row cutoff leaves every oracle-checkable query with a
     green row no older than one round."""
     return {
-        # --- tier 1: last green row is r05 (the r6 tail); first the five
-        # whose files changed additively in r6 ---
-        "events_interval_join": q_events_interval_join,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        # --- tier 1: last green row is r06 (the r7 tail); first the five
+        # whose files changed in r7 ---
+        "vocab_features": q_vocab_features,
+        "pair_features": q_pair_features,
+        "agg_max_freq": q_agg_max_freq,
+        "cossim_char_blocked": q_cossim_char_blocked,
+        "dup_clusters": q_dup_clusters,
+        "topn_per_group": q_topn_per_group,
+        "naive_pairs": q_naive_pairs,
+        "dedup_passages": q_dedup_passages,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "events_windowed": q_events_windowed,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_drop": q_dedup_drop,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
+        "cossim_word_topk": q_cossim_word_topk,
+        "sni_window": q_sni_window,
+        "rank_features": q_rank_features,
+        "best_match": q_best_match,
+        "agg_mean_score": q_agg_mean_score,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "threshold_curves": q_threshold_curves,
+        "auc": q_auc,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "stratified_sample": q_stratified_sample,
+        "grouped_split": q_grouped_split,
+        # --- tier 2: new in r8 ---
+        "lm_fit_score": q_lm_fit_score,
+        "temperature_mix_up": q_temperature_mix_up,
+        "resample_to_mix": q_resample_to_mix,
+        "gopher_quality": q_gopher_quality,
+        "corpus_stats": q_corpus_stats,
+        "url_normalize": q_url_normalize,
+        # --- tier 3: code path touched in r8 ---
+        "kmeans_stream_assign": q_kmeans_stream_assign,  # save/load cycle now
+        "streaming_curation": q_streaming_curation,      # single-batch assert
+        "lm_perplexity": q_lm_perplexity,                # BigramLM delegation
+        "temperature_mix": q_temperature_mix,            # sampling.py churn
         "source_cap": q_source_cap,
         "sample_mix": q_sample_mix,
         "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
+        "curation_pipeline": q_curation_pipeline,
+        "cossim_lsh_topk": q_cossim_lsh_topk,            # cache rotation
+        "ivf_topk": q_ivf_topk,                          # ann.py churn
+        "ivf_index_topk": q_ivf_index_topk,
+        "kmeans_clusters": q_kmeans_clusters,            # clustering.py churn
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "lang_id": q_lang_id,                            # 21 profiles (was 16)
+        "lef_match": q_lef_match,                        # 465 forms (was 381)
+        "streaming_sessions": q_streaming_sessions,      # stream-runner churn
+        # --- tail: green in r07 AND untouched (or only additively
+        # extended) in r8 (37 = 87 - 50), including the four
+        # rows-only-by-design queries; country_match/streaming_time_join/
+        # embed_near_pairs lead it (file-churn-adjacent or r8-probed) ---
+        "country_match": q_country_match,
+        "streaming_time_join": q_streaming_time_join,
+        "embed_near_pairs": q_embed_near_pairs,
+        "events_interval_join_left": q_events_interval_join_left,
+        "events_interval_join": q_events_interval_join,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "cossim_broadcast_topk": q_cossim_broadcast_topk,
         "dedup_exact": q_dedup_exact,
         "dup_spans": q_dup_spans,
-        "embed_near_pairs": q_embed_near_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "events_asof": q_events_asof,
         "events_asof_forward": q_events_asof_forward,
         "events_sliding": q_events_sliding,
         "events_json": q_events_json,
-        "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
-        "streaming_time_join": q_streaming_time_join,
-        # --- tier 2: new in r7 ---
-        "events_interval_join_left": q_events_interval_join_left,
-        "ivf_index_topk": q_ivf_index_topk,
-        "streaming_curation": q_streaming_curation,
-        "kmeans_clusters": q_kmeans_clusters,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "kmeans_stream_assign": q_kmeans_stream_assign,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "exact_quantiles": q_exact_quantiles,
-        "temperature_mix": q_temperature_mix,
-        "temperature_mix_up": q_temperature_mix_up,
-        "resample_to_mix": q_resample_to_mix,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_fit_score": q_lm_fit_score,
         "grouped_quantiles": q_grouped_quantiles,
-        "cossim_lsh_topk": q_cossim_lsh_topk,
-        # --- tier 3: code path touched additively in r7, or r6 bench-watch ---
         "fuzzy_dedup": q_fuzzy_dedup,
         "semantic_dedup": q_semantic_dedup,
-        "ivf_topk": q_ivf_topk,
-        "streaming_sessions": q_streaming_sessions,
         "line_dedup": q_line_dedup,
         "ngram_jaccard": q_ngram_jaccard,
-        "curation_pipeline": q_curation_pipeline,
-        # r7 substantive changes: 6 new trigram profiles + 13-phrase
-        # planting (lang_id), ~90 new suffix terms (lef_match)
-        "lang_id": q_lang_id,
-        "lef_match": q_lef_match,
-        # --- tier 4: stable (green r06) ---
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
@@ -1971,36 +2052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vocab": q_tfidf_vocab,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
-        "country_match": q_country_match,
-        "topn_per_group": q_topn_per_group,
-        "naive_pairs": q_naive_pairs,
-        "dedup_passages": q_dedup_passages,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "agg_max_freq": q_agg_max_freq,
-        "events_windowed": q_events_windowed,
-        "simhash": q_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "dedup_drop": q_dedup_drop,
-        "events_sessions": q_events_sessions,
-        # --- tail: green in r06 AND untouched in r7 (21 = 71 - 50),
-        # including the four rows-only-by-design queries ---
-        "events_rollup": q_events_rollup,
-        "vocab_features": q_vocab_features,
-        "cossim_word_topk": q_cossim_word_topk,
-        "sni_window": q_sni_window,
-        "rank_features": q_rank_features,
-        "best_match": q_best_match,
-        "agg_mean_score": q_agg_mean_score,
-        "media_metadata": q_media_metadata,
-        "media_features": q_media_features,
-        "pair_features": q_pair_features,
-        "threshold_curves": q_threshold_curves,
-        "auc": q_auc,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "stratified_sample": q_stratified_sample,
-        "cossim_char_blocked": q_cossim_char_blocked,
-        "grouped_split": q_grouped_split,
-        "dup_clusters": q_dup_clusters,
         "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
         "supervised_score_only": q_supervised_score_only,
         "supervised_quality": q_supervised_quality,  # rows-only by design
@@ -2861,6 +2912,96 @@ _ORACLE = {
                  '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'
                  )) AS INT) AS n_bpe_tokens
         FROM tok
+    """,
+    # mirrors functions/text.gopher_rules_table (Gopher defaults): words =
+    # \s+ split, lines = non-blank chr(10) splits, non-overlapping
+    # replace()-counted '#'/'...' symbols, per-row divisions rounded to 6dp
+    "gopher_quality": r"""
+        WITH w AS (SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     len(words) AS nw, len(lines) AS nl,
+                     (length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3 AS nsym,
+                     len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+                     list_sum(list_transform(words, x -> length(x))) AS wchars,
+                     len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS nbul,
+                     len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS nell
+              FROM w),
+        r AS (SELECT doc_id,
+                     CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+                     CASE WHEN nw > 0 THEN round(wchars / CAST(nw AS DOUBLE), 6) END AS mean_word_len,
+                     CASE WHEN nw > 0 THEN round(nsym / CAST(nw AS DOUBLE), 6) END AS symbol_ratio,
+                     CASE WHEN nl > 0 THEN round(nbul / CAST(nl AS DOUBLE), 6) END AS bullet_ratio,
+                     CASE WHEN nl > 0 THEN round(nell / CAST(nl AS DOUBLE), 6) END AS ellipsis_ratio,
+                     CASE WHEN nw > 0 THEN round(nalpha / CAST(nw AS DOUBLE), 6) END AS alpha_word_ratio
+              FROM m)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+               ellipsis_ratio, alpha_word_ratio,
+               coalesce(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                        AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8,
+                        FALSE) AS keep
+        FROM r
+    """,
+    # mirrors functions/text.corpus_profile: tokens = the corpus-wide
+    # lowercase [^a-z0-9]+ convention; quality = the same per-row fragment
+    # the curation_pipeline oracle mirrors (rounded per row, then the avg
+    # rounded again)
+    "corpus_stats": """
+        WITH tok AS (SELECT source, text,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                     FROM documents),
+        q AS (SELECT source, text, toks,
+                     round(
+                       (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+                       * (CASE WHEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) BETWEEN 2 AND 12
+                               THEN 1.0 ELSE 0.5 END)
+                       * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS qual
+              FROM tok)
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               CAST(sum(coalesce(len(toks), 0)) AS BIGINT) AS total_tokens,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+               round(avg(coalesce(len(toks), 0)), 6) AS avg_tokens,
+               round(avg(qual), 6) AS avg_quality
+        FROM q GROUP BY source
+    """,
+    # mirrors functions/web.py exactly (every regex is ANCHORED, so
+    # DuckDB's replace-first == Spark's replace-all) over the same
+    # doc_id-planted URL the Spark row builds
+    "url_normalize": r"""
+        WITH u AS (SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.Example.COM/Docs/'
+                       || CAST(doc_id % 5 AS VARCHAR) || '/'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '' WHEN 1 THEN '?utm_source=news'
+                            WHEN 2 THEN '#section-2' ELSE '/' END AS url
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', ''),
+                       '\?.*$', '') AS bare
+              FROM u),
+        h AS (SELECT doc_id, bare,
+                     lower(regexp_replace(regexp_replace(
+                       regexp_extract(bare, '^([^/]*)', 1),
+                       '^[^@/]*@', ''), ':[0-9]+$', '')) AS host
+              FROM b),
+        d AS (SELECT doc_id, bare,
+                     regexp_replace(host, '^www\.', '') AS domain
+              FROM h)
+        SELECT doc_id, domain,
+               regexp_extract(domain, '([^.]+\.[^.]+)$', 1) AS reg_domain,
+               domain || regexp_replace(regexp_replace(bare, '^[^/]*', ''),
+                                        '/$', '') AS url_norm
+        FROM d
     """,
     # mirrors lang_scores_chargram: normalize -> overlapping trigrams ->
     # per-language profile hit counts -> argmax with alphabetical tie-break

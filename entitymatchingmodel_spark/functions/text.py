@@ -376,3 +376,130 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
         bpe_token_count(c).cast("int").alias("n_bpe_tokens"),
     )
+
+
+def gopher_rules_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021 §A1.1.2,
+    public paper; also the C4/RefinedWeb rule family) as ONE map-only
+    projection — the rule columns a curation pipeline filters and audits
+    on, not just a scalar score (complements :func:`quality_score`).
+
+    Per document: ``n_words`` (whitespace words — Gopher's unit, unlike
+    :func:`tokens`' alnum runs), ``mean_word_len``, ``symbol_ratio``
+    (non-overlapping '#'/'...' counts per word), ``bullet_ratio`` /
+    ``ellipsis_ratio`` (fraction of lines starting with a bullet /
+    ending with an ellipsis), ``alpha_word_ratio`` (fraction of words
+    containing an ASCII letter — the ASCII simplification keeps the
+    Java-regex and ANSI-SQL engines bit-identical), and ``keep`` — the
+    AND of the Gopher thresholds (defaults from the paper).
+
+    NULL/empty text keeps its row: counts 0, ratios NULL, ``keep`` false
+    (the corpus-wide all-NULL convention).  Ratios are per-row divisions
+    of integers (IEEE-identical in both engines) rounded to 6dp; no
+    aggregation, no shuffle — the filter pushes to the scan at any scale.
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(txt, "\\s+"), lambda w: w != "")
+    n_words = F.size(words)  # -1 for NULL text
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    # non-overlapping occurrence counts via length deltas (the same
+    # replace()-counting contract as the lang-id scorer; '#' is length 1
+    # so overlap is moot, '...' counts greedily left-to-right)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+
+    r6 = lambda c: F.round(c, 6)
+    mean_word_len = F.when(
+        n_words > 0, r6(total_word_chars / n_words.cast("double"))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, r6((n_hash + n_ellipsis) / n_words.cast("double"))
+    )
+    bullet_ratio = F.when(
+        n_lines > 0, r6(n_bullet / n_lines.cast("double"))
+    )
+    ellipsis_ratio = F.when(
+        n_lines > 0, r6(n_ell_end / n_lines.cast("double"))
+    )
+    alpha_ratio = F.when(
+        n_words > 0, r6(n_alpha_words / n_words.cast("double"))
+    )
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        F.greatest(n_words, F.lit(0)).cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-group corpus observability rollup — the "data card" numbers a
+    curation pipeline reports per source/domain/language shard:
+    ``(group, n_docs, n_empty, total_tokens, total_chars, avg_tokens,
+    avg_quality)``.
+
+    ONE map-side-combined aggregate over the corpus (counts and sums
+    partial-combine; output is n_groups rows), so the rollup costs a
+    single bounded shuffle at any scale.  ``avg_quality`` uses
+    ``quality_col`` if given, else :func:`quality_score` computed
+    in-flight; averages are rounded to 6dp (sum order over doubles is the
+    only engine-variant step; integer counts/sums are exact).
+    """
+    q = F.col(quality_col) if quality_col is not None else quality_score(F.col(text_col))
+    nt = token_count(F.col(text_col))
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col(text_col).isNull() | (F.length(text_col) == 0), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_empty"),
+            F.sum(F.greatest(nt, F.lit(0))).cast("long").alias("total_tokens"),
+            F.sum(F.coalesce(F.length(text_col), F.lit(0))).cast("long").alias("total_chars"),
+            F.round(F.avg(F.greatest(nt, F.lit(0))), 6).alias("avg_tokens"),
+            F.round(F.avg(q), 6).alias("avg_quality"),
+        )
+    )

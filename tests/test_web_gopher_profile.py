@@ -1,0 +1,146 @@
+"""Unit tests for URL normalization (functions/web.py), Gopher-style
+quality rules and the corpus-profile rollup (functions/text.py r8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.functions.web import (
+    url_domain,
+    url_host,
+    url_normalize,
+    url_registered_domain,
+)
+
+
+@pytest.mark.parametrize("url,host,domain,reg,norm", [
+    ("https://www.Example.COM/Path/A?q=1#frag",
+     "www.example.com", "example.com", "example.com", "example.com/Path/A"),
+    ("http://sub.a.Example.org:8080/x/",
+     "sub.a.example.org", "sub.a.example.org", "example.org",
+     "sub.a.example.org/x"),
+    ("ftp://user:pw@Files.example.net/d",
+     "files.example.net", "files.example.net", "example.net",
+     "files.example.net/d"),
+    # scheme-less input, bare domain, fragment containing a '?'
+    ("www.test.de", "www.test.de", "test.de", "test.de", "test.de"),
+    ("example.io/a/b#sec?not-query",
+     "example.io", "example.io", "example.io", "example.io/a/b"),
+    # path case preserved; query dropped before the trailing-slash trim
+    ("HTTPS://EXAMPLE.com/KeepCase/?utm=x",
+     "example.com", "example.com", "example.com", "example.com/KeepCase"),
+])
+def test_url_functions(spark, url, host, domain, reg, norm):
+    df = spark.createDataFrame([(url,)], "u string")
+    row = df.select(
+        url_host(F.col("u")).alias("h"),
+        url_domain(F.col("u")).alias("d"),
+        url_registered_domain(F.col("u")).alias("r"),
+        url_normalize(F.col("u")).alias("n"),
+    ).collect()[0]
+    assert (row["h"], row["d"], row["r"], row["n"]) == (host, domain, reg, norm)
+
+
+def test_url_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("",)], "u string")
+    rows = df.select(
+        url_host(F.col("u")).alias("h"),
+        url_normalize(F.col("u")).alias("n"),
+    ).collect()
+    assert all(r["h"] is None and r["n"] is None for r in rows)
+
+
+def test_url_dedup_collapses_variants(spark):
+    """The C4 posture: scheme/www/query/fragment/trailing-slash variants
+    of one page collapse to a single normalized key."""
+    variants = [
+        "https://www.example.com/a",
+        "http://example.com/a/",
+        "example.com/a?utm_source=x",
+        "HTTPS://EXAMPLE.COM/a#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    assert (
+        df.select(url_normalize(F.col("u")).alias("k")).distinct().count() == 1
+    )
+
+
+def _py_gopher(text):
+    import re
+
+    if text is None:
+        return (0, None, None, None, None, None, False)
+    words = [w for w in re.split(r"\s+", text) if w]
+    n = len(words)
+    lines = [l for l in text.split("\n") if l.strip()]
+    nl = len(lines)
+    r6 = lambda x: round(x, 6)
+    mwl = r6(sum(map(len, words)) / n) if n else None
+    sym = r6((text.count("#") + text.count("...")) / n) if n else None
+    bul = r6(sum(1 for l in lines if re.match(r"^[-*•]", l.lstrip())) / nl) if nl else None
+    ell = r6(sum(1 for l in lines if l.rstrip().endswith("...")) / nl) if nl else None
+    alp = r6(sum(1 for w in words if re.search("[a-zA-Z]", w)) / n) if n else None
+    keep = bool(
+        n >= 5 and n <= 100000 and mwl is not None and 3 <= mwl <= 10
+        and sym <= 0.1 and bul <= 0.9 and ell <= 0.3 and alp >= 0.8
+    )
+    return (n, mwl, sym, bul, ell, alp, keep)
+
+
+def test_gopher_rules_match_python_mirror(spark):
+    from entitymatchingmodel_spark.functions.text import gopher_rules_table
+
+    rows = [
+        (1, "A perfectly normal document with enough clean words to pass the gate today."),
+        (2, "short one"),                                   # too few words
+        (3, "# # # # # hash heavy line with many symbols"),  # symbol ratio
+        (4, "- bullet one\n- bullet two\n- bullet three"),   # all bullets
+        (5, "trailing dots...\nmore dots...\nplain line here we go along"),
+        (6, "12 34 56 78 90 11 22"),                        # no alpha words
+        (7, None),                                          # NULL text
+        (8, ""),                                            # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_word_len"], r["symbol_ratio"],
+            r["bullet_ratio"], r["ellipsis_ratio"], r["alpha_word_ratio"],
+            r["keep"],
+        )
+        for r in gopher_rules_table(df, "doc_id", "text", min_words=5).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_gopher(t), (i, got[i], _py_gopher(t))
+    # default thresholds from the paper reject the short doc too
+    strict = {r["doc_id"]: r["keep"] for r in
+              gopher_rules_table(df, "doc_id", "text").collect()}
+    assert strict[1] is False  # 13 words < default min 50
+
+
+def test_corpus_profile_rollup(spark):
+    from entitymatchingmodel_spark.functions.text import (
+        corpus_profile,
+        quality_score,
+        token_count,
+    )
+
+    rows = [
+        (1, "s1", "alpha beta gamma delta epsilon"),
+        (2, "s1", "one two three"),
+        (3, "s1", None),
+        (4, "s2", "hello world again and again today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           corpus_profile(df, "source", "text").collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_empty"] == 1
+    assert got["s1"]["total_tokens"] == 8
+    assert got["s2"]["n_docs"] == 1 and got["s2"]["total_tokens"] == 6
+    # avg_quality matches the per-row quality_score mean (round 6)
+    qs = [r["q"] for r in df.filter("source = 's1'")
+          .select(quality_score(F.col("text")).alias("q")).collect()]
+    qs = [q for q in qs if q is not None]
+    assert abs(got["s1"]["avg_quality"] - round(sum(qs) / len(qs), 6)) < 1e-6
+    # partition invariance
+    spread = {tuple(r) for r in
+              corpus_profile(df.repartition(7), "source", "text").collect()}
+    assert spread == {tuple(r) for r in corpus_profile(df, "source", "text").collect()}
