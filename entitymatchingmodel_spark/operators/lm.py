@@ -186,9 +186,9 @@ class BigramLM:
                 "score_decimals": self.score_decimals,
             }
         )
-        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-            "overwrite"
-        ).json(f"{path}/meta.json")
+        from entitymatchingmodel_spark.session import write_meta_json
+
+        write_meta_json(spark, f"{path}/meta.json", meta)
 
     @classmethod
     def load(

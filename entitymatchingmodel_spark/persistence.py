@@ -28,9 +28,19 @@ from entitymatchingmodel_spark.pipeline import _BLOCKING, SparkEntityMatching
 
 def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
     # Single-row text write: scheme-agnostic (no local-FS assumption).
-    spark.createDataFrame([(json.dumps(obj),)], "v string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(path)
+    # range(1) + lit projection, NOT createDataFrame: the LocalRelation/
+    # parallelize write path stalls ~4s per write in local mode (measured
+    # r8, see session.write_meta_json) — a multi-indexer save_model pays
+    # that once per meta file.
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(F.lit(json.dumps(obj)).alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:

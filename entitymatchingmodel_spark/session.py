@@ -67,3 +67,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def write_meta_json(spark: SparkSession, path: str, payload: str) -> None:
+    """Write a 1-row ``meta string`` JSON side-file via a ``range(1)``
+    projection instead of ``createDataFrame([...])``: the LocalRelation /
+    parallelize write path stalls ~4s PER WRITE in local mode (measured
+    r8: 4.3-5.8s vs 0.14s for the identical bytes), which dominated every
+    model ``save()``.  Scheme-agnostic like the rest of the persistence
+    layer (plain DataFrame write)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(F.lit(payload).alias("meta"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path)
+    )
