@@ -385,6 +385,33 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunking contract parameters — the oracle is GENERATED from these
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window document chunking (training-sample / RAG
+    passage prep): map-only sequence+posexplode+slice, no shuffle; chunk
+    boundaries are pure integer arithmetic — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.text import chunk_documents
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP)
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k tokens per language shard (corpus vocabulary analysis): one
+    map-side-combined (group, token) count + a top-k window over the
+    aggregated vocabulary (never the corpus); token-ascending tie-break
+    — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.text import top_terms
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return top_terms(docs, "lang", "text", k=5)
+
+
 # ASCII-only planted phrases for the lang-id contract (the synthetic corpus
 # text is language-agnostic, so each doc gets a deterministic language tag
 # appended — the same plant-then-detect pattern as pii_scrub).
@@ -1997,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "corpus_stats": q_corpus_stats,
         "url_normalize": q_url_normalize,
+        "chunk_docs": q_chunk_docs,
+        "top_terms": q_top_terms,
         # --- tier 3: code path touched in r8 ---
         "kmeans_stream_assign": q_kmeans_stream_assign,  # save/load cycle now
         "streaming_curation": q_streaming_curation,      # single-batch assert
@@ -2005,7 +2034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "sample_mix": q_sample_mix,
         "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
         "cossim_lsh_topk": q_cossim_lsh_topk,            # cache rotation
         "ivf_topk": q_ivf_topk,                          # ann.py churn
@@ -2014,11 +2042,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "lang_id": q_lang_id,                            # 21 profiles (was 16)
         "lef_match": q_lef_match,                        # 465 forms (was 381)
-        "streaming_sessions": q_streaming_sessions,      # stream-runner churn
         # --- tail: green in r07 AND untouched (or only additively
-        # extended) in r8 (37 = 87 - 50), including the four
-        # rows-only-by-design queries; country_match/streaming_time_join/
-        # embed_near_pairs lead it (file-churn-adjacent or r8-probed) ---
+        # extended) in r8 (39 = 89 - 50), including the four
+        # rows-only-by-design queries; the leading entries are the
+        # file-churn-adjacent or r8-probed ones (pack_sequences /
+        # streaming_sessions: the r8 file churn next to them is
+        # additive-only, and the changed stream-runner branch is
+        # exercised in-window by streaming_curation + kmeans_stream_assign) ---
+        "streaming_sessions": q_streaming_sessions,
+        "pack_sequences": q_pack_sequences,
         "country_match": q_country_match,
         "streaming_time_join": q_streaming_time_join,
         "embed_near_pairs": q_embed_near_pairs,
@@ -2912,6 +2944,37 @@ _ORACLE = {
                  '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'
                  )) AS INT) AS n_bpe_tokens
         FROM tok
+    """,
+    # GENERATED from the same _CHUNK_* constants as q_chunk_docs: starts =
+    # 1, 1+stride, ... <= n - chunk + stride (no redundant tail window),
+    # 1-based inclusive list slicing == Spark's slice(toks, start, chunk)
+    "chunk_docs": f"""
+        WITH tok AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+                     FROM documents),
+        s AS (SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(1,
+                        greatest(1, len(toks) - {_CHUNK_TOKENS}
+                                 + {_CHUNK_TOKENS - _CHUNK_OVERLAP}),
+                        {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS st
+              FROM tok WHERE len(toks) > 0)
+        SELECT doc_id,
+               CAST(floor((st - 1) / {_CHUNK_TOKENS - _CHUNK_OVERLAP}) AS INT) AS chunk_id,
+               CAST(len(toks[CAST(st AS INT): CAST(least(st + {_CHUNK_TOKENS - 1}, n) AS INT)]) AS INT) AS n_tokens,
+               array_to_string(toks[CAST(st AS INT): CAST(least(st + {_CHUNK_TOKENS - 1}, n) AS INT)], ' ') AS chunk
+        FROM s
+    """,
+    # mirrors functions/text.top_terms over the lang shards: one count
+    # per (lang, token), top-5 window with the token-ascending tie-break
+    "top_terms": """
+        WITH t AS (SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+                   FROM documents),
+        c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY lang, token),
+        r AS (SELECT lang, token, n,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+              FROM c)
+        SELECT lang, token, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
     """,
     # mirrors functions/text.gopher_rules_table (Gopher defaults): words =
     # \s+ split, lines = non-blank chr(10) splits, non-overlapping

@@ -503,3 +503,98 @@ def corpus_profile(
             F.round(F.avg(q), 6).alias("avg_quality"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks — the
+    training-sample / RAG-passage preparation step (every pretraining
+    pipeline chunks long documents before packing; every retrieval
+    pipeline chunks before embedding): ``(id_col, chunk_id int, n_tokens
+    int, chunk string)``, chunk text rebuilt by joining the window's
+    tokens with single spaces (the engine's whitespace-normalized token
+    convention — byte-offset-preserving chunking would need the raw
+    offsets a tokenizer UDF provides).
+
+    Unlike :func:`...sampling.pack_sequences` (which packs a GLOBAL
+    stream across documents and needs the distributed prefix sum), the
+    window here is per-document, so the whole operator is ONE map-only
+    projection: ``sequence`` over the chunk starts + ``explode`` +
+    ``slice`` — no shuffle, no state; at 100 TB it's a pure scan.
+
+    ``overlap`` tokens are shared between consecutive chunks (stride =
+    ``chunk_tokens - overlap``); the final chunk may be short, and a
+    short-but-nonempty document yields exactly one chunk.  Zero-token /
+    NULL docs yield no rows (the explode-drops-empty convention of
+    the dedup rebuilds).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts (1-based for slice): 1, 1+stride, ...; a start whose
+    # window would END no further right than the previous chunk's (i.e.
+    # start > n - chunk_tokens + stride) adds only already-covered
+    # tokens and is not generated — so the last chunk may be short but
+    # never redundant, and every token is covered exactly once per
+    # window it belongs to
+    last_start = F.greatest(F.lit(1), n - F.lit(chunk_tokens) + F.lit(stride))
+    starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(stride)))
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_t"), starts.alias("_ss"))
+        .select(
+            id_col,
+            "_t",
+            F.posexplode("_ss").alias("chunk_id", "_start"),
+        )
+    )
+    piece = F.slice(F.col("_t"), F.col("_start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent tokens per group — corpus vocabulary
+    analysis per source/language shard: ``(group, token, n long, rank
+    int)``, ties broken by token ascending (deterministic, engine-
+    portable).
+
+    Scale shape: explode + ONE map-side-combined ``(group, token)``
+    count shuffle (output bounded by per-group vocabulary), then the
+    top-k window partitioned BY GROUP over those counts — the window
+    input is the aggregated vocabulary, never the corpus, so a viral
+    token cannot funnel corpus rows into one task.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "token", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -144,3 +144,76 @@ def test_corpus_profile_rollup(spark):
     spread = {tuple(r) for r in
               corpus_profile(df.repartition(7), "source", "text").collect()}
     assert spread == {tuple(r) for r in corpus_profile(df, "source", "text").collect()}
+
+
+def test_chunk_documents_windows(spark):
+    from entitymatchingmodel_spark.functions.text import chunk_documents
+
+    text10 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    rows = [(1, text10), (2, "a b"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # no overlap: 10 tokens / 4 -> [4, 4, 2]
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect()
+    )
+    assert got == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t5 t6 t7 t8"),
+        (1, 2, 2, "t9 t10"),
+        (2, 0, 2, "a b"),
+    ]
+
+    # overlap 1 (stride 3): starts 1,4,7 — NO redundant tail chunk at 10
+    got = sorted(
+        (r["chunk_id"], r["chunk"])
+        for r in chunk_documents(df.filter("doc_id = 1"), "doc_id", "text",
+                                 chunk_tokens=4, overlap=1).collect()
+    )
+    assert got == [
+        (0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"), (2, "t7 t8 t9 t10"),
+    ]
+
+    # every token of every doc appears in at least one chunk; short doc ->
+    # exactly one chunk; NULL/empty -> no rows
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64).collect()
+    assert {(r["doc_id"], r["chunk_id"]) for r in out} == {(1, 0), (2, 0)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_partition_invariance(spark):
+    from entitymatchingmodel_spark.functions.text import chunk_documents
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(i % 17 + 1)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, chunk_documents(df, "doc_id", "text", 5, 2).collect()))
+    b = sorted(map(tuple, chunk_documents(df.repartition(7), "doc_id", "text",
+                                          5, 2).collect()))
+    assert a == b and a
+
+
+def test_top_terms(spark):
+    from entitymatchingmodel_spark.functions.text import top_terms
+
+    rows = [
+        (1, "s1", "apple apple banana cherry"),
+        (2, "s1", "apple banana banana"),
+        (3, "s2", "zebra zebra yak"),
+        (4, "s2", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = [(r["source"], r["token"], r["n"], r["rank"]) for r in
+           top_terms(df, "source", "text", k=2)
+           .orderBy("source", "rank").collect()]
+    # s1: apple and banana tie at 3 -> token-ascending tie-break
+    assert got == [
+        ("s1", "apple", 3, 1), ("s1", "banana", 3, 2),
+        ("s2", "zebra", 2, 1), ("s2", "yak", 1, 2),
+    ]
