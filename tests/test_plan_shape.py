@@ -358,3 +358,41 @@ def test_kmeans_final_plan_is_scan_broadcast_window(spark):
         "exactly one bounded centroid broadcast expected in the final assignment"
     )
     assert exchange_count(q) <= 2, "final assignment should shuffle only for the id window"
+
+
+def test_r8_map_only_operators_no_shuffle(spark):
+    """The r8 scan-shaped operators must stay EXCHANGE-FREE: chunking,
+    Gopher rules, URL normalization and the repeat-explode resamplers
+    are pure projections/filters — a shuffle appearing here is a plan
+    regression (at 100 TB these run as a single pass over the corpus)."""
+    from entitymatchingmodel_spark.functions.sampling import _group_repeat_explode
+    from entitymatchingmodel_spark.functions.text import (
+        chunk_documents,
+        gopher_rules_table,
+    )
+    from entitymatchingmodel_spark.functions.web import url_normalize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert exchange_count(chunk_documents(docs, "doc_id", "text", 32, 8)) == 0
+    assert exchange_count(gopher_rules_table(docs, "doc_id", "text")) == 0
+    assert exchange_count(
+        docs.select(url_normalize(F.col("source")).alias("u"))
+    ) == 0
+    assert exchange_count(
+        _group_repeat_explode(docs, "doc_id", "lang", {"en": 2.5}, "s")
+    ) == 0
+    # column pruning reaches the scan through the chunk explode
+    cols = scan_columns(chunk_documents(docs, "doc_id", "text", 32, 8))
+    assert cols and set(cols[0]) <= {"doc_id", "text"}, cols
+
+
+def test_r8_aggregate_operators_bounded_shuffles(spark):
+    """corpus_profile is ONE map-side-combined aggregate (single
+    exchange); top_terms is the (group, token) count exchange plus the
+    top-k window over the AGGREGATED vocabulary (two exchanges, never
+    a corpus-row window)."""
+    from entitymatchingmodel_spark.functions.text import corpus_profile, top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert exchange_count(corpus_profile(docs, "source", "text")) == 1
+    assert exchange_count(top_terms(docs, "lang", "text", 5)) <= 2
