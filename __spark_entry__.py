@@ -385,6 +385,30 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# perplexity-band contract quantiles — the oracle is GENERATED from these
+# (full-precision repr round-trips the doubles exactly)
+_PPL_LO = 1 / 3
+_PPL_HI = 2 / 3
+
+
+def q_ppl_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail banding: self-trained bigram LM scores +
+    per-language EXACT perplexity quantile thresholds (grouped_quantiles)
+    + broadcast band join.  Thresholds are selected values, the compare
+    is bit-exact — EXACT oracle composed from the same lm + quantile
+    fragments."""
+    from entitymatchingmodel_spark.operators.lm import BigramLM, perplexity_bands
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    model = BigramLM.fit(docs, "text", score_decimals=6)
+    out = perplexity_bands(docs, "doc_id", "text", model, "lang",
+                           lo_q=_PPL_LO, hi_q=_PPL_HI)
+    # one-shot row: release the fit's count caches (the plan recomputes
+    # them in place when executed, same posture as bigram_lm_scores)
+    model.unpersist()
+    return out
+
+
 # chunking contract parameters — the oracle is GENERATED from these
 _CHUNK_TOKENS = 32
 _CHUNK_OVERLAP = 8
@@ -2026,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "chunk_docs": q_chunk_docs,
         "top_terms": q_top_terms,
+        "ppl_bands": q_ppl_bands,
         # --- tier 3: code path touched in r8 ---
         "kmeans_stream_assign": q_kmeans_stream_assign,  # save/load cycle now
         "streaming_curation": q_streaming_curation,      # single-batch assert
@@ -2034,7 +2059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "sample_mix": q_sample_mix,
         "token_budget_sample": q_token_budget_sample,
-        "curation_pipeline": q_curation_pipeline,
         "cossim_lsh_topk": q_cossim_lsh_topk,            # cache rotation
         "ivf_topk": q_ivf_topk,                          # ann.py churn
         "ivf_index_topk": q_ivf_index_topk,
@@ -2051,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised in-window by streaming_curation + kmeans_stream_assign) ---
         "streaming_sessions": q_streaming_sessions,
         "pack_sequences": q_pack_sequences,
+        "curation_pipeline": q_curation_pipeline,
         "country_match": q_country_match,
         "streaming_time_join": q_streaming_time_join,
         "embed_near_pairs": q_embed_near_pairs,
@@ -3828,6 +3853,32 @@ _ORACLE["ivf_index_topk"] = _ORACLE["ivf_topk"]
 # V scalar round-trip through parquet/json exactly, pinned in
 # tests/test_lm.py).
 _ORACLE["lm_fit_score"] = _lm_oracle_sql(_LM_REF_FILTER)
+
+# CCNet banding: the lm fragment as a derived table + per-lang type-1
+# quantile thresholds (the grouped_quantiles rank rule: min(x | rn >=
+# greatest(1, ceil(q*n)))) + the band CASE — all three pieces generated
+# from the same constants the Spark row uses.
+_ORACLE["ppl_bands"] = f"""
+    WITH lmres AS ({_lm_oracle_sql("TRUE")}),
+    scores AS (SELECT l.doc_id, d.lang, l.perplexity
+               FROM lmres l JOIN documents d USING (doc_id)),
+    s AS (SELECT lang, perplexity,
+                 row_number() OVER (PARTITION BY lang ORDER BY perplexity) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scores WHERE perplexity IS NOT NULL AND NOT isnan(perplexity)),
+    t AS (SELECT lang,
+                 min(CASE WHEN rn >= greatest(1, CAST(ceil({_PPL_LO!r} * n) AS BIGINT))
+                          THEN perplexity END) AS t_lo,
+                 min(CASE WHEN rn >= greatest(1, CAST(ceil({_PPL_HI!r} * n) AS BIGINT))
+                          THEN perplexity END) AS t_hi
+          FROM s GROUP BY lang)
+    SELECT sc.doc_id, sc.lang, sc.perplexity,
+           CASE WHEN sc.perplexity IS NULL THEN NULL
+                WHEN sc.perplexity <= t.t_lo THEN 'head'
+                WHEN sc.perplexity <= t.t_hi THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM scores sc LEFT JOIN t USING (lang)
+"""
 
 
 def _kmeans_oracle_sql(k: int, n_iter: int, dec: int, seed: int) -> str:

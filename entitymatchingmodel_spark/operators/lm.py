@@ -248,3 +248,49 @@ def bigram_lm_scores(
     out = model.score(docs, id_col, text_col)
     model.unpersist()
     return out
+
+
+def perplexity_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: "BigramLM",
+    group_col: str,
+    lo_q: float = 1 / 3,
+    hi_q: float = 2 / 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail bucketing: score every document with the
+    (clean-reference-trained) LM, compute each group's EXACT perplexity
+    quantile thresholds at ``lo_q``/``hi_q``, and label rows ``head``
+    (lowest-perplexity band — the kept slice), ``middle`` or ``tail``:
+    ``(id_col, group_col, perplexity, band)``.  Documents without a
+    score (<2 tokens / NULL text) keep their row with a NULL band.
+
+    Pure composition of two exact primitives — :meth:`BigramLM.score`
+    and :func:`...stats.grouped_quantiles` — so it inherits both scale
+    shapes: the LM joins/aggregate, one distinct-count shuffle for the
+    thresholds (zero driver state; group count unbounded), and a
+    BROADCAST of the n_groups-row threshold table back onto the scored
+    corpus.  Thresholds are SELECTED perplexity values (type-1), so the
+    band compare is bit-exact across engines.
+    """
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    from entitymatchingmodel_spark.functions.stats import grouped_quantiles
+
+    scored = model.score(docs, id_col, text_col).join(
+        docs.select(id_col, group_col), id_col
+    )
+    qt = grouped_quantiles(scored, group_col, "perplexity", (lo_q, hi_q))
+    th = qt.groupBy(group_col).agg(
+        F.min(F.when(F.col("q") == float(lo_q), F.col("value"))).alias("_tlo"),
+        F.min(F.when(F.col("q") == float(hi_q), F.col("value"))).alias("_thi"),
+    )
+    out = scored.join(F.broadcast(th), group_col, "left")
+    band = (
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+        .when(F.col("perplexity") <= F.col("_tlo"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("_thi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(id_col, group_col, "perplexity", band.alias("band"))

@@ -4,6 +4,7 @@ import math
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from entitymatchingmodel_spark.operators.lm import bigram_lm_scores
 
@@ -175,3 +176,44 @@ def test_bigram_lm_validation(spark, corpus):
     empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         BigramLM.fit(empty, "text")
+
+
+def test_perplexity_bands(spark, corpus):
+    """head/middle/tail thresholds are the exact per-group type-1
+    quantile values; unscored docs keep a NULL band; every non-empty
+    group's lowest-perplexity doc is 'head' and highest is 'tail' (when
+    the group has >= 3 distinct scores)."""
+    from entitymatchingmodel_spark.operators.lm import BigramLM, perplexity_bands
+
+    docs = corpus.withColumn(
+        "grp", (F.col("doc_id") % 2 == 0).cast("string")
+    )
+    model = BigramLM.fit(docs, "text", score_decimals=6)
+    out = perplexity_bands(docs, "doc_id", "text", model, "grp").collect()
+    model.unpersist()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == docs.count()
+    # docs 4 (1 token) and 5 (NULL) are unscored -> NULL band
+    assert by_id[4]["band"] is None and by_id[5]["band"] is None
+    # duplicate docs (1 and 6) score identically -> identical band
+    assert by_id[1]["perplexity"] == by_id[6]["perplexity"]
+    # python mirror of the banding over the scored rows
+    import math
+
+    for g in {r["grp"] for r in out}:
+        vals = sorted(r["perplexity"] for r in out
+                      if r["grp"] == g and r["perplexity"] is not None)
+        if not vals:
+            continue
+        n = len(vals)
+        t_lo = vals[max(1, math.ceil(n / 3)) - 1]
+        t_hi = vals[max(1, math.ceil(2 * n / 3)) - 1]
+        for r in out:
+            if r["grp"] != g or r["perplexity"] is None:
+                continue
+            want = ("head" if r["perplexity"] <= t_lo
+                    else "middle" if r["perplexity"] <= t_hi else "tail")
+            assert r["band"] == want, (r, t_lo, t_hi)
+    with pytest.raises(ValueError, match="lo_q"):
+        perplexity_bands(docs, "doc_id", "text",
+                         BigramLM.fit(docs, "text"), "grp", lo_q=0.9, hi_q=0.1)
