@@ -1057,7 +1057,10 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "spc": ["private"], "kscc": ["private"], "kscp": ["public"],
     "nuf": ["private"],
     # r8 additions (same public cleanco/GLEIF-style sources as the terms)
-    "societe par actions simplifiee unipersonnelle": ["public"],
+    # single-shareholder SAS: keep the family consistent with the 'sasu'
+    # abbreviation (round-8 review finding — full form and abbreviation
+    # must classify alike or 'acme sasu' vs the full form is no_match)
+    "societe par actions simplifiee unipersonnelle": ["private"],
     "entreprise unipersonnelle a responsabilite limitee": ["private"],
     "societe en participation": ["partnership"],
     "societe civile": ["partnership"],

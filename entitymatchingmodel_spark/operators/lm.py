@@ -274,8 +274,10 @@ def perplexity_bands(
     corpus.  Thresholds are SELECTED perplexity values (type-1), so the
     band compare is bit-exact across engines.
     """
-    if not 0.0 <= lo_q <= hi_q <= 1.0:
-        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    if not (0.0 <= lo_q < hi_q <= 1.0):
+        # strict <: equal quantiles would surface as grouped_quantiles'
+        # confusing "duplicate quantiles requested" (round-8 review finding)
+        raise ValueError("need 0 <= lo_q < hi_q <= 1 (two distinct thresholds)")
     from entitymatchingmodel_spark.functions.stats import grouped_quantiles
 
     scored = model.score(docs, id_col, text_col).join(

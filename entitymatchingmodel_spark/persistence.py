@@ -218,6 +218,20 @@ def _bucketed_weights(spark: SparkSession, bmeta: dict, location: str) -> DataFr
         same_loc = _os.path.realpath(cat_loc) == _os.path.realpath(location)
         same_buckets = info.get("Num Buckets") == str(int(bmeta["n_buckets"]))
         if not (same_loc and same_buckets):
+            # Only EXTERNAL tables are safe to drop-and-recreate: dropping
+            # a MANAGED table deletes its underlying data, and a managed
+            # table at this name was by definition not created by
+            # bucket_weights (which always writes LOCATION-pinned external
+            # tables) — refuse loudly instead of destroying user data
+            # (round-8 review finding).
+            if info.get("Type", "").upper() == "MANAGED":
+                raise ValueError(
+                    f"catalog table {table!r} is MANAGED and does not match "
+                    f"this model (location/bucket-spec mismatch); dropping it "
+                    f"would delete its data. Rename the model's table (the "
+                    f"'table' entry in its bucket metadata) or drop the "
+                    f"colliding table yourself."
+                )
             spark.sql(f"DROP TABLE {table}")
     if not spark.catalog.tableExists(table):
         schema = spark.read.parquet(location).schema

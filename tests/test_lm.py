@@ -217,3 +217,19 @@ def test_perplexity_bands(spark, corpus):
     with pytest.raises(ValueError, match="lo_q"):
         perplexity_bands(docs, "doc_id", "text",
                          BigramLM.fit(docs, "text"), "grp", lo_q=0.9, hi_q=0.1)
+
+def test_perplexity_bands_rejects_equal_quantiles(spark):
+    """lo_q == hi_q must fail in perplexity_bands' own validation, not as
+    grouped_quantiles' confusing 'duplicate quantiles' (round-8 review)."""
+    import pytest
+    from entitymatchingmodel_spark.operators.lm import BigramLM, perplexity_bands
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "g"), (2, "b a b a", "g")], "id long, text string, grp string"
+    )
+    model = BigramLM.fit(docs, "text")
+    try:
+        with pytest.raises(ValueError, match="lo_q < hi_q"):
+            perplexity_bands(docs, "id", "text", model, "grp", lo_q=0.5, hi_q=0.5)
+    finally:
+        model.unpersist()

@@ -199,3 +199,26 @@ def test_bucketed_weights_roundtrip_plan_and_ddl_recreate(spark, fitted, names, 
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+def test_bucketed_weights_managed_table_collision_refuses_drop(
+    spark, fitted, tmp_path_factory
+):
+    """A MANAGED catalog table colliding with the model's bucket-table name
+    must NOT be dropped (DROP TABLE on a managed table deletes its data —
+    round-8 review finding): load_model raises a descriptive error instead."""
+    from entitymatchingmodel_spark.persistence import _bucket_table_name
+
+    path = str(tmp_path_factory.mktemp("model_managed_collision") / "em")
+    save_model(fitted, path, bucket_weights=4)
+    tables = [_bucket_table_name(path, i) for i in range(2)]
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tables[0]}")
+        # a managed table squatting on the name (no LOCATION -> managed)
+        spark.sql(f"CREATE TABLE {tables[0]} (token STRING, w DOUBLE) USING parquet")
+        with pytest.raises(ValueError, match="MANAGED"):
+            load_model(spark, path)
+        # the squatter survives untouched
+        assert spark.catalog.tableExists(tables[0])
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
