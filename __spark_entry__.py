@@ -1816,6 +1816,53 @@ def q_resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "copy")
 
 
+# unbounded-mixture contract row (r9): a synthesized high-cardinality
+# domain-like key (source x md5-bucket — the C4 per-domain-quota shape on
+# a table that carries no URL column).  The oracle fragment is GENERATED
+# from these same constants so query and oracle cannot desync.
+_DOM_SALT = "dom"
+_DOM_BUCKETS = 199
+_DOM_ALPHA = 0.5
+
+
+def q_temperature_mix_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing over an UNBOUNDED group cardinality (r9): the
+    join-based formulation — group counts, the min-ratio anchor, and the
+    per-group fraction all stay IN-PLAN (zero driver collect, no literal
+    when-chain; plan size independent of group count), the fraction
+    joined back on the group column.  Grouping key = source x 199
+    md5-buckets (~hundreds of groups at sf0.01, scaling with the data —
+    the per-domain C4 reality in miniature).  Same sum-free order-safe
+    pow/div/min/mul chain as temperature_mix, rounded before the
+    membership compare — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.sampling import (
+        temperature_mix_unbounded,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(_DOM_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _DOM_BUCKETS
+    )
+    d = docs.withColumn(
+        "domain", F.concat_ws("_", F.col("source"), bucket.cast("string"))
+    )
+    out = temperature_mix_unbounded(d, "doc_id", "domain", alpha=_DOM_ALPHA)
+    return out.select("doc_id", "domain")
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact type-1 quantiles of lineitem prices WITHOUT a global sort
     (distinct-value counts -> monotone range buckets -> bucketed prefix
@@ -2045,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fit_score": q_lm_fit_score,
         "temperature_mix_up": q_temperature_mix_up,
         "resample_to_mix": q_resample_to_mix,
+        "temperature_mix_domain": q_temperature_mix_domain,
         "gopher_quality": q_gopher_quality,
         "corpus_stats": q_corpus_stats,
         "url_normalize": q_url_normalize,
@@ -3209,6 +3257,28 @@ _ORACLE = {
                         + (CASE WHEN h < r - floor(r) THEN 1 ELSE 0 END)
                         - 1)) AS copy
               FROM e)
+    """,
+    # generated from _DOM_SALT/_DOM_BUCKETS/_DOM_ALPHA: the synthesized
+    # source x md5-bucket domain key, then the identical join-based
+    # min-anchored fraction chain the unbounded Spark path computes
+    # in-plan (the oracle is ALREADY the join formulation — the literal
+    # path was the approximation)
+    "temperature_mix_domain": f"""
+        WITH d AS (SELECT doc_id, concat_ws('_', source,
+                 CAST(CAST(concat('0x', substring(md5(concat_ws('|', '{_DOM_SALT}',
+                      CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+                      % {_DOM_BUCKETS} AS VARCHAR)) AS domain
+             FROM documents),
+        c AS (SELECT domain AS g, CAST(count(*) AS DOUBLE) AS n
+              FROM d WHERE domain IS NOT NULL GROUP BY domain),
+        mr AS (SELECT min(n / pow(n, {_DOM_ALPHA})) AS m FROM c),
+        f AS (SELECT g, round(least(1.0, (SELECT m FROM mr) * pow(n, {_DOM_ALPHA}) / n), 12) AS frac
+              FROM c)
+        SELECT d.doc_id, d.domain
+        FROM d JOIN f ON d.domain = f.g
+        WHERE CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'temp',
+                 CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+              / 268435456.0 < f.frac
     """,
     # generated VALUES list: same _QUANTILES tuple as the Spark row (the
     # f-string below); rank semantics = value at max(1, ceil(q*n)) in

@@ -316,9 +316,12 @@ def sample_to_mix(
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
+    # isin pushed BELOW the aggregate: the collect is bounded by the
+    # user-supplied weights dict, not by the corpus's group cardinality
     counts = {
         r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g")).agg(
+        for r in df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(F.col(group_col).alias("g")).agg(
             F.count("*").alias("n")
         ).collect()
         if r["g"] in weights
@@ -349,6 +352,44 @@ def _group_fraction_filter(
     return df.filter(_unit_hash(F.col(key_col), salt) < frac)
 
 
+def _repeat_explode(df: DataFrame, key_col: str, rep: Column, salt: str) -> DataFrame:
+    """Map-only repeat-factor emitter shared by the literal-chain and
+    join-based upsampling paths: emit each row ``floor(rep)`` times plus
+    one extra copy iff its key's unit hash falls below the fractional
+    remainder ``rep - floor(rep)``.  Output = the input columns plus
+    ``copy int`` (0-based repeat index); rows whose factor totals 0 are
+    dropped (the explode of a NULL array).  Pure per-row
+    ``sequence``+``explode`` — no shuffle."""
+    n_full = F.floor(rep).cast("long")
+    extra = (_unit_hash(F.col(key_col), salt) < (rep - F.floor(rep))).cast("long")
+    total = n_full + extra
+    return (
+        df.withColumn(
+            "_copies",
+            F.when(total >= 1, F.sequence(F.lit(0).cast("long"), total - 1)),
+        )
+        .withColumn("copy", F.explode("_copies"))
+        .drop("_copies")
+        .withColumn("copy", F.col("copy").cast("int"))
+    )
+
+
+def _check_repeats(repeats: dict, max_repeat: float) -> None:
+    """Driver-side repeat-factor sanity cap for the literal-chain paths:
+    a misconfigured weights dict (tiny group, huge target share) would
+    otherwise materialize floor(r)-element arrays per row before the
+    explode — fail loudly instead (round-8 review finding)."""
+    worst = max(repeats.values(), default=0.0)
+    if worst > max_repeat:
+        g = max(repeats, key=repeats.get)
+        raise ValueError(
+            f"repeat factor {worst:g} for group {g!r} exceeds max_repeat="
+            f"{max_repeat:g}; a factor this size materializes {int(worst)} "
+            "copies of every row in the group before the explode. Check the "
+            "weights/alpha, or raise max_repeat explicitly if intended."
+        )
+
+
 def _group_repeat_explode(
     df: DataFrame, key_col: str, group_col: str, repeats: dict, salt: str
 ) -> DataFrame:
@@ -369,18 +410,7 @@ def _group_repeat_explode(
     rep = F.lit(0.0)
     for g in sorted(repeats):
         rep = F.when(F.col(group_col) == g, F.lit(float(repeats[g]))).otherwise(rep)
-    n_full = F.floor(rep).cast("long")
-    extra = (_unit_hash(F.col(key_col), salt) < (rep - F.floor(rep))).cast("long")
-    total = n_full + extra
-    return (
-        df.withColumn(
-            "_copies",
-            F.when(total >= 1, F.sequence(F.lit(0).cast("long"), total - 1)),
-        )
-        .withColumn("copy", F.explode("_copies"))
-        .drop("_copies")
-        .withColumn("copy", F.col("copy").cast("int"))
-    )
+    return _repeat_explode(df, key_col, rep, salt)
 
 
 def resample_to_mix(
@@ -390,6 +420,7 @@ def resample_to_mix(
     weights: dict[str, float],
     salt: str = "remix",
     frac_decimals: int = 12,
+    max_repeat: float = 10_000.0,
 ) -> DataFrame:
     """Resample groups to a TARGET MIX with UPSAMPLING — the half of the
     mC4/DoReMi mixing recipe :func:`sample_to_mix` can't express: the
@@ -416,9 +447,11 @@ def resample_to_mix(
     for v in weights.values():
         if v < 0:
             raise ValueError("weights must be >= 0")
+    # isin pushed BELOW the aggregate (same bounding as sample_to_mix)
     counts = {
         r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
+        for r in df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(F.col(group_col).alias("g"))
         .agg(F.count("*").alias("n"))
         .collect()
         if r["g"] in weights
@@ -432,6 +465,7 @@ def resample_to_mix(
         g: round(total_n * weights[g] / total_w / n, frac_decimals)
         for g, n in positive.items()
     }
+    _check_repeats(repeats, max_repeat)
     return _group_repeat_explode(df, key_col, group_col, repeats, salt)
 
 
@@ -443,6 +477,8 @@ def temperature_mix(
     salt: str = "temp",
     frac_decimals: int = 12,
     allow_upsample: bool = False,
+    max_groups: int = 100_000,
+    max_repeat: float = 10_000.0,
 ) -> DataFrame:
     """Temperature-based mixture resampling (the mC4/XLM-R multilingual
     'sampling with exponent alpha' primitive): the target share of group
@@ -477,13 +513,26 @@ def temperature_mix(
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
+    # bounded-group guard: this path collects one row per group and
+    # compiles the fractions into a literal when-chain — sound for
+    # languages/sources, catastrophic for per-DOMAIN grouping (millions
+    # of groups -> unbounded driver collect + megabyte plan).  The
+    # limit() bounds what the probe can ever pull to the driver.
+    rows = (
+        df.groupBy(F.col(group_col).alias("g"))
         .agg(F.count("*").alias("n"))
+        .limit(max_groups + 1)
         .collect()
-        if r["g"] is not None and r["n"] > 0
-    }
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"group column {group_col!r} has more than max_groups="
+            f"{max_groups} distinct values; the literal-chain plan does "
+            "not scale to that. Use temperature_mix_unbounded (join-based, "
+            "fractions computed in-plan, no driver collect), or raise "
+            "max_groups explicitly if the cardinality is intended."
+        )
+    counts = {r["g"]: r["n"] for r in rows if r["g"] is not None and r["n"] > 0}
     if allow_upsample:
         if not counts:
             return _group_repeat_explode(df, key_col, group_col, {}, salt)
@@ -492,6 +541,7 @@ def temperature_mix(
             g: round(max(1.0, max_ratio * n**alpha / n), frac_decimals)
             for g, n in counts.items()
         }
+        _check_repeats(repeats, max_repeat)
         return _group_repeat_explode(df, key_col, group_col, repeats, salt)
     if not counts:
         return df.filter(F.lit(False))
@@ -501,6 +551,109 @@ def temperature_mix(
         for g, n in counts.items()
     }
     return _group_fraction_filter(df, key_col, group_col, fracs, salt)
+
+
+def temperature_mix_unbounded(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float,
+    salt: str = "temp",
+    frac_decimals: int = 12,
+    allow_upsample: bool = False,
+    max_repeat: float = 10_000.0,
+) -> DataFrame:
+    """:func:`temperature_mix` for UNBOUNDED group cardinality — the
+    per-DOMAIN quota reality of C4/RefinedWeb curation (millions of
+    registered domains), where the literal-chain path's one-row-per-group
+    driver collect and megabyte ``when``-chain plan both break.
+
+    Same semantics (alpha-sampling, binding group anchored, NULL groups
+    dropped, deterministic hash membership, ``allow_upsample`` adds the
+    0-based ``copy`` column), but every per-group quantity stays IN-PLAN:
+
+    - group counts: one map-side-combined aggregate (never collected);
+    - the anchor ``min_h/max_h(n_h / n_h**alpha)``: a one-row aggregate
+      of the counts frame, attached via a constant-key BROADCAST HASH
+      join of literally one row (an equi-join, not a nested loop, so the
+      plan audit's no-cartesian rule holds by construction);
+    - per-group fraction / repeat factor: computed next to the count and
+      joined back on ``group_col`` — Catalyst broadcasts the fraction
+      table when it is small and AQE falls back to a shuffle hash join
+      when it is not, which is exactly the 100 TB shape;
+    - the repeat-factor cap: enforced AT RUNTIME inside the plan
+      (``raise_error`` branch) instead of by a driver peek, so the guard
+      costs zero extra jobs.
+
+    Float parity with the literal path: the fraction is the same sum-free
+    pow/div/min(or max)/mul chain, rounded to ``frac_decimals`` before
+    the membership compare (round-before-rank, SURVEY §4 X15).  The two
+    paths can differ only on an exact decimal tie at the last rounded
+    digit (Python banker's rounding vs engine HALF_UP) — probability ~0
+    for real counts, and irrelevant to cross-engine oracle parity, which
+    compares this plan against SQL running the identical chain.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    clash = {"_n", "_k", "_anchor", "_frac", "_rep"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"temperature_mix_unbounded reserves columns {sorted(clash)}; rename them"
+        )
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    nd = F.col("_n").cast("double")
+    ratio = nd / F.pow(nd, F.lit(float(alpha)))
+
+    def _with_anchor(agg_col):
+        # one-row anchor attached on an always-zero key DERIVED FROM THE
+        # DATA (pmod(count, 1)): a literal key would be constant-folded
+        # and the join rewritten into a BroadcastNestedLoopJoin; a
+        # non-foldable key keeps it a broadcast HASH equi-join, so the
+        # plan audit's no-cartesian rule holds by construction
+        a = counts.agg(agg_col.alias("_anchor"), F.count("*").alias("_c"))
+        a = a.select(
+            "_anchor", F.pmod(F.col("_c"), F.lit(1)).cast("int").alias("_k")
+        )
+        c = counts.withColumn("_k", F.pmod(F.col("_n"), F.lit(1)).cast("int"))
+        return c.join(F.broadcast(a), "_k")
+
+    if allow_upsample:
+        joined_counts = _with_anchor(F.max(ratio))
+        rep = F.round(
+            F.greatest(
+                F.lit(1.0), F.col("_anchor") * F.pow(nd, F.lit(float(alpha))) / nd
+            ),
+            frac_decimals,
+        )
+        reps = joined_counts.select(group_col, rep.alias("_rep"))
+        # in-plan fail-fast: no driver peek, the guard rides the main job
+        checked = F.when(
+            F.col("_rep") > float(max_repeat),
+            F.raise_error(
+                F.concat(
+                    F.lit("repeat factor "),
+                    F.col("_rep").cast("string"),
+                    F.lit(f" exceeds max_repeat={max_repeat:g} for group "),
+                    F.col(group_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("_rep"))
+        joined = df.join(reps, group_col)
+        return _repeat_explode(joined, key_col, checked, salt).drop("_rep")
+    frac = F.round(
+        F.least(F.lit(1.0), F.col("_anchor") * F.pow(nd, F.lit(float(alpha))) / nd),
+        frac_decimals,
+    )
+    fracs = _with_anchor(F.min(ratio)).select(group_col, frac.alias("_frac"))
+    return (
+        df.join(fracs, group_col)
+        .filter(_unit_hash(F.col(key_col), salt) < F.col("_frac"))
+        .drop("_frac")
+    )
 
 
 def stratified_sample(

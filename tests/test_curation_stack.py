@@ -366,3 +366,86 @@ def test_resample_to_mix_preserves_total_and_hits_shares(spark):
     # all listed groups absent-or-zero: empty, same schema (with copy)
     out3 = resample_to_mix(df, "id", "grp", {"zzz": 1.0})
     assert out3.count() == 0 and "copy" in out3.columns
+
+
+def test_temperature_mix_unbounded_matches_literal_path(spark):
+    """The join-based unbounded-group formulation is semantically identical
+    to the literal-chain path in BOTH modes (same hash membership, same
+    rounded fraction/repeat chain, NULL groups dropped)."""
+    from entitymatchingmodel_spark.functions.sampling import (
+        temperature_mix,
+        temperature_mix_unbounded,
+    )
+
+    rows = (
+        [(i, "a") for i in range(900)]
+        + [(2000 + i, "b") for i in range(100)]
+        + [(4000 + i, "c") for i in range(400)]
+        + [(9000, None)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string")
+    for alpha in (0.0, 0.5, 0.7, 1.0):
+        lit_ids = {r["id"] for r in temperature_mix(df, "id", "grp", alpha).collect()}
+        join_ids = {
+            r["id"]
+            for r in temperature_mix_unbounded(df, "id", "grp", alpha).collect()
+        }
+        assert join_ids == lit_ids, f"alpha={alpha}"
+        lit_up = {
+            (r["id"], r["copy"])
+            for r in temperature_mix(
+                df, "id", "grp", alpha, allow_upsample=True
+            ).collect()
+        }
+        join_up = {
+            (r["id"], r["copy"])
+            for r in temperature_mix_unbounded(
+                df, "id", "grp", alpha, allow_upsample=True
+            ).collect()
+        }
+        assert join_up == lit_up, f"alpha={alpha} upsample"
+    # empty-group edge: all-NULL groups -> empty result, both paths
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, grp string")
+    assert temperature_mix_unbounded(nulls, "id", "grp", 0.5).count() == 0
+    assert (
+        temperature_mix_unbounded(nulls, "id", "grp", 0.5, allow_upsample=True).count()
+        == 0
+    )
+
+
+def test_temperature_mix_max_groups_guard_names_alternative(spark):
+    """The literal-chain path refuses unbounded group cardinality with an
+    error that names temperature_mix_unbounded (the embed_near_pairs /
+    max_collect_rows idiom)."""
+    from entitymatchingmodel_spark.functions.sampling import temperature_mix
+
+    df = spark.range(200).select(
+        F.col("id"), F.col("id").cast("string").alias("grp")
+    )
+    with pytest.raises(ValueError, match="temperature_mix_unbounded"):
+        temperature_mix(df, "id", "grp", 0.5, max_groups=50)
+    # under the cap it still works
+    assert temperature_mix(df, "id", "grp", 1.0, max_groups=500).count() == 200
+
+
+def test_repeat_factor_caps_fire_on_both_paths(spark):
+    """A misconfigured mix (tiny group, huge implied repeat) fails loudly:
+    driver-side ValueError on the literal path, in-plan raise_error on the
+    join path — never a silent floor(r)-element array materialization."""
+    from entitymatchingmodel_spark.functions.sampling import (
+        resample_to_mix,
+        temperature_mix,
+        temperature_mix_unbounded,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(2000)] + [(9999, "tiny")], "id long, g string"
+    )
+    with pytest.raises(ValueError, match="max_repeat"):
+        temperature_mix(df, "id", "g", 0.0, allow_upsample=True, max_repeat=10)
+    with pytest.raises(ValueError, match="max_repeat"):
+        resample_to_mix(df, "id", "g", {"big": 0.5, "tiny": 0.5}, max_repeat=100)
+    with pytest.raises(Exception, match="max_repeat"):
+        temperature_mix_unbounded(
+            df, "id", "g", 0.0, allow_upsample=True, max_repeat=10
+        ).count()

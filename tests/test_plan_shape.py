@@ -396,3 +396,55 @@ def test_r8_aggregate_operators_bounded_shuffles(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert exchange_count(corpus_profile(docs, "source", "text")) == 1
     assert exchange_count(top_terms(docs, "lang", "text", 5)) <= 2
+
+
+def test_temperature_mix_unbounded_join_based_no_collect_no_chain(spark):
+    """The unbounded-group mixture op is fully in-plan: constructing it
+    runs ZERO jobs (no driver collect of group counts), the fraction
+    reaches rows via a join on the group column (no literal when-chain —
+    plan size is independent of group cardinality), and no nested-loop /
+    cartesian join appears (the one-row anchor rides a broadcast HASH
+    equi-join on a non-foldable key)."""
+    from entitymatchingmodel_spark.functions.sampling import (
+        temperature_mix_unbounded,
+    )
+    from entitymatchingmodel_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sc = spark.sparkContext
+    group = "plan-shape-tmu"
+    sc.setJobGroup(group, "construction must be lazy")
+    try:
+        out = temperature_mix_unbounded(docs, "doc_id", "source", 0.5)
+        out_up = temperature_mix_unbounded(
+            docs, "doc_id", "source", 0.5, allow_upsample=True
+        )
+        plan = explain_str(out)
+        plan_up = explain_str(out_up)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == [], (
+        "constructing/explaining the unbounded mixture plan ran a job "
+        "(driver collect leaked back in)"
+    )
+    for p in (plan, plan_up):
+        assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+    # the fraction arrives via an equi-join on the group column
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    # literal-chain plans carry one CASE WHEN per group; the join plan's
+    # CASE WHEN count must be INDEPENDENT of group cardinality (a fixed
+    # handful from the repeat-cap guard / explode gate, however Catalyst
+    # chooses to duplicate them) — pin that by comparing a 5-group and a
+    # ~200-group input
+    many = docs.withColumn(
+        "grp", F.concat_ws("_", "source", (F.col("doc_id") % 200).cast("string"))
+    )
+    few = docs.withColumn("grp", F.col("source"))
+    for up in (False, True):
+        p_many = explain_str(
+            temperature_mix_unbounded(many, "doc_id", "grp", 0.5, allow_upsample=up)
+        )
+        p_few = explain_str(
+            temperature_mix_unbounded(few, "doc_id", "grp", 0.5, allow_upsample=up)
+        )
+        assert p_many.count("CASE WHEN") == p_few.count("CASE WHEN")
