@@ -385,6 +385,46 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# url_dedup contract constants — the oracle fragment is GENERATED from
+# these: docs map onto _URL_PAGES pages per source (so pages collide) in
+# four scheme/case/query/fragment/slash variants, and every
+# _URL_NULL_EVERY-th doc has no URL (must be KEPT, never cross-deduped)
+_URL_PAGES = 120
+_URL_NULL_EVERY = 17
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's URL-dedup step (r9 — the first stage of its pipeline): keep
+    the min-doc_id representative per NORMALIZED planted URL.  Four
+    variants of each page (https+www / HTTP+upper-host+utm-query /
+    scheme-less+trailing-slash / fragment) collapse to one row via ONE
+    min-struct aggregate (the drop_exact_duplicates skew shape); NULL-URL
+    docs are all kept (per-row fallback key).  The oracle reconstructs
+    the canonical key from the plant parameters — EXACT."""
+    from entitymatchingmodel_spark.functions.web import url_normalize
+    from entitymatchingmodel_spark.operators.dedup import drop_url_duplicates
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    page = (F.col("doc_id") % _URL_PAGES).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), F.col("source"),
+                                F.lit(".example.com/p/"), page))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(F.col("source")),
+                               F.lit(".EXAMPLE.COM/p/"), page, F.lit("?utm=x")))
+        .when(v == 2, F.concat(F.col("source"), F.lit(".example.com/p/"),
+                               page, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".example.com/p/"), page, F.lit("#frag")))
+    )
+    url = F.when(
+        F.col("doc_id") % _URL_NULL_EVERY == 0, F.lit(None).cast("string")
+    ).otherwise(url)
+    planted = docs.select("doc_id", url.alias("url"))
+    out = drop_url_duplicates(planted, "doc_id", "url")
+    return out.select("doc_id", url_normalize(F.col("url")).alias("url_norm"))
+
+
 # perplexity-band contract quantiles — the oracle is GENERATED from these
 # (full-precision repr round-trips the doubles exactly)
 _PPL_LO = 1 / 3
@@ -2093,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_up": q_temperature_mix_up,
         "resample_to_mix": q_resample_to_mix,
         "temperature_mix_domain": q_temperature_mix_domain,
+        "url_dedup": q_url_dedup,
         "gopher_quality": q_gopher_quality,
         "corpus_stats": q_corpus_stats,
         "url_normalize": q_url_normalize,
@@ -3138,6 +3179,22 @@ _ORACLE = {
                domain || regexp_replace(regexp_replace(bare, '^[^/]*', ''),
                                         '/$', '') AS url_norm
         FROM d
+    """,
+    # generated from _URL_PAGES/_URL_NULL_EVERY: the oracle reconstructs
+    # the canonical key straight from the plant parameters (all four
+    # variants normalize to lower(source).example.com/p/<page>) — min
+    # doc_id per key, NULL-key rows all kept
+    "url_dedup": f"""
+        WITH d AS (SELECT doc_id,
+                     CASE WHEN doc_id % {_URL_NULL_EVERY} = 0 THEN NULL
+                          ELSE lower(source) || '.example.com/p/'
+                               || CAST(doc_id % {_URL_PAGES} AS VARCHAR)
+                     END AS url_norm
+                   FROM documents)
+        SELECT min(doc_id) AS doc_id, url_norm
+        FROM d WHERE url_norm IS NOT NULL GROUP BY url_norm
+        UNION ALL
+        SELECT doc_id, url_norm FROM d WHERE url_norm IS NULL
     """,
     # mirrors lang_scores_chargram: normalize -> overlapping trigrams ->
     # per-language profile hit counts -> argmax with alphabetical tie-break

@@ -124,10 +124,20 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     the min-id row.  Falls back to the window formulation only when a
     column type is not orderable (maps), which min() rejects.
     """
-    hashc = F.md5(F.trim(F.lower(F.col(text_col))))
+    return _drop_duplicates_by_key(
+        df, id_col, F.md5(F.trim(F.lower(F.col(text_col))))
+    )
+
+
+def _drop_duplicates_by_key(df: DataFrame, id_col: str, key) -> DataFrame:
+    """Shared min-struct representative selection: keep the min-``id_col``
+    row per ``key`` — ONE map-side-combined hash aggregate (see
+    :func:`drop_exact_duplicates` for why this beats a per-group window
+    at viral-duplicate skew); window fallback only for unorderable
+    column types (maps), which ``min()`` rejects."""
     if not any(_has_unorderable_type(f.dataType) for f in df.schema.fields):
         cols = df.columns
-        agg = df.groupBy(hashc.alias("_h")).agg(
+        agg = df.groupBy(key.alias("_h")).agg(
             F.min(
                 F.struct(
                     F.col(id_col).alias("_k"),
@@ -136,8 +146,36 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
             ).alias("_w")
         )
         return agg.select(*[F.col(f"_w._row.{c}").alias(c) for c in cols])
-    w = Window.partitionBy(hashc).orderBy(id_col)
+    w = Window.partitionBy(key).orderBy(id_col)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def drop_url_duplicates(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """C4's URL-dedup step — the FIRST stage of its pipeline (URL dedup ->
+    quality -> content dedup): keep one representative row (min ``id_col``)
+    per NORMALIZED URL (:func:`functions.web.url_normalize`: scheme +
+    ``www.`` stripped, host lowercased, query/fragment dropped, one
+    trailing slash trimmed), so scheme/tracking-parameter/fragment
+    variants of one page collapse to a single document.
+
+    Rows whose URL normalizes to NULL (NULL/empty input) are all KEPT —
+    a missing URL is not a duplicate of another missing URL; they fall
+    back to a per-row key derived from ``id_col``, which stays inside the
+    same single aggregate (no split/union).
+
+    Scale shape: identical to :func:`drop_exact_duplicates` — one
+    map-side-combined hash aggregate, min-struct representative, no
+    window sort on the (heavily skewed) popular-URL groups.
+    """
+    from entitymatchingmodel_spark.functions.web import url_normalize
+
+    key = F.coalesce(
+        url_normalize(F.col(url_col)),
+        # \x00 prefix: cannot collide with a normalized URL (which never
+        # starts with a control char)
+        F.concat(F.lit("\x00id:"), F.col(id_col).cast("string")),
+    )
+    return _drop_duplicates_by_key(df, id_col, key)
 
 
 # ---------------------------------------------------------------------------

@@ -33,16 +33,29 @@ def curate_stream(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     watermark: str = "10 minutes",
+    url_col: str | None = None,
 ) -> DataFrame:
     """Language filter -> quality filter -> watermark-bounded exact dedup
-    over a streaming document frame.
+    over a streaming document frame; with ``url_col`` set, a URL-dedup
+    stage (:func:`drop_url_duplicates_stream`) runs FIRST — C4's pipeline
+    order is URL dedup -> quality -> content dedup, and the URL stage is
+    the cheapest state (one short key per page vs a content hash computed
+    over every candidate).
 
-    Output: the surviving rows plus ``lang``, ``quality``, and
-    ``content_hash`` audit columns.  ``langs=()`` keeps every detected
-    language (filter skipped).
+    Output: the surviving rows plus ``lang``, ``quality``,
+    ``content_hash`` — and ``url_norm`` when ``url_col`` is set — audit
+    columns.  ``langs=()`` keeps every detected language (filter
+    skipped).  Two stateful stages in one query is the post-Spark-3.4
+    multi-stateful-operator shape; both are watermark-bounded.
     """
     if not stream.isStreaming:
         raise ValueError("curate_stream requires a streaming DataFrame")
+    if url_col is not None:
+        from entitymatchingmodel_spark.streaming.dedup import (
+            drop_url_duplicates_stream,
+        )
+
+        stream = drop_url_duplicates_stream(stream, url_col, ts_col, watermark)
     from entitymatchingmodel_spark.functions.text import (
         _chargram_norm,
         _score_from_norm,
@@ -64,4 +77,8 @@ def curate_stream(
     s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= min_quality
     )
-    return drop_exact_duplicates_stream(s, text_col, ts_col, watermark)
+    # when the URL stage ran, it already set the watermark — redefining it
+    # downstream of a stateful operator is disallowed
+    return drop_exact_duplicates_stream(
+        s, text_col, ts_col, watermark, set_watermark=url_col is None
+    )

@@ -22,17 +22,52 @@ def drop_exact_duplicates_stream(
     ts_col: str,
     watermark: str = "10 minutes",
     hash_col: str = "content_hash",
+    set_watermark: bool = True,
 ) -> DataFrame:
     """Exact-dedup a streaming frame by normalized content hash.
 
     State = one row per distinct hash inside the watermark horizon, evicted
     automatically — bounded regardless of stream length.  The hash column is
     kept in the output for downstream lineage/auditing.
+
+    ``set_watermark=False`` skips the ``withWatermark`` call — required
+    when this runs DOWNSTREAM of another stateful stage that already set
+    the event-time watermark (Spark disallows redefining it mid-query;
+    the horizon is then the upstream stage's).
     """
-    hashed = stream.withColumn(
-        hash_col, F.md5(F.trim(F.lower(F.col(text_col))))
-    ).withWatermark(ts_col, watermark)
+    hashed = stream.withColumn(hash_col, F.md5(F.trim(F.lower(F.col(text_col)))))
+    if set_watermark:
+        hashed = hashed.withWatermark(ts_col, watermark)
     return hashed.dropDuplicatesWithinWatermark([hash_col])
+
+
+def drop_url_duplicates_stream(
+    stream: DataFrame,
+    url_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    key_col: str = "url_norm",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.drop_url_duplicates`` — C4's
+    URL-dedup applied ON INGEST: one state row per normalized URL inside
+    the watermark horizon, evicted behind it (the exact bounded-state
+    shape of :func:`drop_exact_duplicates_stream`).
+
+    Rows whose URL normalizes to NULL are passed through UNDEDUPED (a
+    missing URL is not a duplicate of another missing URL): the NULL-key
+    rows never enter the state store — they ride a stateless filter
+    unioned back onto the deduped flow.  The normalized key is kept in
+    the output (``key_col``) for lineage.
+    """
+    from entitymatchingmodel_spark.functions.web import url_normalize
+
+    keyed = stream.withColumn(key_col, url_normalize(F.col(url_col))).withWatermark(
+        ts_col, watermark
+    )
+    deduped = keyed.filter(F.col(key_col).isNotNull()).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+    return deduped.unionByName(keyed.filter(F.col(key_col).isNull()))
 
 
 def sessionize_stream(

@@ -384,3 +384,62 @@ def test_curate_stream_state_bounded_by_watermark(spark, tmp_path):
     # horizon = 10-min watermark over 10-min steps: a handful of steps'
     # hashes at most; total docs = 120, so eviction must be visible
     assert max(totals) < n_steps * per_step / 2, totals
+
+
+def test_curate_stream_url_dedup_stage(spark, tmp_path):
+    """curate_stream(url_col=...) runs C4's URL dedup FIRST, then the
+    lang/quality filters, then content dedup — two watermark-bounded
+    stateful stages in one query.  URL-variant duplicates of one page are
+    suppressed even when their text differs slightly (URL stage), and
+    identical-content pages on different URLs still collapse (content
+    stage)."""
+    import datetime
+    import os
+
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    T = datetime.datetime
+    en = ("the quick brown fox and the dog went over the hills to the river "
+          "in the morning and came back before the night")
+    rows = [
+        # same page, three URL variants, text drifts (retracked ads etc.)
+        (1, "https://www.news.com/story?utm=a", en, T(2024, 1, 1, 0, 0)),
+        (2, "news.com/story", en + " updated", T(2024, 1, 1, 0, 1)),
+        (3, "NEWS.com/story#top", en + " updated twice", T(2024, 1, 1, 0, 2)),
+        # different URL, identical content to 1 -> caught by content dedup
+        (4, "https://mirror.org/copy", en, T(2024, 1, 1, 0, 3)),
+        # distinct page
+        (5, "https://news.com/other", en + " another story entirely",
+         T(2024, 1, 1, 0, 4)),
+    ]
+    src = str(tmp_path / "cur_url_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, ts timestamp"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, url string, text string, ts timestamp"
+    ).parquet(src)
+    out = curate_stream(stream, "text", "ts", langs=("en",), min_quality=0.2,
+                        url_col="url")
+    got = []
+    q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_cur_url")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r["doc_id"] for r in got)
+    # URL stage keeps exactly one of {1,2,3} (the first arrival, doc 1,
+    # verified by the url_norm set below) plus 4 and 5; the content stage
+    # then collapses {1, 4} (identical text) to ONE row — which of the two
+    # wins within a single micro-batch is partition-order dependent, so
+    # assert the multiset shape, not the winner
+    assert len(ids) == 2 and ids[1] == 5 and ids[0] in (1, 4), ids
+    assert sorted(str(r["url_norm"]) for r in got) == sorted(
+        ["news.com/other", "news.com/story" if ids[0] == 1 else "mirror.org/copy"]
+    )
+    assert all("content_hash" in r.asDict() for r in got)

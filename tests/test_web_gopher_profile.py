@@ -217,3 +217,79 @@ def test_top_terms(spark):
         ("s1", "apple", 3, 1), ("s1", "banana", 3, 2),
         ("s2", "zebra", 2, 1), ("s2", "yak", 1, 2),
     ]
+
+
+def test_drop_url_duplicates_keeps_min_id_per_normalized_url(spark):
+    """C4 URL dedup: scheme/www/query/fragment/trailing-slash variants of
+    one page collapse to the min-id row; NULL/empty URLs are never deduped
+    against each other; plan = ONE exchange (the min-struct aggregate)."""
+    from entitymatchingmodel_spark.operators.dedup import drop_url_duplicates
+    from entitymatchingmodel_spark.plans import exchange_count
+
+    rows = [
+        (1, "https://www.example.com/a?utm=x"),
+        (2, "HTTP://EXAMPLE.COM/a#frag"),        # same page as 1
+        (3, "example.com/a/"),                   # same page as 1
+        (4, "example.com/A"),                    # path case differs: distinct
+        (5, "https://other.org/a"),
+        (6, None),                               # missing URLs: all kept
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = drop_url_duplicates(df, "id", "url")
+    # plan shape checked BEFORE the action (post-execution explain shows
+    # the AQE final plan, which double-prints the exchange)
+    assert exchange_count(out) == 1
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [1, 4, 5, 6, 7, 8]
+    # original columns survive untouched
+    assert out.columns == ["id", "url"]
+
+
+def test_url_dedup_stream_matches_batch(spark, tmp_path):
+    """drop_url_duplicates_stream keeps exactly one row per normalized URL
+    within the watermark horizon and passes NULL-URL rows through
+    undeduped — same normalized-key set as the batch operator."""
+    import datetime
+    import os
+
+    from entitymatchingmodel_spark.functions.web import url_normalize
+    from entitymatchingmodel_spark.operators.dedup import drop_url_duplicates
+    from entitymatchingmodel_spark.streaming.dedup import (
+        drop_url_duplicates_stream,
+    )
+
+    T = datetime.datetime
+    rows = [
+        (1, "https://www.site.com/x?q=1", T(2024, 1, 1, 0, 0)),
+        (2, "site.com/x", T(2024, 1, 1, 0, 1)),       # dup of 1
+        (3, "site.com/y", T(2024, 1, 1, 0, 2)),
+        (4, None, T(2024, 1, 1, 0, 3)),
+        (5, None, T(2024, 1, 1, 0, 4)),               # NOT a dup of 4
+    ]
+    src = str(tmp_path / "url_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "id long, url string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id long, url string, ts timestamp").parquet(src)
+    out = drop_url_duplicates_stream(stream, "url", "ts")
+    got = []
+    q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_url")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_keys = sorted(
+        str(r["k"])
+        for r in drop_url_duplicates(df, "id", "url")
+        .select(url_normalize(F.col("url")).alias("k")).collect()
+    )
+    got_keys = sorted(str(r["url_norm"]) for r in got)
+    assert got_keys == batch_keys
+    assert len(got) == 4  # 1-or-2, 3, 4, 5
+    assert {r["id"] for r in got if r["url_norm"] is None} == {4, 5}
+
