@@ -293,3 +293,47 @@ def test_url_dedup_stream_matches_batch(spark, tmp_path):
     assert len(got) == 4  # 1-or-2, 3, 4, 5
     assert {r["id"] for r in got if r["url_norm"] is None} == {4, 5}
 
+
+
+def test_registered_domain_table_psl_semantics(spark):
+    """Longest-suffix resolution with a user-supplied suffix table:
+    multi-label ccTLD suffixes resolve correctly, a bare public suffix
+    has no registrable part (NULL), unmatched TLDs fall back to the
+    naive two-label heuristic, and the longest listed match wins."""
+    from entitymatchingmodel_spark.functions.web import registered_domain_table
+
+    sfx = spark.createDataFrame(
+        [("uk",), ("co.uk",), ("com.au",), ("com",), ("org",), ("CO.UK",)],
+        "suffix string",
+    )
+    rows = [
+        (1, "https://www.example.co.uk/page"),      # multi-label suffix
+        (2, "a.b.example.co.uk"),                   # deep subdomain
+        (3, "shop.com.au/x?q=1"),                   # com.au
+        (4, "https://sub.example.com"),             # single-label suffix
+        (5, "co.uk"),                               # IS a suffix -> NULL
+        (6, "example.zz"),                          # unmatched -> naive
+        (7, "deep.sub.example.zz"),                 # unmatched -> naive 2-label
+        (8, None),                                  # NULL -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = registered_domain_table(df, "url", sfx)
+    # every suffix join is a BROADCAST hash join (the fact side is never
+    # shuffled; the only exchanges in the plan are the tiny per-candidate
+    # suffix-dedup shuffles inside the broadcast builds)
+    from entitymatchingmodel_spark.plans import broadcast_join_count, explain_str
+
+    plan = explain_str(out)
+    assert broadcast_join_count(out) == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    got = {r["id"]: r["reg_domain"] for r in out.collect()}
+    assert got[1] == "example.co.uk"
+    assert got[2] == "example.co.uk"
+    assert got[3] == "shop.com.au"
+    assert got[4] == "example.com"
+    assert got[5] is None
+    assert got[6] == "example.zz"
+    assert got[7] == "example.zz"
+    assert got[8] is None
+    # row count preserved (no explode), input columns intact
+    assert out.count() == len(rows) and set(df.columns) <= set(out.columns)
