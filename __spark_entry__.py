@@ -341,6 +341,20 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_table(docs, "doc_id", "text")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's full repetition rule table (r9 — Rae et al. 2021 §A1.1.1,
+    completing the §A1.1.2 rules of gopher_quality): 13 published
+    fractions per document (dup lines/paragraphs by count and by chars —
+    all per-row HOF expressions, zero shuffle; top-2/3/4-gram coverage —
+    one explode + count shuffle keyed by doc; dup-5..10-gram coverage —
+    per-row again), each rounded to 6dp, plus the fused keep flag.
+    Oracle GENERATED from the same thresholds dict — EXACT."""
+    from entitymatchingmodel_spark.functions.text import gopher_repetition_table
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return gopher_repetition_table(docs, "doc_id", "text")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus observability rollup ("data card" numbers): ONE
     map-side-combined aggregate — counts/sums exact, averages rounded to
@@ -2134,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_to_mix": q_resample_to_mix,
         "temperature_mix_domain": q_temperature_mix_domain,
         "url_dedup": q_url_dedup,
+        "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "corpus_stats": q_corpus_stats,
         "url_normalize": q_url_normalize,
@@ -3973,6 +3988,92 @@ _ORACLE = {
 # parameters (tests/test_ann.py), so the persistence-cycle contract row
 # shares ivf_topk's EXACT oracle verbatim.
 _ORACLE["ivf_index_topk"] = _ORACLE["ivf_topk"]
+
+
+def _gopher_rep_sql() -> str:
+    """Oracle for gopher_repetition, GENERATED from the package's own
+    thresholds dict and n-gram tuples (single source of truth): per-row
+    list expressions for the line/paragraph/dup-n-gram fractions, unnest +
+    count + deterministic-tie-break window per top-n, same 6dp rounding
+    and 1.0 clamps as the Spark operator."""
+    from entitymatchingmodel_spark.functions.text import (
+        _DUP_NGRAM_NS,
+        _TOP_NGRAM_NS,
+        GOPHER_REPETITION_THRESHOLDS as TH,
+    )
+
+    def ngram(n: int) -> str:
+        parts = " || ' ' || ".join(f"ws[CAST(i AS INT)+{j}]" for j in range(n))
+        return f"list_transform(generate_series(1, len(ws) - {n - 1}), i -> {parts})"
+
+    def sumlen(arr: str, minus: int = 0) -> str:
+        fn = f"length(x) - {minus}" if minus else "length(x)"
+        return f"coalesce(list_aggregate(list_transform({arr}, x -> {fn}), 'sum'), 0)"
+
+    ng_defs = ",\n         ".join(
+        f"{ngram(n)} AS ng{n}" for n in (*_TOP_NGRAM_NS, *_DUP_NGRAM_NS)
+    )
+    dup_exprs = ",\n    ".join(
+        f"CASE WHEN nw < {n} THEN 0.0 ELSE round(least(1.0, "
+        f"({sumlen(f'ng{n}', n - 1)} - {sumlen(f'list_distinct(ng{n})', n - 1)})"
+        f" / CAST(cc AS DOUBLE)), 6) END AS dup_{n}gram_char_frac"
+        for n in _DUP_NGRAM_NS
+    )
+    top_ctes = ",\n".join(
+        f"ex{n} AS (SELECT doc_id, cc, unnest(ng{n}) AS g FROM base),\n"
+        f"c{n} AS (SELECT doc_id, cc, g, count(*) AS c FROM ex{n}\n"
+        f"         GROUP BY doc_id, cc, g HAVING count(*) >= 2),\n"
+        f"t{n} AS (SELECT doc_id,\n"
+        f"           round(least(1.0, c * (length(g) - {n - 1}) / CAST(cc AS DOUBLE)), 6) AS f{n}\n"
+        f"         FROM (SELECT doc_id, cc, g, c, row_number() OVER (\n"
+        f"                 PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g ASC) AS rn\n"
+        f"               FROM c{n}) WHERE rn = 1)"
+        for n in _TOP_NGRAM_NS
+    )
+    top_cols = ",\n       ".join(
+        f"coalesce(t{n}.f{n}, 0.0) AS top_{n}gram_char_frac" for n in _TOP_NGRAM_NS
+    )
+    top_joins = " ".join(f"LEFT JOIN t{n} USING (doc_id)" for n in _TOP_NGRAM_NS)
+    frac_names = (
+        ["dup_line_frac", "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in _TOP_NGRAM_NS]
+        + [f"dup_{n}gram_char_frac" for n in _DUP_NGRAM_NS]
+    )
+    keep = " AND ".join(f"{name} <= {TH[name]}" for name in frac_names)
+    null_cols = ", ".join(f"NULL AS {name}" for name in frac_names)
+    return f"""
+    WITH w AS (SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    base AS (SELECT doc_id, ws, len(ws) AS nw,
+               {sumlen('ws')} AS cc,
+               list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS lines,
+               list_filter(regexp_split_to_array(text, '\\n\\n+'), p -> trim(p) <> '') AS paras,
+               {ng_defs}
+             FROM w WHERE len(ws) > 0),
+    {top_ctes},
+    m AS (SELECT doc_id, cc,
+            round((len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+            round((len(paras) - len(list_distinct(paras))) / CAST(len(paras) AS DOUBLE), 6) AS dup_para_frac,
+            round(({sumlen('lines')} - {sumlen('list_distinct(lines)')}) / CAST({sumlen('lines')} AS DOUBLE), 6) AS dup_line_char_frac,
+            round(({sumlen('paras')} - {sumlen('list_distinct(paras)')}) / CAST({sumlen('paras')} AS DOUBLE), 6) AS dup_para_char_frac,
+            {dup_exprs}
+          FROM base),
+    f AS (SELECT m.doc_id,
+            m.dup_line_frac, m.dup_para_frac, m.dup_line_char_frac, m.dup_para_char_frac,
+            {top_cols},
+            {', '.join('m.dup_' + str(n) + 'gram_char_frac' for n in _DUP_NGRAM_NS)}
+          FROM m {top_joins})
+    SELECT doc_id, {', '.join(frac_names)}, ({keep}) AS keep_repetition FROM f
+    UNION ALL
+    SELECT doc_id, {null_cols}, FALSE AS keep_repetition
+    FROM documents
+    WHERE text IS NULL
+       OR len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) = 0
+    """
+
+
+_ORACLE["gopher_repetition"] = _gopher_rep_sql()
 
 # BigramLM fit->save->load->score with the clean-reference slice: the
 # oracle is the SAME generated fragment as lm_perplexity, reference

@@ -468,6 +468,261 @@ def gopher_rules_table(
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, Table A1 — public paper).
+# Single source of truth: the operator defaults AND the generated oracle
+# fragments both read this dict, so they cannot desync.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+_TOP_NGRAM_NS = (2, 3, 4)
+_DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _ws_words(c: Column) -> Column:
+    """Whitespace words — Gopher's unit (shared with gopher_rules_table)."""
+    return F.filter(F.split(c, "\\s+"), lambda w: w != "")
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams (NULL when < n words) —
+    the arrays_zip-of-shifted-slices pattern (see repetition_stats), not
+    per-element element_at lookups."""
+    cnt = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, cnt).alias(f"w{j}") for j in range(n)]
+    )
+    return F.when(
+        F.size(words) >= n,
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])),
+    )
+
+
+def _sum_lengths(arr: Column) -> Column:
+    """Total string length over an array column (0 for empty)."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+
+
+def gopher_repetition_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Gopher's REPETITION rule table (Rae et al. 2021 §A1.1.1 — the other
+    half of :func:`gopher_rules_table`'s quality rules): per document the
+    13 published repetition fractions, each rounded to 6dp, plus
+    ``keep_repetition`` = AND of all thresholds (defaults =
+    ``GOPHER_REPETITION_THRESHOLDS``, the paper's Table A1 values).
+
+    Definitions (documented precisely because the oracle mirrors them):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of non-empty lines
+      (split on ``\\n``) / paragraphs (split on ``\\n\\n+``) that are
+      repeat occurrences of an earlier identical line/paragraph
+      (``1 - distinct/total``).
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters inside
+      those repeat occurrences over total line/paragraph characters
+      (``1 - distinct_chars/total_chars``).
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
+      frequent word n-gram — ``count * ngram_word_chars`` over total word
+      characters; only n-grams occurring >= 2 times compete (a count-1
+      n-gram is not repetition — without this, every short unique doc
+      scores its longest n-gram); ties broken by longer n-gram then
+      lexicographically smallest (deterministic, unlike
+      Counter.most_common).
+    - ``dup_{5..10}gram_char_frac``: characters in repeat occurrences of
+      any n-gram (``(count-1) * ngram_word_chars`` summed) over total
+      word characters.  NOTE: overlapping repeats are each counted (the
+      paper deduplicates overlap with a sequential greedy scan, which has
+      no order-free formulation; this variant upper-bounds it and is
+      engine-exact).  Both n-gram families clamp at 1.0 — overlap
+      counting can otherwise exceed the doc's characters.
+
+    Words are whitespace-split (Gopher's unit); n-gram char length counts
+    word characters only (no separators).  Documents with fewer than n
+    words score 0.0 on the n-gram rules; NULL/empty text keeps its row
+    with all-NULL fractions and ``keep_repetition`` false.
+
+    Scale shape: every line/paragraph/dup-n-gram fraction is a PER-ROW
+    higher-order expression (map-only, zero shuffle); only the top-n-gram
+    coverage aggregates — one explode over 3 n-gram streams, one count
+    shuffle keyed by (id, n, gram) with map-side combine, one per-(id, n)
+    window, one rejoin on ``id_col``.  Everything is keyed by the doc id;
+    no global state.
+    """
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        th.update(thresholds)
+    txt = F.col(text_col)
+    words = _ws_words(txt)
+    n_words = F.size(words)
+    char_count = _sum_lengths(words)
+    r6 = lambda c: F.round(c, 6)
+
+    def _dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, r6((n - F.size(F.array_distinct(arr))) / n.cast("double"))
+        )
+
+    def _dup_char_frac(arr: Column) -> Column:
+        tot = _sum_lengths(arr)
+        return F.when(
+            tot > 0,
+            r6((tot - _sum_lengths(F.array_distinct(arr))) / tot.cast("double")),
+        )
+
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
+    paras = F.filter(F.split(txt, "\n\n+"), lambda p: F.trim(p) != "")
+
+    def _dup_ngram_frac(n: int) -> Column:
+        ng = _word_ngrams(words, n)
+        # ngram word-chars = string length minus its n-1 separator spaces
+        dup_chars = (
+            _sum_lengths(ng) - F.lit(n - 1) * F.size(ng)
+        ) - (
+            _sum_lengths(F.array_distinct(ng))
+            - F.lit(n - 1) * F.size(F.array_distinct(ng))
+        )
+        return (
+            F.when(
+                char_count.isNull() | (char_count <= 0), F.lit(None).cast("double")
+            )
+            .when(n_words < n, F.lit(0.0))
+            # least(1,..): overlapping repeats are each counted, so the raw
+            # sum can exceed the doc's characters — clamp to keep it a frac
+            .otherwise(r6(F.least(F.lit(1.0), dup_chars / char_count.cast("double"))))
+        )
+
+    base = df.select(
+        F.col(id_col),
+        char_count.alias("_cc"),
+        _dup_frac(lines).alias("dup_line_frac"),
+        _dup_frac(paras).alias("dup_para_frac"),
+        _dup_char_frac(lines).alias("dup_line_char_frac"),
+        _dup_char_frac(paras).alias("dup_para_char_frac"),
+        *[_dup_ngram_frac(n).alias(f"dup_{n}gram_char_frac") for n in _DUP_NGRAM_NS],
+        *[_word_ngrams(words, n).alias(f"_ng{n}") for n in _TOP_NGRAM_NS],
+    )
+
+    # top-n-gram coverage: explode the three n-gram streams, count per
+    # (id, n, gram), pick the deterministic winner per (id, n), pivot back
+    ex = None
+    for n in _TOP_NGRAM_NS:
+        part = base.select(
+            F.col(id_col),
+            F.col("_cc"),
+            F.lit(n).alias("_n"),
+            F.explode(F.coalesce(F.col(f"_ng{n}"), F.array().cast("array<string>"))).alias("_g"),
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    cnt = ex.groupBy(id_col, "_n", "_g").agg(
+        F.count("*").alias("_c"), F.first("_cc").alias("_cc")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "_n").orderBy(
+        F.desc("_c"), F.desc(F.length("_g")), F.asc("_g")
+    )
+    tops = (
+        # a count-1 n-gram is not a repeat: only actually-repeated n-grams
+        # compete (this also shrinks the window input to the repeated tail)
+        cnt.filter(F.col("_c") >= 2)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .withColumn(
+            "_frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("_c")
+                    * (F.length("_g") - (F.col("_n") - 1))
+                    / F.col("_cc").cast("double"),
+                ),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("_n") == n, F.col("_frac"))).alias(
+                    f"top_{n}gram_char_frac"
+                )
+                for n in _TOP_NGRAM_NS
+            ]
+        )
+    )
+    out = base.drop(*[f"_ng{n}" for n in _TOP_NGRAM_NS]).join(tops, id_col, "left")
+    top_cols = {
+        n: (
+            F.when(
+                F.col("_cc").isNull() | (F.col("_cc") <= 0),
+                F.lit(None).cast("double"),
+            ).otherwise(F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0)))
+        )
+        for n in _TOP_NGRAM_NS
+    }
+    frac_names = (
+        ["dup_line_frac", "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in _TOP_NGRAM_NS]
+        + [f"dup_{n}gram_char_frac" for n in _DUP_NGRAM_NS]
+    )
+    final_cols = {name: F.col(name) for name in frac_names}
+    for n in _TOP_NGRAM_NS:
+        final_cols[f"top_{n}gram_char_frac"] = top_cols[n]
+    keep = F.lit(True)
+    for name in frac_names:
+        keep = keep & (final_cols[name] <= float(th[name]))
+    return out.select(
+        F.col(id_col),
+        *[final_cols[name].alias(name) for name in frac_names],
+        F.coalesce(keep, F.lit(False)).alias("keep_repetition"),
+    )
+
+
+def gopher_keep_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules_kwargs: dict | None = None,
+    repetition_thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The FUSED Gopher filter: ``(id, keep_rules, keep_repetition,
+    keep)`` where ``keep`` = :func:`gopher_rules_table`'s quality rules
+    AND :func:`gopher_repetition_table`'s repetition rules — the complete
+    published Gopher document filter as one call.  One equi-join on the
+    doc id between the map-only rules projection and the repetition
+    table."""
+    rules = gopher_rules_table(df, id_col, text_col, **(rules_kwargs or {})).select(
+        id_col, F.col("keep").alias("keep_rules")
+    )
+    rep = gopher_repetition_table(
+        df, id_col, text_col, thresholds=repetition_thresholds
+    ).select(id_col, "keep_repetition")
+    return rules.join(rep, id_col).select(
+        id_col,
+        "keep_rules",
+        "keep_repetition",
+        (F.col("keep_rules") & F.col("keep_repetition")).alias("keep"),
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     group_col: str,

@@ -448,3 +448,18 @@ def test_temperature_mix_unbounded_join_based_no_collect_no_chain(spark):
             temperature_mix_unbounded(few, "doc_id", "grp", 0.5, allow_upsample=up)
         )
         assert p_many.count("CASE WHEN") == p_few.count("CASE WHEN")
+
+
+def test_gopher_repetition_bounded_exchanges(spark):
+    """gopher_repetition_table: the line/paragraph/dup-n-gram fractions are
+    per-row expressions; only the top-n-gram coverage aggregates.  Pin the
+    whole table at <= 3 exchanges (ngram count shuffle, per-doc window,
+    rejoin — all keyed by the doc id) and no nested loop."""
+    from entitymatchingmodel_spark.functions.text import gopher_repetition_table
+    from entitymatchingmodel_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = gopher_repetition_table(docs, "doc_id", "text")
+    plan = explain_str(out)
+    assert exchange_count(out) <= 3, plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

@@ -337,3 +337,60 @@ def test_registered_domain_table_psl_semantics(spark):
     assert got[8] is None
     # row count preserved (no explode), input columns intact
     assert out.count() == len(rows) and set(df.columns) <= set(out.columns)
+
+
+def test_gopher_repetition_table_hand_expectations(spark):
+    """Hand-computed repetition fractions: dup lines/paragraphs, top-ngram
+    coverage (repeats only, deterministic tie-break), dup-ngram char
+    fraction with the documented overlap-counting + 1.0 clamp, NULL/empty
+    text -> all-NULL + keep false."""
+    from entitymatchingmodel_spark.functions.text import (
+        gopher_keep_table,
+        gopher_repetition_table,
+    )
+
+    rows = [
+        (1, "x y x y x y"),
+        (2, "aa\nbb\naa\n\ncc"),
+        (3, "one two three four five six"),
+        (4, None),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r.asDict() for r in gopher_repetition_table(df, "id", "text").collect()}
+
+    # doc 1: 6 words, char_count 6; bigrams x y:3, y x:2 -> top2 =
+    # least(1, 3*2/6) = 1.0; trigrams "x y x":2,"y x y":2 -> tie ->
+    # longer? equal len -> lexicographic: "x y x" -> least(1, 2*3/6)=1.0;
+    # 5-grams both unique -> 0.0
+    assert got[1]["top_2gram_char_frac"] == 1.0
+    assert got[1]["top_3gram_char_frac"] == 1.0
+    assert got[1]["dup_5gram_char_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["keep_repetition"] is False
+
+    # doc 2: lines [aa,bb,aa,cc] -> dup_line 1/4, chars (8-6)/8 = 0.25;
+    # paragraphs ["aa\nbb\naa","cc"] distinct -> 0.0
+    assert got[2]["dup_line_frac"] == 0.25
+    assert got[2]["dup_line_char_frac"] == 0.25
+    assert got[2]["dup_para_frac"] == 0.0
+    assert got[2]["dup_para_char_frac"] == 0.0
+
+    # doc 3: no repeated anything -> all zeros, keep true
+    assert got[3]["keep_repetition"] is True
+    assert all(
+        got[3][k] == 0.0
+        for k in got[3]
+        if k.endswith("_frac")
+    )
+
+    # NULL / whitespace-only text: all-NULL fractions, keep false
+    for i in (4, 5):
+        assert got[i]["keep_repetition"] is False
+        assert all(got[i][k] is None for k in got[i] if k.endswith("_frac"))
+
+    # fused table: keep = rules AND repetition
+    fused = {r["id"]: r.asDict() for r in gopher_keep_table(df, "id", "text").collect()}
+    assert set(fused) == {1, 2, 3, 4, 5}
+    for i in fused:
+        assert fused[i]["keep"] == (fused[i]["keep_rules"] and fused[i]["keep_repetition"])
