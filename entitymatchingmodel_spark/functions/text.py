@@ -166,6 +166,25 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "hr": (" ko", "koj", "oji", "ji ", " da", "da ", " je", "je ", " se",
            "se ", " na", "na ", "bit", "ti ", "ima", " im", "sto", " st",
            "ali", " al"),
+    # r9 breadth (same [a-z ]-residue rule: sl 'tudi/kot/je/in/da/se/pri/
+    # tako', et 'kui/oma/vad/on/ja/sel(le)/ise/-ud/-ing', lv 'un/ir/par/
+    # tas/vai/-iem/kas/-iba', lt 'ir/yra/kad/kaip/tai/bet/-iau/-aus/-mas',
+    # sw 'na/ya/wa/kwa/katika/ni/za/la/cha')
+    "sl": ("tud", "udi", "di ", " tu", "kot", " ko", "ot ", " je", "je ",
+           " in", "in ", " da", "da ", " se", "se ", "pri", " pr", "ri ",
+           "tak", "ako"),
+    "et": ("kui", "ui ", " ku", "oma", " om", "ma ", "ing", "ng ", "vad",
+           "ad ", " va", "on ", " on", " ja", "ja ", "sel", "el ", "ise",
+           "se ", "ud "),
+    "lv": (" un", "un ", " ir", "ir ", "par", " pa", "ar ", "tas", " ta",
+           "as ", "vai", " va", "ai ", "iem", "em ", "kas", " ka", "ka ",
+           "ba ", "iba"),
+    "lt": (" ir", "ir ", "yra", " yr", "ra ", "kad", " ka", "ad ", "kai",
+           "aip", "ip ", "tai", "ai ", "bet", " be", "et ", "iau", "aus",
+           "us ", "mas"),
+    "sw": (" na", "na ", " ya", "ya ", " wa", "wa ", "kwa", " kw", "ika",
+           "kat", "ati", "tik", " ku", "ni ", " ni", "za ", " za", "la ",
+           "cha", " ch"),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

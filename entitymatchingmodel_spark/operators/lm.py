@@ -173,6 +173,112 @@ class BigramLM:
             rounder(F.pow(F.lit(2.0), -F.col("avg_logp"))).alias("perplexity"),
         )
 
+    def score_rowwise(
+        self,
+        df: DataFrame,
+        text_col: str,
+        max_model_rows: int = 5_000_000,
+    ) -> DataFrame:
+        """STATELESS per-row scoring: ``df`` plus ``n_bigrams`` /
+        ``avg_logp`` / ``perplexity`` columns, computed inside one
+        Arrow-batched pandas UDF against BROADCAST count dicts — no
+        explode, no join, no aggregation.  This is the STREAMING shape of
+        :meth:`score`: the batch path's per-doc groupBy is a streaming
+        aggregation (append mode would stall on the watermark), while a
+        pure projection composes with any downstream stateful stage —
+        CCNet's keep-the-head gate applied ON INGEST.
+
+        Parity with :meth:`score`: same Laplace formula over the same
+        counts; tokens follow the corpus-wide oracle convention
+        (lowercased ``[^a-z0-9]+`` split — identical to the JVM tokenizer
+        on ASCII text, the documented convention all text oracles
+        mirror); the per-doc mean is rounded with the same
+        shortest-repr/HALF_UP rule as Spark's ``round`` before perplexity
+        derives from it, so rounded scores are pinned equal to the batch
+        path (tests/test_lm.py, tests/test_streaming.py).
+
+        The guard: both count tables are collected to the driver and
+        broadcast — bounded by VOCABULARY, not corpus, but a web-scale
+        bigram table can still be large, so ``max_model_rows`` fails fast
+        with a pointer to batch :meth:`score` (the
+        embed_near_pairs/max_collect_rows idiom).
+        """
+        n_model = self.c1.count() + self.c12.count()
+        if n_model > max_model_rows:
+            raise ValueError(
+                f"model has {n_model} count rows > max_model_rows="
+                f"{max_model_rows}; broadcasting it as python dicts is the "
+                "streaming-gate shape for SMALL reference LMs. For large "
+                "models score in batch with BigramLM.score() (joins, no "
+                "driver state), or raise max_model_rows explicitly."
+            )
+        d1 = {r["w1"]: r["_c1"] for r in self.c1.collect()}
+        d12 = {(r["w1"], r["w2"]): r["_c12"] for r in self.c12.collect()}
+        sc = df.sparkSession.sparkContext
+        bc1, bc12 = sc.broadcast(d1), sc.broadcast(d12)
+        a, vocab, sd = self.smoothing, self.vocab, self.score_decimals
+
+        clash = {"n_bigrams", "avg_logp", "perplexity"} & set(df.columns)
+        if clash:
+            raise ValueError(f"score_rowwise adds columns {sorted(clash)}; rename them")
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [
+                StructField("n_bigrams", LongType()),
+                StructField("avg_logp", DoubleType()),
+                StructField("perplexity", DoubleType()),
+            ]
+        )
+
+        def _score_batches(batches):
+            import math
+            import re
+            from decimal import ROUND_HALF_UP, Decimal
+
+            def r_sd(x):
+                # Spark round(double, sd): shortest-repr decimal, HALF_UP —
+                # Python's repr IS the shortest repr, so this matches
+                # BigDecimal.valueOf(x).setScale(sd, HALF_UP) exactly
+                if sd is None:
+                    return x
+                q = Decimal(1).scaleb(-sd)
+                return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+            log2 = math.log(2.0)
+            m1, m12 = bc1.value, bc12.value
+            for pdf in batches:
+                ns, avgs, ppls = [], [], []
+                for t in pdf[text_col]:
+                    toks = (
+                        [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+                        if isinstance(t, str)
+                        else []
+                    )
+                    if len(toks) < 2:
+                        ns.append(0)
+                        avgs.append(None)
+                        ppls.append(None)
+                        continue
+                    s, n = 0.0, len(toks) - 1
+                    for i in range(n):
+                        p = (m12.get((toks[i], toks[i + 1]), 0) + a) / (
+                            m1.get(toks[i], 0) + a * vocab
+                        )
+                        s += math.log(p) / log2
+                    avg = r_sd(s / n)
+                    ns.append(n)
+                    avgs.append(avg)
+                    ppls.append(r_sd(2.0 ** (-avg)))
+                pdf = pdf.copy()
+                pdf["n_bigrams"] = ns
+                pdf["avg_logp"] = avgs
+                pdf["perplexity"] = ppls
+                yield pdf
+
+        return df.mapInPandas(_score_batches, out_schema)
+
     def save(self, path: str) -> None:
         import json
 

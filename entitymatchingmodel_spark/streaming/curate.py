@@ -34,6 +34,9 @@ def curate_stream(
     min_quality: float = 0.3,
     watermark: str = "10 minutes",
     url_col: str | None = None,
+    lm_model=None,
+    max_perplexity: float | None = None,
+    lm_max_model_rows: int = 5_000_000,
 ) -> DataFrame:
     """Language filter -> quality filter -> watermark-bounded exact dedup
     over a streaming document frame; with ``url_col`` set, a URL-dedup
@@ -42,12 +45,26 @@ def curate_stream(
     the cheapest state (one short key per page vs a content hash computed
     over every candidate).
 
+    With ``lm_model`` (a fitted/loaded :class:`operators.lm.BigramLM`)
+    and ``max_perplexity`` set, a CCNet-style perplexity gate runs after
+    the quality filter: every row is scored STATELESSLY against the
+    broadcast reference-LM counts (:meth:`BigramLM.score_rowwise` — a
+    pure Arrow-batched projection, append-safe; the batch scorer's
+    per-doc aggregation has no append-mode streaming form) and rows
+    scoring above ``max_perplexity`` — or unscorable (<2 tokens), which
+    CCNet drops as garbage — are filtered.  This is the production CCNet
+    posture: fit on the clean corpus offline, load, gate the crawl on
+    ingest.
+
     Output: the surviving rows plus ``lang``, ``quality``,
-    ``content_hash`` — and ``url_norm`` when ``url_col`` is set — audit
-    columns.  ``langs=()`` keeps every detected language (filter
+    ``content_hash`` — ``url_norm`` when ``url_col`` is set, and
+    ``n_bigrams``/``avg_logp``/``perplexity`` when the LM gate is on —
+    audit columns.  ``langs=()`` keeps every detected language (filter
     skipped).  Two stateful stages in one query is the post-Spark-3.4
     multi-stateful-operator shape; both are watermark-bounded.
     """
+    if (lm_model is None) != (max_perplexity is None):
+        raise ValueError("lm_model and max_perplexity must be set together")
     if not stream.isStreaming:
         raise ValueError("curate_stream requires a streaming DataFrame")
     if url_col is not None:
@@ -77,6 +94,9 @@ def curate_stream(
     s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= min_quality
     )
+    if lm_model is not None:
+        s = lm_model.score_rowwise(s, text_col, max_model_rows=lm_max_model_rows)
+        s = s.filter(F.col("perplexity") <= float(max_perplexity))
     # when the URL stage ran, it already set the watermark — redefining it
     # downstream of a stateful operator is disallowed
     return drop_exact_duplicates_stream(

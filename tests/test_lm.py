@@ -233,3 +233,35 @@ def test_perplexity_bands_rejects_equal_quantiles(spark):
             perplexity_bands(docs, "id", "text", model, "grp", lo_q=0.5, hi_q=0.5)
     finally:
         model.unpersist()
+
+def test_score_rowwise_pinned_equal_to_batch(spark, tmp_path):
+    """The stateless row-wise scorer (broadcast dicts + pandas UDF) is
+    pinned EQUAL to the batch join/aggregate scorer on rounded scores —
+    including through a save/load cycle — and its guard fails fast with
+    a pointer to batch scoring."""
+    import pytest
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = BigramLM.fit(docs.filter("lang = 'en'"), "text", score_decimals=6)
+    path = str(tmp_path / "lm")
+    model.save(path)
+    model.unpersist()
+    loaded = BigramLM.load(spark, path)
+    try:
+        batch = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+            for r in loaded.score(docs, "doc_id", "text").collect()
+        }
+        roww = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+            for r in loaded.score_rowwise(docs, "text").select(
+                "doc_id", "n_bigrams", "avg_logp", "perplexity"
+            ).collect()
+        }
+        assert batch == roww
+        assert len(batch) == docs.count()
+        with pytest.raises(ValueError, match="BigramLM.score"):
+            loaded.score_rowwise(docs, "text", max_model_rows=10)
+    finally:
+        loaded.unpersist()

@@ -443,3 +443,69 @@ def test_curate_stream_url_dedup_stage(spark, tmp_path):
         ["news.com/other", "news.com/story" if ids[0] == 1 else "mirror.org/copy"]
     )
     assert all("content_hash" in r.asDict() for r in got)
+
+
+def test_curate_stream_perplexity_gate_matches_batch(spark, tmp_path):
+    """The CCNet streaming posture: FIT the bigram LM on a clean slice,
+    SAVE, LOAD, then gate an availableNow stream on perplexity.  The
+    stream's kept set and perplexity values are pinned EQUAL to the batch
+    scorer's on the same rows; unscorable (<2 token) rows are dropped by
+    the gate."""
+    import datetime
+    import os
+
+    from entitymatchingmodel_spark.operators.lm import BigramLM
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    T = datetime.datetime
+    en = ("the quick brown fox and the dog went over the hills to the river "
+          "in the morning and came back before the night")
+    rows = [
+        (1, en, T(2024, 1, 1, 0, 0)),                       # in-distribution
+        (2, en + " and the fox came back again", T(2024, 1, 1, 0, 1)),
+        (3, "zx qv jj kw zz pp qq ww ee rr tt yy uu ii oo "
+            "the and of to in is that it was he", T(2024, 1, 1, 0, 2)),  # junk
+        (4, "x", T(2024, 1, 1, 0, 3)),                      # unscorable
+    ]
+    src = str(tmp_path / "lm_gate_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    # fit on the clean slice, persist, reload — no fit-session state leaks
+    ref = df.filter("doc_id <= 2")
+    model = BigramLM.fit(ref, "text", score_decimals=6)
+    path = str(tmp_path / "lm_gate_model")
+    model.save(path)
+    model.unpersist()
+    loaded = BigramLM.load(spark, path)
+    try:
+        batch = {
+            r["doc_id"]: r["perplexity"]
+            for r in loaded.score(df, "doc_id", "text").collect()
+        }
+        cut = sorted(v for v in batch.values() if v is not None)[1]  # keep 2 best
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out = curate_stream(stream, "text", "ts", langs=(), min_quality=0.0,
+                            lm_model=loaded, max_perplexity=cut)
+        got = []
+        q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+             .option("checkpointLocation", str(tmp_path / "ckpt_lm_gate")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        kept = {r["doc_id"]: r["perplexity"] for r in got}
+        want = {i: p for i, p in batch.items() if p is not None and p <= cut}
+        assert kept == want, (kept, want)
+        assert 4 not in kept  # unscorable dropped by the gate
+        assert all("avg_logp" in r.asDict() and "n_bigrams" in r.asDict() for r in got)
+        # misconfiguration guard
+        with pytest.raises(ValueError, match="together"):
+            curate_stream(stream, "text", "ts", lm_model=loaded)
+    finally:
+        loaded.unpersist()

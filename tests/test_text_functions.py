@@ -82,6 +82,12 @@ def test_lang_id_chargram_detects_planted_languages(spark):
         (22, "La guineu rapida salta per sobre dels gossos mandrosos i corre cap al bosc que tenim amb els amics.", "ca"),
         (23, "Ako rychla liska pre nas skace cez psa do lesa ktory sa vola stary a nie je znamy v tych miestach ktore mame.", "sk"),
         (24, "Brza lisica skace preko lijenog psa koji se ne da i bit ce da ima sto na putu ali se ne zna je li to sve.", "hr"),
+        # r9 tranche (sl/et/lv/lt/sw)
+        (25, "Hitra lisica skace kot pes in tudi tako se pri tem ne ustavi da bi sla v gozd ki ga ne poznamo tudi mi.", "sl"),
+        (26, "Kiire rebane hyppab ule laisa koera ja jookseb metsa kui keegi oma teed ei tea ja ise on vaga kiire.", "et"),
+        (27, "Atri lapsa lec pari slinkajam sunim un skrien uz mezu kas mums nav zinams un par tiem vai tas ir labi.", "lv"),
+        (28, "Greita lape sokineja per tinginio suni ir begа i miska kad kaip tai yra zinoma bet ne mums ir jiems.", "lt"),
+        (29, "Mbweha mwepesi anaruka juu ya mbwa mvivu na kukimbia katika msitu kwa sababu ya chakula cha wanyama wa pori.", "sw"),
     ]
     df = spark.createDataFrame(rows, "id long, text string, want string")
     got = df.select("id", "want", lang_id_chargram(F.col("text")).alias("lang")).collect()
