@@ -2097,24 +2097,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate for the CORRECTNESS check only (the bench
     shuffles its own execution order per repeat, see bench.py): the
     driver's correctness file holds at most 50 rows per round, so queries
-    are listed most-in-need-of-a-check first — (1) the 27 oracle-checkable
-    queries whose last green row is r06 (the r7 tail, rotated back in per
-    the r7 verdict, the five whose files changed in r7 first:
-    vocab/pair features grew the LEF dict, agg/cossim/dup shared-module
-    churn), (2) new in r8 (lm_fit_score, temperature_mix_up,
-    resample_to_mix), (3) queries whose code paths changed in r8 (the
-    KMeansModel/BigramLM persistence rows, the lm_perplexity delegation
-    refactor, sampling.py upsample additions, the LSH cache rotation +
-    fail-fast, the IVF nlist reconciliation, the lang-id/LEF growth, the
-    stream-runner single-batch assertion), (4) round-8-probed watch items.
-    The 34-query tail (84 total - 50 window) is exactly the set that is
-    BOTH green in CORRECTNESS_r07 AND untouched by round 8 — plus the
-    four rows-only-by-design queries, which carry no oracle wherever they
-    sit — so a 50-row cutoff leaves every oracle-checkable query with a
-    green row no older than one round."""
+    are listed most-in-need-of-a-check first — (1) the 36 oracle-checkable
+    queries whose last green row is r07 (the r8 tail, rotated back in per
+    the r8 verdict; the churn-adjacent ones first: curation_pipeline and
+    the dedup family share dedup.py with the r9 _drop_duplicates_by_key
+    refactor + drop_url_duplicates, the text rows share text.py with the
+    gopher-repetition additions, country_match shares features.py with
+    the LEF growth), (2) the three new r9 rows (temperature_mix_domain,
+    url_dedup, gopher_repetition), (3) r8-dated rows whose code r9
+    touched (lef_match: +46 forms & the SASU fix; lang_id: +5 profiles;
+    the mixture family: max_groups guard, repeat caps, isin pushdown,
+    _repeat_explode refactor; streaming_curation: curate_stream url/lm
+    stages + watermark handling; the lm rows: score_rowwise addition +
+    band validation).  That is exactly 50 = 36 + 3 + 11.  The 43-query
+    tail is r8-green AND r9-untouched (or additively extended), plus the
+    four rows-only-by-design queries, which carry no oracle wherever
+    they sit — so a 50-row cutoff leaves every oracle-checkable query
+    with a green row no older than one round."""
     return {
-        # --- tier 1: last green row is r06 (the r7 tail); first the five
-        # whose files changed in r7 ---
+        # --- tier 1: last green row is r07 (the r8 tail); churn-adjacent first ---
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "repetition_stats": q_repetition_stats,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "country_match": q_country_match,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "line_dedup": q_line_dedup,
+        "dup_spans": q_dup_spans,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_near_pairs": q_embed_near_pairs,
+        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
+        "dup_clusters_star": q_dup_clusters_star,
+        "contamination": q_contamination,
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_time_join": q_streaming_time_join,
+        "pack_sequences": q_pack_sequences,
+        "events_interval_join_left": q_events_interval_join_left,
+        "events_interval_join": q_events_interval_join,
+        "events_asof": q_events_asof,
+        "events_asof_forward": q_events_asof_forward,
+        "events_sliding": q_events_sliding,
+        "events_json": q_events_json,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "cossim_broadcast_topk": q_cossim_broadcast_topk,
+        "pii_scrub": q_pii_scrub,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "exact_quantiles": q_exact_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
+        "preprocess_names": q_preprocess_names,
+        "tfidf_vocab": q_tfidf_vocab,
+        "media_frames": q_media_frames,
+        "audio_stats": q_audio_stats,
+        # --- tier 2: new in r9 ---
+        "temperature_mix_domain": q_temperature_mix_domain,
+        "url_dedup": q_url_dedup,
+        "gopher_repetition": q_gopher_repetition,
+        # --- tier 3: code path touched in r9 ---
+        "lef_match": q_lef_match,
+        "lang_id": q_lang_id,
+        "temperature_mix": q_temperature_mix,
+        "temperature_mix_up": q_temperature_mix_up,
+        "resample_to_mix": q_resample_to_mix,
+        "sample_mix": q_sample_mix,
+        "source_cap": q_source_cap,
+        "streaming_curation": q_streaming_curation,
+        "lm_fit_score": q_lm_fit_score,
+        "lm_perplexity": q_lm_perplexity,
+        "ppl_bands": q_ppl_bands,
+        # --- tail: green in r08 AND untouched (or only additively extended) in r9 (43 = 93 - 50), incl. the four rows-only queries ---
+        "supervised_scores": q_supervised_scores,
+        "supervised_score_only": q_supervised_score_only,
+        "supervised_quality": q_supervised_quality,
+        "noised_names": q_noised_names,
         "vocab_features": q_vocab_features,
         "pair_features": q_pair_features,
         "agg_max_freq": q_agg_max_freq,
@@ -2142,81 +2200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "stratified_sample": q_stratified_sample,
         "grouped_split": q_grouped_split,
-        # --- tier 2: new in r8 ---
-        "lm_fit_score": q_lm_fit_score,
-        "temperature_mix_up": q_temperature_mix_up,
-        "resample_to_mix": q_resample_to_mix,
-        "temperature_mix_domain": q_temperature_mix_domain,
-        "url_dedup": q_url_dedup,
-        "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "corpus_stats": q_corpus_stats,
         "url_normalize": q_url_normalize,
         "chunk_docs": q_chunk_docs,
         "top_terms": q_top_terms,
-        "ppl_bands": q_ppl_bands,
-        # --- tier 3: code path touched in r8 ---
-        "kmeans_stream_assign": q_kmeans_stream_assign,  # save/load cycle now
-        "streaming_curation": q_streaming_curation,      # single-batch assert
-        "lm_perplexity": q_lm_perplexity,                # BigramLM delegation
-        "temperature_mix": q_temperature_mix,            # sampling.py churn
-        "source_cap": q_source_cap,
-        "sample_mix": q_sample_mix,
+        "kmeans_stream_assign": q_kmeans_stream_assign,
         "token_budget_sample": q_token_budget_sample,
-        "cossim_lsh_topk": q_cossim_lsh_topk,            # cache rotation
-        "ivf_topk": q_ivf_topk,                          # ann.py churn
+        "cossim_lsh_topk": q_cossim_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "ivf_index_topk": q_ivf_index_topk,
-        "kmeans_clusters": q_kmeans_clusters,            # clustering.py churn
+        "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
-        "lang_id": q_lang_id,                            # 21 profiles (was 16)
-        "lef_match": q_lef_match,                        # 465 forms (was 381)
-        # --- tail: green in r07 AND untouched (or only additively
-        # extended) in r8 (39 = 89 - 50), including the four
-        # rows-only-by-design queries; the leading entries are the
-        # file-churn-adjacent or r8-probed ones (pack_sequences /
-        # streaming_sessions: the r8 file churn next to them is
-        # additive-only, and the changed stream-runner branch is
-        # exercised in-window by streaming_curation + kmeans_stream_assign) ---
-        "streaming_sessions": q_streaming_sessions,
-        "pack_sequences": q_pack_sequences,
-        "curation_pipeline": q_curation_pipeline,
-        "country_match": q_country_match,
-        "streaming_time_join": q_streaming_time_join,
-        "embed_near_pairs": q_embed_near_pairs,
-        "events_interval_join_left": q_events_interval_join_left,
-        "events_interval_join": q_events_interval_join,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "cossim_broadcast_topk": q_cossim_broadcast_topk,
-        "dedup_exact": q_dedup_exact,
-        "dup_spans": q_dup_spans,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "events_asof": q_events_asof,
-        "events_asof_forward": q_events_asof_forward,
-        "events_sliding": q_events_sliding,
-        "events_json": q_events_json,
-        "pii_scrub": q_pii_scrub,
-        "tpch_q6_forecast": q_tpch_q6_forecast,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "exact_quantiles": q_exact_quantiles,
-        "grouped_quantiles": q_grouped_quantiles,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "repetition_stats": q_repetition_stats,
-        "contamination": q_contamination,
-        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
-        "dup_clusters_star": q_dup_clusters_star,
-        "preprocess_names": q_preprocess_names,
-        "media_frames": q_media_frames,
-        "audio_stats": q_audio_stats,
-        "tfidf_vocab": q_tfidf_vocab,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "supervised_scores": q_supervised_scores,    # rows-only; bench still times fit
-        "supervised_score_only": q_supervised_score_only,
-        "supervised_quality": q_supervised_quality,  # rows-only by design
-        "noised_names": q_noised_names,              # rows-only by design
     }
 
 

@@ -610,101 +610,113 @@ def gopher_repetition_table(
     lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
     paras = F.filter(F.split(txt, "\n\n+"), lambda p: F.trim(p) != "")
 
-    def _dup_ngram_frac(n: int) -> Column:
-        ng = _word_ngrams(words, n)
-        # ngram word-chars = string length minus its n-1 separator spaces
-        dup_chars = (
-            _sum_lengths(ng) - F.lit(n - 1) * F.size(ng)
-        ) - (
-            _sum_lengths(F.array_distinct(ng))
-            - F.lit(n - 1) * F.size(F.array_distinct(ng))
-        )
-        return (
-            F.when(
-                char_count.isNull() | (char_count <= 0), F.lit(None).cast("double")
-            )
-            .when(n_words < n, F.lit(0.0))
-            # least(1,..): overlapping repeats are each counted, so the raw
-            # sum can exceed the doc's characters — clamp to keep it a frac
-            .otherwise(r6(F.least(F.lit(1.0), dup_chars / char_count.cast("double"))))
-        )
-
     base = df.select(
         F.col(id_col),
         char_count.alias("_cc"),
+        n_words.alias("_nw"),
         _dup_frac(lines).alias("dup_line_frac"),
         _dup_frac(paras).alias("dup_para_frac"),
         _dup_char_frac(lines).alias("dup_line_char_frac"),
         _dup_char_frac(paras).alias("dup_para_char_frac"),
-        *[_dup_ngram_frac(n).alias(f"dup_{n}gram_char_frac") for n in _DUP_NGRAM_NS],
-        *[_word_ngrams(words, n).alias(f"_ng{n}") for n in _TOP_NGRAM_NS],
     )
 
-    # top-n-gram coverage: explode the three n-gram streams, count per
-    # (id, n, gram), pick the deterministic winner per (id, n), pivot back
-    ex = None
-    for n in _TOP_NGRAM_NS:
-        part = base.select(
-            F.col(id_col),
-            F.col("_cc"),
-            F.lit(n).alias("_n"),
-            F.explode(F.coalesce(F.col(f"_ng{n}"), F.array().cast("array<string>"))).alias("_g"),
+    # every n-gram fraction (top AND dup) comes from ONE exploded (n, gram)
+    # stream: each n-gram array is built exactly once per row (interpreted
+    # HOF passes are the dominant cost — the per-row sum/distinct
+    # formulation re-evaluated each array several times and measured ~7x
+    # slower at sf0.1), then JVM codegen hash-aggregates do the counting.
+    # dup chars: sum over distinct grams of (count-1)*word_chars ==
+    # sum_all - sum_distinct of the per-row formulation, so the oracle is
+    # unchanged.
+    def _tagged(n: int):
+        return F.coalesce(
+            F.transform(
+                _word_ngrams(words, n),
+                lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+            ),
+            F.array().cast("array<struct<n:int,g:string>>"),
         )
-        ex = part if ex is None else ex.unionByName(part)
+
+    all_ns = (*_TOP_NGRAM_NS, *_DUP_NGRAM_NS)
+    ex = df.select(
+        F.col(id_col),
+        char_count.alias("_cc"),
+        F.explode(F.flatten(F.array(*[_tagged(n) for n in all_ns]))).alias("_t"),
+    ).select(id_col, "_cc", F.col("_t.n").alias("_n"), F.col("_t.g").alias("_g"))
     cnt = ex.groupBy(id_col, "_n", "_g").agg(
         F.count("*").alias("_c"), F.first("_cc").alias("_cc")
     )
+    # only actually-repeated n-grams matter for BOTH families (a count-1
+    # n-gram is not repetition; it also contributes 0 dup chars)
+    rep = cnt.filter(F.col("_c") >= 2)
+    gram_chars = F.length("_g") - (F.col("_n") - 1)
+
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col, "_n").orderBy(
         F.desc("_c"), F.desc(F.length("_g")), F.asc("_g")
     )
-    tops = (
-        # a count-1 n-gram is not a repeat: only actually-repeated n-grams
-        # compete (this also shrinks the window input to the repeated tail)
-        cnt.filter(F.col("_c") >= 2)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .withColumn(
-            "_frac",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("_c")
-                    * (F.length("_g") - (F.col("_n") - 1))
-                    / F.col("_cc").cast("double"),
-                ),
-                6,
-            ),
-        )
+    top_winner = F.round(
+        F.least(
+            F.lit(1.0), F.col("_c") * gram_chars / F.col("_cc").cast("double")
+        ),
+        6,
+    )
+    # ONE window + ONE conditional aggregate produce BOTH families (two
+    # separate branches would recompute the exploded count aggregate —
+    # measured as the dominant cost): the per-(id, n) winner rank feeds
+    # the top fractions, the same rows' (count-1)*chars sums feed the dup
+    # fractions, all pivoted in a single groupBy(id).
+    stats = (
+        rep.withColumn("_r", F.row_number().over(w))
         .groupBy(id_col)
         .agg(
             *[
-                F.max(F.when(F.col("_n") == n, F.col("_frac"))).alias(
-                    f"top_{n}gram_char_frac"
-                )
+                F.max(
+                    F.when((F.col("_n") == n) & (F.col("_r") == 1), top_winner)
+                ).alias(f"_top{n}")
                 for n in _TOP_NGRAM_NS
-            ]
+            ],
+            *[
+                F.sum(
+                    F.when(F.col("_n") == n, (F.col("_c") - 1) * gram_chars)
+                ).alias(f"_dup{n}")
+                for n in _DUP_NGRAM_NS
+            ],
         )
     )
-    out = base.drop(*[f"_ng{n}" for n in _TOP_NGRAM_NS]).join(tops, id_col, "left")
-    top_cols = {
-        n: (
-            F.when(
-                F.col("_cc").isNull() | (F.col("_cc") <= 0),
-                F.lit(None).cast("double"),
-            ).otherwise(F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0)))
+    out = base.join(stats, id_col, "left")
+    cc_bad = F.col("_cc").isNull() | (F.col("_cc") <= 0)
+    final_cols = {
+        name: F.col(name)
+        for name in (
+            "dup_line_frac", "dup_para_frac",
+            "dup_line_char_frac", "dup_para_char_frac",
         )
-        for n in _TOP_NGRAM_NS
     }
+    for n in _TOP_NGRAM_NS:
+        final_cols[f"top_{n}gram_char_frac"] = F.when(
+            cc_bad, F.lit(None).cast("double")
+        ).otherwise(F.coalesce(F.col(f"_top{n}"), F.lit(0.0)))
+    for n in _DUP_NGRAM_NS:
+        # least(1,..): overlapping repeats are each counted, so the raw sum
+        # can exceed the doc's characters — clamp to keep it a fraction
+        final_cols[f"dup_{n}gram_char_frac"] = F.when(
+            cc_bad, F.lit(None).cast("double")
+        ).otherwise(
+            r6(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double")
+                    / F.col("_cc").cast("double"),
+                )
+            )
+        )
     frac_names = (
         ["dup_line_frac", "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"]
         + [f"top_{n}gram_char_frac" for n in _TOP_NGRAM_NS]
         + [f"dup_{n}gram_char_frac" for n in _DUP_NGRAM_NS]
     )
-    final_cols = {name: F.col(name) for name in frac_names}
-    for n in _TOP_NGRAM_NS:
-        final_cols[f"top_{n}gram_char_frac"] = top_cols[n]
     keep = F.lit(True)
     for name in frac_names:
         keep = keep & (final_cols[name] <= float(th[name]))

@@ -829,6 +829,39 @@ LEGAL_FORM_TERMS = sorted(
         "ohf", "abp", "plt", "opc", "ctcp", "zat", "vat", "odo", "gesbr",
         "keg", "oeg", "anstalt", "persero", "sccl", "scp", "sep",
         "o u", "a p s", "a b", "o y", "g k", "y k", "e p e", "i k e",
+        # r9 jurisdiction breadth (public cleanco/GLEIF-style suffix
+        # forms): FR agricultural/investment vehicles (GAEC/EARL full,
+        # SCPI/SICAV), ES/PT mutual-guarantee + coop + empresa publica,
+        # BE/NL commandite-on-shares + cooperative full forms, DK/NO
+        # partnership/IVS/sole-trader full forms, PL/CZ/SK cooperatives +
+        # state enterprises, RO partnership full forms, UA public/private
+        # JSC transliterated, JP general incorporated associations, KR
+        # LLC, IN producer companies, US benefit corporations, UK/NZ
+        # mutual societies, Gulf free-zone forms, GR single-member EPE,
+        # DE mutual insurers, ex-Yu cooperatives
+        "societe civile de placement immobilier",
+        "groupement agricole d exploitation en commun",
+        "exploitation agricole a responsabilite limitee",
+        "societe d investissement a capital variable",
+        "societe cooperative de production",
+        "sociedad de garantia reciproca",
+        "sociedad cooperativa de responsabilidad limitada",
+        "sociedad limitada nueva empresa", "sociedade simples",
+        "empresa publica", "commanditaire vennootschap op aandelen",
+        "cooperatieve vennootschap", "partnerselskab",
+        "ivaerksaetterselskab", "kommandittselskap", "enkeltpersonforetak",
+        "andelslag", "spoldzielnia", "przedsiebiorstwo panstwowe",
+        "druzstvo", "statni podnik", "societate in nume colectiv",
+        "societate in comandita simpla",
+        "publichne aktsionerne tovarystvo",
+        "pryvatne aktsionerne tovarystvo", "ippan shadan hojin",
+        "yuhan chaegim hoesa", "producer company", "benefit corporation",
+        "public benefit corporation", "industrial and provident society",
+        "friendly society", "community benefit society",
+        "incorporated society", "free zone establishment",
+        "free zone company", "sociedad anonima deportiva",
+        "monoprosopi etaireia periorismenis efthynis",
+        "sicav", "cva", "esv", "gaec", "scpi", "mepe", "vvag", "zadruga",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -1127,6 +1160,48 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "o u": ["private"], "a p s": ["private"], "a b": ["public"],
     "o y": ["private"], "g k": ["limited liability"], "y k": ["private"],
     "e p e": ["private"], "i k e": ["private"],
+    # r9 additions (same public cleanco/GLEIF-style sources as the terms)
+    "societe civile de placement immobilier": ["private"],
+    "groupement agricole d exploitation en commun": ["partnership"],
+    "exploitation agricole a responsabilite limitee": ["private"],
+    "societe d investissement a capital variable": ["public"],
+    "societe cooperative de production": ["cooperative"],
+    "sociedad de garantia reciproca": ["private"],
+    "sociedad cooperativa de responsabilidad limitada": ["cooperative"],
+    "sociedad limitada nueva empresa": ["private"],
+    "sociedade simples": ["partnership"],
+    "empresa publica": ["corporation"],
+    "commanditaire vennootschap op aandelen": ["partnership"],
+    "cooperatieve vennootschap": ["cooperative"],
+    "partnerselskab": ["partnership"],
+    "ivaerksaetterselskab": ["private"],
+    "kommandittselskap": ["partnership"],
+    "enkeltpersonforetak": ["private"],
+    "andelslag": ["cooperative"],
+    "spoldzielnia": ["cooperative"],
+    "przedsiebiorstwo panstwowe": ["corporation"],
+    "druzstvo": ["cooperative"],
+    "statni podnik": ["corporation"],
+    "societate in nume colectiv": ["partnership"],
+    "societate in comandita simpla": ["partnership"],
+    "publichne aktsionerne tovarystvo": ["public"],
+    "pryvatne aktsionerne tovarystvo": ["private"],
+    "ippan shadan hojin": ["corporation"],
+    "yuhan chaegim hoesa": ["limited liability"],
+    "producer company": ["private"],
+    "benefit corporation": ["corporation"],
+    "public benefit corporation": ["corporation"],
+    "industrial and provident society": ["cooperative"],
+    "friendly society": ["cooperative"],
+    "community benefit society": ["cooperative"],
+    "incorporated society": ["corporation"],
+    "free zone establishment": ["private"],
+    "free zone company": ["private"],
+    "sociedad anonima deportiva": ["public"],
+    "monoprosopi etaireia periorismenis efthynis": ["private"],
+    "sicav": ["public"], "cva": ["partnership"], "esv": ["partnership"],
+    "gaec": ["partnership"], "scpi": ["private"], "mepe": ["private"],
+    "vvag": ["cooperative"], "zadruga": ["cooperative"],
 }
 
 

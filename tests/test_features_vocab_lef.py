@@ -163,6 +163,13 @@ def test_vocabulary_joined_matches_literal_path(spark):
     ("acme sdn bhd", "sdn bhd"),          # r5: one multi-word term (longest-first)
     ("acme spolka jawna", "spolka jawna"),
     ("acme pjsc", "pjsc"),
+    # r9 tranche
+    ("acme societe d investissement a capital variable",
+     "societe d investissement a capital variable"),
+    ("acme free zone establishment", "free zone establishment"),
+    ("acme spoldzielnia", "spoldzielnia"),
+    ("acme sicav", "sicav"),
+    ("acme benefit corporation", "benefit corporation"),
 ])
 def test_lef_r4_term_breadth(spark, name, lef):
     from entitymatchingmodel_spark.operators.features import extract_lef
