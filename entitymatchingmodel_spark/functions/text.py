@@ -620,21 +620,34 @@ def gopher_repetition_table(
         _dup_char_frac(paras).alias("dup_para_char_frac"),
     )
 
-    # every n-gram fraction (top AND dup) comes from ONE exploded (n, gram)
-    # stream: each n-gram array is built exactly once per row (interpreted
-    # HOF passes are the dominant cost — the per-row sum/distinct
-    # formulation re-evaluated each array several times and measured ~7x
-    # slower at sf0.1), then JVM codegen hash-aggregates do the counting.
+    # every n-gram fraction (top AND dup) comes from ONE exploded stream:
+    # each n-gram array is built exactly once per row (interpreted HOF
+    # passes were the dominant per-row cost), and the stream carries
+    # (n, md5-60bit(gram), word_chars) — NEVER the gram string.  Shuffling
+    # raw n-gram strings measured SUPERLINEAR at 10x corpus (the 9-stream
+    # string shuffle spills); the hashed stream is a fixed 20 bytes/gram.
+    # The output only needs each winner's (count, word_chars) pair — the
+    # published fraction is count*chars/cc and ties beyond (count desc,
+    # chars desc) cannot change it — so the top winner is a max(struct)
+    # aggregate, not a window, and both families pivot in ONE groupBy(id).
     # dup chars: sum over distinct grams of (count-1)*word_chars ==
-    # sum_all - sum_distinct of the per-row formulation, so the oracle is
-    # unchanged.
+    # sum_all - sum_distinct of the per-row formulation.  A 60-bit md5
+    # collision inside one (doc, n) group would merge two counts
+    # (P ~ grams^2/2^61 per doc — negligible, and the oracle's exact
+    # string grouping would flag it as a mismatch).
     def _tagged(n: int):
         return F.coalesce(
             F.transform(
                 _word_ngrams(words, n),
-                lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+                lambda g: F.struct(
+                    F.lit(n).alias("n"),
+                    F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                    .cast("long")
+                    .alias("h"),
+                    (F.length(g) - (n - 1)).alias("l"),
+                ),
             ),
-            F.array().cast("array<struct<n:int,g:string>>"),
+            F.array().cast("array<struct<n:int,h:bigint,l:int>>"),
         )
 
     all_ns = (*_TOP_NGRAM_NS, *_DUP_NGRAM_NS)
@@ -642,48 +655,55 @@ def gopher_repetition_table(
         F.col(id_col),
         char_count.alias("_cc"),
         F.explode(F.flatten(F.array(*[_tagged(n) for n in all_ns]))).alias("_t"),
-    ).select(id_col, "_cc", F.col("_t.n").alias("_n"), F.col("_t.g").alias("_g"))
-    cnt = ex.groupBy(id_col, "_n", "_g").agg(
-        F.count("*").alias("_c"), F.first("_cc").alias("_cc")
+    ).select(
+        id_col, "_cc",
+        F.col("_t.n").alias("_n"), F.col("_t.h").alias("_h"),
+        F.col("_t.l").alias("_l"),
+    )
+    cnt = ex.groupBy(id_col, "_n", "_h").agg(
+        F.count("*").alias("_c"), F.first("_l").alias("_l"),
+        F.first("_cc").alias("_cc"),
     )
     # only actually-repeated n-grams matter for BOTH families (a count-1
     # n-gram is not repetition; it also contributes 0 dup chars)
     rep = cnt.filter(F.col("_c") >= 2)
-    gram_chars = F.length("_g") - (F.col("_n") - 1)
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col, "_n").orderBy(
-        F.desc("_c"), F.desc(F.length("_g")), F.asc("_g")
+    stats = rep.groupBy(id_col).agg(
+        F.first("_cc").alias("_scc"),
+        *[
+            F.max(
+                F.when(
+                    F.col("_n") == n, F.struct(F.col("_c"), F.col("_l"))
+                )
+            ).alias(f"_w{n}")
+            for n in _TOP_NGRAM_NS
+        ],
+        *[
+            F.sum(
+                F.when(F.col("_n") == n, (F.col("_c") - 1) * F.col("_l"))
+            ).alias(f"_dup{n}")
+            for n in _DUP_NGRAM_NS
+        ],
     )
-    top_winner = F.round(
-        F.least(
-            F.lit(1.0), F.col("_c") * gram_chars / F.col("_cc").cast("double")
-        ),
-        6,
-    )
-    # ONE window + ONE conditional aggregate produce BOTH families (two
-    # separate branches would recompute the exploded count aggregate —
-    # measured as the dominant cost): the per-(id, n) winner rank feeds
-    # the top fractions, the same rows' (count-1)*chars sums feed the dup
-    # fractions, all pivoted in a single groupBy(id).
-    stats = (
-        rep.withColumn("_r", F.row_number().over(w))
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(
-                    F.when((F.col("_n") == n) & (F.col("_r") == 1), top_winner)
-                ).alias(f"_top{n}")
-                for n in _TOP_NGRAM_NS
-            ],
-            *[
-                F.sum(
-                    F.when(F.col("_n") == n, (F.col("_c") - 1) * gram_chars)
-                ).alias(f"_dup{n}")
-                for n in _DUP_NGRAM_NS
-            ],
-        )
+    stats = stats.select(
+        id_col,
+        *[
+            # isNotNull guard: least() SKIPS nulls, so a missing winner
+            # would otherwise collapse least(1.0, NULL) to 1.0
+            F.when(
+                F.col(f"_w{n}").isNotNull(),
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.col(f"_w{n}._c")
+                        * F.col(f"_w{n}._l")
+                        / F.col("_scc").cast("double"),
+                    ),
+                    6,
+                ),
+            ).alias(f"_top{n}")
+            for n in _TOP_NGRAM_NS
+        ],
+        *[F.col(f"_dup{n}") for n in _DUP_NGRAM_NS],
     )
     out = base.join(stats, id_col, "left")
     cc_bad = F.col("_cc").isNull() | (F.col("_cc") <= 0)

@@ -355,6 +355,10 @@ def test_gopher_repetition_table_hand_expectations(spark):
         (3, "one two three four five six"),
         (4, None),
         (5, "   "),
+        # repeated bigram but NO repeated trigram: the doc HAS a stats row,
+        # so a missing per-n winner must yield 0.0, not a null-skipping
+        # least() artifact (regression case for the r9 hashed rewrite)
+        (6, "a b c a b d a b e"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r.asDict() for r in gopher_repetition_table(df, "id", "text").collect()}
@@ -389,8 +393,15 @@ def test_gopher_repetition_table_hand_expectations(spark):
         assert got[i]["keep_repetition"] is False
         assert all(got[i][k] is None for k in got[i] if k.endswith("_frac"))
 
+    # doc 6: "a b" repeats 3x (top2 = least(1, 3*2/9) = 0.666667) but no
+    # trigram/4-gram repeats -> those must be EXACTLY 0.0
+    assert got[6]["top_2gram_char_frac"] == 0.666667
+    assert got[6]["top_3gram_char_frac"] == 0.0
+    assert got[6]["top_4gram_char_frac"] == 0.0
+    assert got[6]["dup_5gram_char_frac"] == 0.0
+
     # fused table: keep = rules AND repetition
     fused = {r["id"]: r.asDict() for r in gopher_keep_table(df, "id", "text").collect()}
-    assert set(fused) == {1, 2, 3, 4, 5}
+    assert set(fused) == {1, 2, 3, 4, 5, 6}
     for i in fused:
         assert fused[i]["keep"] == (fused[i]["keep_rules"] and fused[i]["keep_repetition"])

@@ -248,8 +248,118 @@ def main():
         print(f"  {name:24s} {ratios}{flag}")
 
 
+def r9_probe():
+    """r9 additions probe (verdict task 9): chunk_documents vs DOCUMENT
+    LENGTH, the repeat-explode vs repeat FACTOR, ppl_bands and
+    gopher_repetition vs CORPUS SIZE, and temperature_mix_unbounded vs
+    GROUP CARDINALITY (the join-based plan must be ~flat in group count
+    at fixed corpus size — that is its whole point)."""
+    import time as _t
+
+    spark = get_spark("r9-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs.count()
+
+    def timed(label, df):
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = _t.time() - t0
+        print(f"  {label:34s} {dt:7.2f}s", flush=True)
+        return dt
+
+    def report(name, sizes, times, limit=1.5):
+        ratios = [round(t / times[0], 2) for t in times]
+        srat = [round(s / sizes[0], 1) for s in sizes]
+        flag = "  <-- SUPERLINEAR" if ratios[-1] > srat[-1] * limit else ""
+        print(f"{name}: sizes {srat} -> times {ratios}{flag}", flush=True)
+
+    from entitymatchingmodel_spark.functions.sampling import (
+        _group_repeat_explode,
+        temperature_mix_unbounded,
+    )
+    from entitymatchingmodel_spark.functions.text import (
+        chunk_documents,
+        gopher_repetition_table,
+    )
+    from entitymatchingmodel_spark.operators.lm import BigramLM, perplexity_bands
+
+    # 1) chunk_documents vs document length (fixed doc count)
+    sizes, times = [], []
+    for k in FACTORS:
+        long_docs = docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.array_repeat(F.col("text"), k)).alias("text"),
+        )
+        times.append(timed(f"chunk_documents len x{k}",
+                           chunk_documents(long_docs, "doc_id", "text", 256)))
+        sizes.append(k)
+    report("chunk_documents(doc length)", sizes, times)
+
+    # 2) repeat-explode vs repeat factor (output scales with the factor)
+    sizes, times = [], []
+    grouped = docs.withColumn("grp", F.lit("g"))
+    for k in FACTORS:
+        times.append(timed(
+            f"repeat_explode factor {k}",
+            _group_repeat_explode(grouped, "doc_id", "grp", {"g": float(k)}, "sp"),
+        ))
+        sizes.append(k)
+    report("_group_repeat_explode(factor)", sizes, times)
+
+    # 3) ppl_bands vs corpus size (model fit once on the base corpus)
+    model = BigramLM.fit(docs, "text", score_decimals=6)
+    sizes, times = [], []
+    for k in FACTORS:
+        d = (
+            docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .withColumn("doc_id", F.xxhash64("doc_id", "_r")).drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        times.append(timed(f"ppl_bands corpus x{k}",
+                           perplexity_bands(d, "doc_id", "text", model, "lang")))
+        sizes.append(k)
+    model.unpersist()
+    report("ppl_bands(corpus)", sizes, times)
+
+    # 4) gopher_repetition vs corpus size
+    sizes, times = [], []
+    for k in FACTORS:
+        d = (
+            docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .withColumn("doc_id", F.xxhash64("doc_id", "_r")).drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        times.append(timed(f"gopher_repetition corpus x{k}",
+                           gopher_repetition_table(d, "doc_id", "text")))
+        sizes.append(k)
+    report("gopher_repetition(corpus)", sizes, times)
+
+    # 5) temperature_mix_unbounded vs group cardinality (fixed corpus):
+    #    must be ~FLAT — the fraction table scales, the plan does not
+    sizes, times = [], []
+    for buckets in (100, 10_000, 1_000_000):
+        grouped = docs.withColumn(
+            "grp",
+            F.concat_ws("_", "source",
+                        F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("string")),
+        )
+        times.append(timed(
+            f"tmix_unbounded groups~{buckets}",
+            temperature_mix_unbounded(grouped, "doc_id", "grp", 0.5),
+        ))
+        sizes.append(buckets)
+    ratios = [round(t / times[0], 2) for t in times]
+    flag = "  <-- NOT FLAT" if ratios[-1] > 2.0 else ""
+    print(f"temperature_mix_unbounded(group cardinality): x100 -> x1e6 "
+          f"times {ratios}{flag}", flush=True)
+    docs.unpersist()
+
+
 if __name__ == "__main__":
     if "--spans" in sys.argv:
         span_heavy_probe()
+    elif "--r9" in sys.argv:
+        r9_probe()
     else:
         main()
