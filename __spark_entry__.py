@@ -355,6 +355,86 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_table(docs, "doc_id", "text")
 
 
+def q_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED Gopher filter (r9): quality rules AND repetition rules
+    in one call — (doc_id, keep_rules, keep_repetition, keep).  One
+    equi-join on the doc id between the map-only rules projection and the
+    repetition table; oracle = conjunction of the two generated
+    fragments."""
+    from entitymatchingmodel_spark.functions.text import gopher_keep_table
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return gopher_keep_table(docs, "doc_id", "text")
+
+
+# reg_domain contract constants — the oracle is GENERATED from these.
+# Suffix table includes both 'uk' and 'co.uk' so longest-match is what
+# the row actually certifies; every _RD_NULL_EVERY-th doc is a BARE
+# public suffix (no registrable part -> NULL).
+_RD_SUFFIXES = ("co.uk", "com.au", "com", "org", "uk")
+_RD_TLDS = ("co.uk", "com.au", "com", "zz")  # zz: unmatched -> naive fallback
+_RD_NULL_EVERY = 7
+
+
+def q_reg_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-aware registered domain (r9): planted ccTLD URLs
+    resolved against a user-supplied suffix table via longest-suffix-first
+    broadcast hash joins (no explode, fact side never shuffled).  Certifies
+    longest-match ('co.uk' beats 'uk'), the bare-suffix -> NULL rule, and
+    the naive fallback for unlisted TLDs.  Oracle reconstructs the answer
+    from the plant parameters — EXACT."""
+    from entitymatchingmodel_spark.functions.web import registered_domain_table
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _RD_TLDS]),
+        (F.col("doc_id") % len(_RD_TLDS) + 1).cast("int"),
+    )
+    url = F.when(
+        F.col("doc_id") % _RD_NULL_EVERY == 0, F.lit("https://co.uk")
+    ).otherwise(
+        F.concat(F.lit("https://www.a."), F.col("source"), F.lit("."), tld,
+                 F.lit("/p"))
+    )
+    planted = docs.select("doc_id", "source", url.alias("url"))
+    sfx = spark.createDataFrame([(s,) for s in _RD_SUFFIXES], "suffix string")
+    out = registered_domain_table(planted, "url", sfx)
+    return out.select("doc_id", "reg_domain")
+
+
+def q_resample_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSAMPLE half of the unbounded-group mixture family (r9):
+    temperature_mix_unbounded(allow_upsample=True) over the same
+    high-cardinality source x md5-bucket domain key as
+    temperature_mix_domain — repeat factors computed IN-PLAN (max-ratio
+    anchor via the non-foldable-key broadcast hash join), joined back,
+    map-only repeat-explode with the hash-gated fractional copy.  EXACT
+    oracle generated from the shared constants."""
+    from entitymatchingmodel_spark.functions.sampling import (
+        temperature_mix_unbounded,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(_DOM_SALT),
+                                  F.col("doc_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("long")
+        % _DOM_BUCKETS
+    )
+    d = docs.withColumn(
+        "domain", F.concat_ws("_", F.col("source"), bucket.cast("string"))
+    )
+    out = temperature_mix_unbounded(
+        d, "doc_id", "domain", alpha=_DOM_ALPHA, allow_upsample=True
+    )
+    return out.select("doc_id", "domain", "copy")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus observability rollup ("data card" numbers): ONE
     map-side-combined aggregate — counts/sums exact, averages rounded to
@@ -2103,13 +2183,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the three new r9 rows (temperature_mix_domain,
-    url_dedup, gopher_repetition), (3) r8-dated rows whose code r9
+    the LEF growth), (2) the six new r9 rows (temperature_mix_domain,
+    resample_domain, url_dedup, gopher_repetition, gopher_keep,
+    reg_domain), (3) r8-dated rows whose code r9
     touched (lef_match: +46 forms & the SASU fix; lang_id: +5 profiles;
     the mixture family: max_groups guard, repeat caps, isin pushdown,
     _repeat_explode refactor; streaming_curation: curate_stream url/lm
     stages + watermark handling; the lm rows: score_rowwise addition +
-    band validation).  That is exactly 50 = 36 + 3 + 11.  The 43-query
+    band validation).  That is exactly 50 = 36 + 6 + 8.  The 46-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
     they sit — so a 50-row cutoff leaves every oracle-checkable query
@@ -2154,22 +2235,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         # --- tier 2: new in r9 ---
         "temperature_mix_domain": q_temperature_mix_domain,
+        "resample_domain": q_resample_domain,
         "url_dedup": q_url_dedup,
         "gopher_repetition": q_gopher_repetition,
+        "gopher_keep": q_gopher_keep,
+        "reg_domain": q_reg_domain,
         # --- tier 3: code path touched in r9 ---
         "lef_match": q_lef_match,
         "lang_id": q_lang_id,
         "temperature_mix": q_temperature_mix,
         "temperature_mix_up": q_temperature_mix_up,
         "resample_to_mix": q_resample_to_mix,
-        "sample_mix": q_sample_mix,
-        "source_cap": q_source_cap,
         "streaming_curation": q_streaming_curation,
         "lm_fit_score": q_lm_fit_score,
-        "lm_perplexity": q_lm_perplexity,
         "ppl_bands": q_ppl_bands,
-        # --- tail: green in r08 AND untouched (or only additively extended) in r9 (43 = 93 - 50), incl. the four rows-only queries ---
+        # --- tail: green in r08 AND untouched (or only additively extended) in r9 (46 = 96 - 50), incl. the four rows-only queries ---
         "supervised_scores": q_supervised_scores,
+        "sample_mix": q_sample_mix,
+        "source_cap": q_source_cap,
+        "lm_perplexity": q_lm_perplexity,
         "supervised_score_only": q_supervised_score_only,
         "supervised_quality": q_supervised_quality,
         "noised_names": q_noised_names,
@@ -4069,6 +4153,62 @@ def _gopher_rep_sql() -> str:
 
 
 _ORACLE["gopher_repetition"] = _gopher_rep_sql()
+
+# fused Gopher filter: conjunction of the two generated fragments (each
+# used as a parenthesized CTE-bearing subquery — values identical to the
+# standalone rows by construction)
+_ORACLE["gopher_keep"] = f"""
+    SELECT r.doc_id,
+           r.keep AS keep_rules,
+           p.keep_repetition,
+           (r.keep AND p.keep_repetition) AS keep
+    FROM ({_ORACLE["gopher_quality"]}) r
+    JOIN ({_ORACLE["gopher_repetition"]}) p USING (doc_id)
+"""
+
+# generated from _RD_SUFFIXES/_RD_TLDS/_RD_NULL_EVERY: the oracle
+# reconstructs the registrable domain straight from the plant parameters
+# (host = a.<source>.<tld>; listed multi/single-label suffixes resolve to
+# <source>.<tld>, the unlisted 'zz' falls back to the naive two labels —
+# same answer <source>.zz — and the bare-suffix plant yields NULL)
+_ORACLE["reg_domain"] = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {_RD_NULL_EVERY} = 0 THEN NULL
+                ELSE lower(source) || '.' ||
+                     CASE CAST(doc_id % {len(_RD_TLDS)} AS INT)
+                          {" ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_RD_TLDS))}
+                     END
+           END AS reg_domain
+    FROM documents
+"""
+
+# the upsample twin of temperature_mix_domain: same synthesized domain
+# key, max-anchored repeat chain, generate_series explode with the
+# hash-gated fractional copy (salt 'temp')
+_ORACLE["resample_domain"] = f"""
+    WITH d AS (SELECT doc_id, concat_ws('_', source,
+             CAST(CAST(concat('0x', substring(md5(concat_ws('|', '{_DOM_SALT}',
+                  CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT)
+                  % {_DOM_BUCKETS} AS VARCHAR)) AS domain
+         FROM documents),
+    c AS (SELECT domain AS g, CAST(count(*) AS DOUBLE) AS n
+          FROM d WHERE domain IS NOT NULL GROUP BY domain),
+    mr AS (SELECT max(n / pow(n, {_DOM_ALPHA})) AS m FROM c),
+    f AS (SELECT g, round(greatest(1.0, (SELECT m FROM mr) * pow(n, {_DOM_ALPHA}) / n), 12) AS r
+          FROM c),
+    e AS (SELECT d.doc_id, d.domain, f.r,
+                 CAST(CAST(concat('0x', substring(md5(concat_ws('|', 'temp',
+                      CAST(d.doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS DOUBLE)
+                 / 268435456.0 AS h
+          FROM d JOIN f ON d.domain = f.g)
+    SELECT doc_id, domain, CAST(copy AS INT) AS copy
+    FROM (SELECT doc_id, domain,
+                 unnest(generate_series(0,
+                    CAST(floor(r) AS BIGINT)
+                    + (CASE WHEN h < r - floor(r) THEN 1 ELSE 0 END)
+                    - 1)) AS copy
+          FROM e)
+"""
 
 # BigramLM fit->save->load->score with the clean-reference slice: the
 # oracle is the SAME generated fragment as lm_perplexity, reference
