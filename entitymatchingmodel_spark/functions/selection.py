@@ -1,0 +1,215 @@
+"""Data selection via importance resampling (DSIR).
+
+Implements the hashed-n-gram importance weighting of Xie et al., "Data
+Selection for Language Models via Importance Resampling" (NeurIPS 2023,
+arXiv:2302.03169): featurize every document as a bag of hashed uni+bi-grams
+over ``n_buckets`` buckets, fit two smoothed multinomials — one on a TARGET
+corpus (the distribution you want, e.g. curated/wiki-like text) and one on
+the RAW corpus (the crawl you are selecting from) — and score each raw
+document by the log importance ratio
+
+    score(d) = sum_{g in grams(d)} [ log p_target(bucket(g))
+                                     - log p_raw(bucket(g)) ]
+
+High scores mean "looks like the target distribution"; selection is then a
+top-k / threshold / Gumbel resample over the scores (compose with
+:func:`~entitymatchingmodel_spark.functions.sampling.per_group_cap` or
+``token_budget_sample`` for the budgeted variants).
+
+Scale shape (the whole point of DSIR over classifier-based selection):
+
+- gram construction is a map-only projection per corpus (the corpus-wide
+  lowercase ``[^a-z0-9]+`` token convention);
+- each multinomial fit is ONE map-side-combined count aggregate whose
+  output is bounded by ``n_buckets`` (default 4096 rows — never corpus
+  scale), so the ratio table stays broadcast-sized BY CONSTRUCTION;
+- totals fold in via a 1-row broadcast anchor join (no driver collect
+  anywhere — the fit materializes only the <= n_buckets-row bucket table
+  via localCheckpoint, the kmeans_fit idiom, and survives any corpus
+  size);
+- scoring is gram-explode -> broadcast hash join on the bucket id ->
+  ONE per-document sum aggregate.  No shuffle ever carries more than
+  (corpus grams -> per-doc rollup), and that one is map-side combined.
+
+Engine-portable exactness: the per-bucket log-ratio is computed in DOUBLE
+and immediately quantized to integer MICRO-units (``round(lr * 1e6)`` as
+long); per-document scores are integer sums of those micro-units divided
+back by 1e6, so the result is independent of summation order (float sums
+are not associative; integer sums are) and matches the DuckDB oracle
+bit-for-bit.  The bucket hash is md5-based (``conv(substr(md5(g),1,8),16,
+10) % n_buckets``) — both engines agree on md5, unlike their native
+``hash()`` functions.
+
+No reference counterpart (beyond-reference surface): the reference engine
+(ing-bank/EntityMatchingModel) has no data-selection story at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.functions.text import tokens, _word_ngrams
+
+MICRO = 1_000_000
+
+
+def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) — one row per unigram AND space-joined bigram occurrence;
+    zero-gram documents survive as one ``(id, NULL)`` row so downstream
+    aggregates see every document.
+
+    One map-only projection: both n-gram orders are built from a single
+    token array and exploded together (no self-union, so the text is
+    tokenized once, not twice).
+    """
+    toks = tokens(F.col(text_col))
+    both = F.concat(toks, F.coalesce(_word_ngrams(toks, 2), F.array()))
+    return df.select(F.col(id_col), F.explode_outer(both).alias("gram"))
+
+
+def _bucket(gram_col):
+    """md5-derived bucket id in [0, n_buckets) — see module docstring."""
+    return F.conv(F.substring(F.md5(gram_col), 1, 8), 16, 10).cast("long")
+
+
+def dsir_bucket_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The fitted importance table: ``(bucket long, lr_micro long)`` for
+    every bucket observed in EITHER corpus, where ``lr_micro`` is the
+    add-``alpha``-smoothed log ratio in integer micro-units:
+
+        lr = ln((c_target + alpha) / (T_target + alpha * B))
+           - ln((c_raw    + alpha) / (T_raw    + alpha * B))
+
+    Bounded output (<= n_buckets rows) and bounded shuffles (two
+    bucket-count aggregates); totals attach via 1-row broadcast anchor
+    joins rather than a driver collect, so fitting never leaves the plan.
+    Unobserved buckets score the pure smoothing ratio at transform time via
+    the ``lr_default_micro`` carried on every row (a constant, but kept
+    per-row so the scoring join needs no second lookup table).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (add-alpha smoothing)")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        g = _grams(df, id_col, text_col).where(F.col("gram").isNotNull())
+        return (
+            g.select((_bucket(F.col("gram")) % n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    ct = counts(target, "c_target")
+    cr = counts(raw, "c_raw")
+    # bucket tables are <= n_buckets rows: the outer join and the 1-row
+    # total anchors are all broadcast-sized.  localCheckpoint here (the
+    # kmeans_fit idiom: a fit materializes its bounded result) — the
+    # table is consumed by THREE downstream branches (totals, the ratio
+    # projection, and the transform-time default anchor); without the
+    # checkpoint each branch re-runs both corpus-wide count aggregates,
+    # turning 2 corpus scans into 8+ at plan level.
+    joined = (
+        ct.join(cr, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("c_target", F.lit(0)).alias("c_target"),
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        )
+        .localCheckpoint()
+    )
+    # the 1-row totals anchor rides an always-zero data-derived pmod key
+    # (the sampling.py idiom) so it plans as a broadcast HASH equi-join,
+    # not a conditionless BroadcastNestedLoopJoin
+    totals = joined.agg(
+        F.sum("c_target").alias("t_target"), F.sum("c_raw").alias("t_raw")
+    ).select(
+        "t_target",
+        "t_raw",
+        F.pmod(F.col("t_raw"), F.lit(1)).cast("int").alias("_k"),
+    )
+    aB = float(alpha) * n_buckets
+    lr = (
+        F.log((F.col("c_target") + alpha) / (F.col("t_target") + aB))
+        - F.log((F.col("c_raw") + alpha) / (F.col("t_raw") + aB))
+    )
+    lr_default = (
+        F.log(F.lit(alpha) / (F.col("t_target") + aB))
+        - F.log(F.lit(alpha) / (F.col("t_raw") + aB))
+    )
+    return (
+        joined.withColumn("_k", F.pmod(F.col("bucket"), F.lit(1)).cast("int"))
+        .join(F.broadcast(totals), "_k")
+        .select(
+            "bucket",
+            F.round(lr * MICRO).cast("long").alias("lr_micro"),
+            F.round(lr_default * MICRO).cast("long").alias("lr_default_micro"),
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    ratios: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance scores against a fitted ratio table
+    (:func:`dsir_bucket_logratios`): ``(id, n_grams int, dsir_logratio
+    double)``.  ``dsir_logratio`` is NULL for zero-gram documents (no
+    evidence either way — filter or coalesce downstream as policy).
+
+    Plan: gram explode (map-only, zero-gram docs kept as NULL-gram rows) ->
+    broadcast hash join on the bucket id (the table is <= n_buckets rows)
+    -> ONE map-side-combined per-doc sum of integer micro-units.  Grams
+    hashing to a bucket absent from the fit score ``lr_default_micro``
+    (the pure-smoothing ratio) — taken from a 1-row broadcast anchor off
+    the ratio table, so transform-time needs no driver state either.
+    """
+    g = _grams(raw, id_col, text_col).select(
+        F.col(id_col), (_bucket(F.col("gram")) % n_buckets).alias("bucket")
+    )
+    # 1-row default anchor on an always-zero key DERIVED FROM THE DATA
+    # (the sampling.py idiom): a conditionless join would plan as a
+    # BroadcastNestedLoopJoin; the non-foldable pmod key keeps it a
+    # broadcast HASH equi-join
+    anchor = F.broadcast(
+        ratios.agg(F.max("lr_default_micro").alias("_default")).select(
+            F.coalesce("_default", F.lit(0)).alias("_default"),
+        ).select(
+            "_default", F.pmod(F.col("_default"), F.lit(1)).cast("int").alias("_k")
+        )
+    )
+    joined = (
+        g.join(F.broadcast(ratios.select("bucket", "lr_micro")), "bucket", "left")
+        .withColumn(
+            "_k", F.pmod(F.coalesce("bucket", F.lit(0)), F.lit(1)).cast("int")
+        )
+        .join(anchor, "_k")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("bucket").cast("int").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("bucket").isNotNull(),
+                    F.coalesce("lr_micro", "_default"),
+                )
+            ).alias("_sum"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("_sum") / MICRO, 6).alias("dsir_logratio"),
+        )
+    )

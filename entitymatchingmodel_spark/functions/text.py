@@ -904,3 +904,77 @@ def top_terms(
         .select(group_col, "token", F.col("n").cast("long").alias("n"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def blocked_terms_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: "Sequence[str] | DataFrame",
+    term_col: str = "term",
+) -> DataFrame:
+    """Blocklist/badwords screening (the C4 "bad words" curation step —
+    Raffel et al. 2020 §2.2 drop any page containing a listed word):
+    ``(id, n_tokens int, n_blocked int, blocked_ratio double, keep
+    boolean)`` per document, ``keep = (n_blocked == 0)``.  Tokens follow
+    the corpus-wide lowercase ``[^a-z0-9]+`` convention, so the list
+    entries must be lowercase single tokens (validated).
+
+    Two shapes, picked by the ``terms`` argument:
+
+    - **Literal list** (the common case — C4's list is ~450 terms per
+      language): ONE map-only projection; membership compiles to a
+      codegen hash-set probe (``isin`` over >threshold elements plans as
+      ``InSet``), zero shuffle, zero joins.  At 100 TB this screens at
+      scan speed.
+    - **DataFrame** (list too big / not driver-resident — e.g. a
+      many-million-entry URL-token blocklist): explode tokens once,
+      broadcast LEFT join against the list, ONE map-side-combined
+      re-aggregate keyed by the document id.  The join is map-side
+      (broadcast), so the only shuffle is the bounded per-doc rollup.
+
+    Both shapes count token OCCURRENCES (a doc repeating one blocked
+    term 5 times reports ``n_blocked=5``) — ratio thresholds then mean
+    "fraction of the text", not "fraction of the list".  NULL text counts
+    as empty (0 tokens, keep=true) so nullable corpora never emit NULL
+    keep flags into a downstream filter.
+    """
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if isinstance(terms, DataFrame):
+        term_list = F.broadcast(
+            terms.select(F.col(term_col).cast("string").alias("_term")).distinct()
+        )
+        ex = df.select(
+            F.col(id_col),
+            F.size(toks).cast("int").alias("n_tokens"),
+            F.explode_outer(toks).alias("_tok"),
+        )
+        hits = ex.join(term_list, ex["_tok"] == term_list["_term"], "left")
+        out = hits.groupBy(id_col, "n_tokens").agg(
+            F.count("_term").cast("int").alias("n_blocked")
+        )
+    else:
+        terms = list(terms)
+        bad = [t for t in terms if not t or t != t.lower() or not t.isascii()]
+        if bad or not terms:
+            raise ValueError(
+                f"blocklist terms must be non-empty lowercase ascii tokens; "
+                f"got {bad[:5]!r}" if bad else "empty blocklist"
+            )
+        out = df.select(
+            F.col(id_col),
+            F.size(toks).cast("int").alias("n_tokens"),
+            F.size(F.filter(toks, lambda t: t.isin(*terms)))
+            .cast("int")
+            .alias("n_blocked"),
+        )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_blocked",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_blocked") / F.col("n_tokens").cast("double"), 6),
+        ).alias("blocked_ratio"),
+        (F.col("n_blocked") == 0).alias("keep"),
+    )

@@ -1,0 +1,299 @@
+"""Product quantization (PQ) for compressed approximate nearest neighbour.
+
+Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split each ``dim``-dimensional vector into ``m`` contiguous
+subvectors, learn a ``k``-entry codebook per subspace (classic L2 Lloyd —
+NOT the spherical variant in :mod:`clustering`; PQ quantizes raw residual
+geometry), and store each vector as ``m`` small integer codes.  Search
+scores a query against the codes with an Asymmetric Distance Computation
+(ADC): one ``m x k`` table of exact query-to-centroid contributions, then
+every corpus vector's score is just ``m`` table lookups.
+
+Why this matters at 100 TB: a 768-dim float32 corpus is ~3 KB/vector;
+PQ with ``m=8, k=256`` is 8 BYTES/vector (384x), small enough to keep the
+whole index in executor memory and score with integer sums.  This module
+is the compression complement to :mod:`ann`'s IVF (coarse pruning) —
+compose them (IVF bucket, then PQ-score inside the bucket) for the
+standard IVF-PQ layout.
+
+Spark-first shapes (no driver-side vectors anywhere):
+
+- **fit** is ONE joint Lloyd loop over all ``m`` subspaces at once: the
+  corpus explodes (map-only) to ``(id, sub_id, subvec)`` rows and each
+  iteration is one broadcast assign (codebook is ``m*k`` rows) plus one
+  map-side-combined ``groupBy(sub_id, code)`` mean — m independent
+  quantizers for the price of one scan per iteration, instead of looping
+  subspaces on the driver.
+- **encode** is the same broadcast assign plus one per-id rollup shuffle.
+- **ADC search** multiplies the bounded query batch (guarded) against the
+  broadcast codebook, then one map-side broadcast join + one ``(qid, id)``
+  rollup.  Contributions are quantized to integer MICRO-units before the
+  sum, so scores are independent of Spark's aggregation order and match
+  the DuckDB oracle exactly (the same idiom as
+  :mod:`~entitymatchingmodel_spark.functions.selection`).
+
+No reference counterpart (beyond-reference surface): the reference's only
+vector story is the TF-IDF cosine matcher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.ann import _dot
+
+MICRO = 1_000_000
+
+
+def _check_geometry(df: DataFrame, vec_col: str, m: int) -> int:
+    """Fail-fast dimension probe (bounded driver action, two scalars):
+    ragged or non-divisible dimensions would NULL-poison the zip_with
+    arithmetic downstream and silently freeze centroids."""
+    row = df.agg(
+        F.max(F.size(vec_col)).alias("d"), F.min(F.size(vec_col)).alias("d0")
+    ).first()
+    if row["d"] is None:
+        raise ValueError("no vectors to quantize")
+    if row["d"] != row["d0"]:
+        raise ValueError(
+            f"mixed vector dimensions ({row['d0']} and {row['d']}); "
+            "product quantization requires a uniform-dimension column"
+        )
+    dim = int(row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} is not divisible by m={m} subspaces")
+    return dim
+
+
+def _subvecs(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int) -> DataFrame:
+    """(id, sub_id, _sv) — map-only: the m slices are a literal struct
+    array exploded in one projection (no shuffle, no per-subspace scans)."""
+    # slices are cast to array<double> up front so learned (mean) and
+    # initial (sampled) centroids share one type and the dot/L2 arithmetic
+    # never mixes float32 rows into a double fold
+    sub = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub_id"),
+                F.slice(sub, s * d_sub + 1, d_sub).alias("_sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("_id"), F.explode(pieces).alias("_p")).select(
+        "_id", F.col("_p.sub_id").alias("sub_id"), F.col("_p._sv").alias("_sv")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _assign_codes(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-code assignment: broadcast join the m*k codebook onto the
+    subvector rows BY SUBSPACE (bounded k-way fan-out — the same
+    bounded-centroid class as clustering's assign), min_by over the
+    (distance, code) pair with the code-ascending tie-break both engines
+    agree on."""
+    cb = F.broadcast(codebooks.select("sub_id", "code", "centroid"))
+    return (
+        sv.join(cb, "sub_id")
+        .groupBy("_id", "sub_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(_l2sq(F.col("_sv"), F.col("centroid")), 9).alias("_d"),
+                    F.col("code").alias("code"),
+                )
+            )["code"].alias("code")
+        )
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Learn the ``m`` codebooks jointly; returns ``(sub_id int, code int,
+    centroid array<double>)`` — ``m * k`` rows, localCheckpoint-ed so many
+    encode/search calls reuse it without re-iterating.
+
+    Init is the deterministic md5-hash-ranked sample (the
+    :mod:`clustering` idiom) taken PER SUBSPACE in one window; each Lloyd
+    iteration is one corpus scan + one bounded shuffle carrying
+    ``m * k`` rows per partition.  Empty codes keep their previous
+    centroid so the codebook stays exactly ``m * k`` rows.
+    """
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    from entitymatchingmodel_spark.functions.sampling import _unit_hash
+
+    dim = _check_geometry(df, vec_col, m)
+    d_sub = dim // m
+    sv = _subvecs(
+        df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, m, d_sub
+    ).persist()
+    try:
+        w = Window.partitionBy("sub_id").orderBy(F.col("_h"), F.col("_id"))
+        cb = (
+            sv.withColumn("_h", _unit_hash(F.col("_id"), f"pq{seed}"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select(
+                "sub_id",
+                (F.col("_r") - 1).cast("int").alias("code"),
+                F.col("_sv").alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+        for _ in range(n_iter):
+            assigned = _assign_codes(sv, cb)
+            means = (
+                sv.join(assigned, ["_id", "sub_id"])
+                .groupBy("sub_id", "code")
+                .agg(
+                    F.array(
+                        *[F.avg(F.get(F.col("_sv"), i)) for i in range(d_sub)]
+                    ).alias("_mean")
+                )
+            )
+            cb = (
+                cb.join(means, ["sub_id", "code"], "left")
+                .select(
+                    "sub_id",
+                    "code",
+                    F.coalesce("_mean", "centroid").alias("centroid"),
+                )
+                .localCheckpoint()
+            )
+        return cb
+    finally:
+        sv.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+) -> DataFrame:
+    """Compress each vector to its code word: ``(id, codes array<int>)``.
+
+    One map-only slice-explode, one broadcast assign, ONE per-id rollup
+    shuffle (codes re-assembled in subspace order with ``array_sort`` on
+    the (sub_id, code) pairs — deterministic, engine-portable).
+    """
+    dim = _check_geometry(df, vec_col, m)
+    sv = _subvecs(df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, m, dim // m)
+    codes = _assign_codes(sv, codebooks)
+    return (
+        codes.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub_id"), F.col("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ADC top-k: ``(qid, id, score double, rank int)`` — approximate
+    inner-product scores from codes alone (never the original vectors).
+
+    The distance table (query x sub_id x code exact contributions) is
+    ``n_q * m * k_codes`` rows — broadcast-sized because the query BATCH
+    is the bounded side (guarded; this is the same bounded-batch posture
+    as the cosine broadcast kernel).  Corpus-side work is one map-only
+    code explode, one broadcast hash join, and ONE map-side-combined
+    ``(qid, id)`` rollup of integer micro-units; ties rank id-ascending.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}; ADC broadcasts "
+            "a per-query distance table — chunk the query set (or raise "
+            "max_queries if the m*k*batch table still fits in memory)"
+        )
+    m = codebooks.select(F.max("sub_id")).first()[0] + 1
+    qdim = _check_geometry(queries, qvec_col, m)
+    qsv = _subvecs(queries, qid_col, qvec_col, m, qdim // m).withColumnRenamed(
+        "_id", "_qid"
+    )
+    dt = F.broadcast(
+        qsv.join(F.broadcast(codebooks), "sub_id").select(
+            "_qid",
+            "sub_id",
+            "code",
+            F.round(_dot(F.col("_sv"), F.col("centroid")) * MICRO)
+            .cast("long")
+            .alias("_c_micro"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("_cid"), F.posexplode("codes").alias("sub_id", "code")
+    )
+    scores = (
+        exploded.join(dt, ["sub_id", "code"])
+        .groupBy("_qid", "_cid")
+        .agg(F.sum("_c_micro").alias("_s_micro"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_s_micro"), F.asc("_cid"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(qid_col),
+            F.col("_cid").alias(id_col),
+            F.round(F.col("_s_micro") / MICRO, 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_codebooks_from_ids(
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int
+) -> DataFrame:
+    """Deterministic NON-learned codebooks: code ``c`` of every subspace is
+    the subvector of the corpus row with the ``c``-th smallest id.  Useful
+    as a fixed, SQL-expressible quantizer for conformance testing (the
+    contract row's oracle re-derives it in DuckDB) and as a degenerate
+    baseline; real deployments use :func:`pq_fit`.
+    """
+    dim = _check_geometry(df, vec_col, m)
+    w = Window.orderBy(F.col(id_col).asc())
+    seeds = (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+    )
+    return _subvecs(seeds, "_r", vec_col, m, dim // m).select(
+        "sub_id",
+        (F.col("_id") - 1).cast("int").alias("code"),
+        F.col("_sv").alias("centroid"),
+    )

@@ -98,24 +98,42 @@ def test_lsh_transform_cache_does_not_grow(spark, data):
     gt, names = data
     kw = dict(tokenizer="words", ngram=1, k=3, lower_bound=0.05, score_decimals=6)
     spark.catalog.clearCache()
+
+    def cached_ids():
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # The persistent-RDD table is JVM-GLOBAL and earlier tests' async
+    # unpersist() calls (DataFrame.unpersist defaults to non-blocking) can
+    # remove THEIR entries between our two measurements — so count only the
+    # ids this model created (RDD ids are monotonic; anything not in the
+    # pre-fit baseline is ours).
+    baseline = cached_ids()
     m = CosSimIndexer(strategy="lsh", **kw).fit(gt)
 
-    def n_cached_rdds():
-        jsc = spark.sparkContext._jsc.sc()
-        return jsc.getPersistentRDDs().size()
+    def ours():
+        return cached_ids() - baseline
 
     m.transform(names).count()
-    after_first = n_cached_rdds()
+    after_first = ours()
     for _ in range(3):
         m.transform(names).count()
-    assert n_cached_rdds() == after_first
+    # rotation may REPLACE the slot (new id, old id dropped) but must not
+    # accumulate: the live set our model holds never grows
+    assert len(ours()) <= len(after_first)
     m.unpersist()
     # unpersist() releases the rotating slot and the GT bands too
+    baseline2 = cached_ids()
     m2 = CosSimIndexer(strategy="lsh", **kw).fit(gt)
     m2.transform(names).count()
-    before = n_cached_rdds()
+    before = cached_ids() - baseline2
+    assert before
     m2.unpersist()
-    assert n_cached_rdds() < before
+    assert len(cached_ids() - baseline2) < len(before)
 
 
 def test_lsh_params_fail_fast(spark):

@@ -463,3 +463,64 @@ def test_gopher_repetition_bounded_exchanges(spark):
     plan = explain_str(out)
     assert exchange_count(out) <= 3, plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_blocklist_literal_is_map_only(spark):
+    """The literal-list badwords screen must stay a single map-only
+    projection (codegen isin probe) — zero exchanges, zero joins."""
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = blocked_terms_table(docs, "doc_id", "text", ["spark", "slow"])
+    assert exchange_count(out) == 0
+
+
+def test_dsir_scoring_single_shuffle_all_broadcast(spark):
+    """DSIR transform = gram explode -> broadcast bucket join -> ONE
+    per-doc rollup.  The fit's bucket table is localCheckpoint-ed, so the
+    scoring plan must show exactly one exchange, broadcast joins only,
+    and no sort-merge join / cartesian anywhere (an SMJ here means the
+    fit's corpus-wide aggregates leaked back into the scoring plan)."""
+    from entitymatchingmodel_spark.functions.selection import (
+        dsir_bucket_logratios,
+        dsir_scores,
+    )
+    from entitymatchingmodel_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ratios = dsir_bucket_logratios(
+        docs.where("lang = 'en'"), docs, "doc_id", "text", n_buckets=256
+    )
+    out = dsir_scores(docs, ratios, "doc_id", "text", n_buckets=256)
+    assert exchange_count(out) == 1, "scoring must shuffle once (per-doc rollup)"
+    plan = explain_str(out)
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert broadcast_join_count(out) >= 1
+
+
+def test_pq_bounded_shuffles_broadcast_joins(spark):
+    """PQ encode = assign agg + id rollup (2 exchanges, codebook join
+    broadcast); ADC top-k adds the (qid, id) rollup + the top-k window —
+    never a sort-merge join or cartesian (the distance table must stay
+    the broadcast side)."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.pq import (
+        pq_codebooks_from_ids,
+        pq_encode,
+        pq_topk,
+    )
+    from entitymatchingmodel_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_codebooks_from_ids(emb, "vec_id", "embedding", m=4, k=16)
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=4)
+    assert exchange_count(codes) <= 2
+    assert broadcast_join_count(codes) >= 1
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = pq_topk(codes, cb, q, "vec_id", "qid", "embedding", k=5)
+    assert exchange_count(out) <= 3
+    plan = explain_str(out)
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan

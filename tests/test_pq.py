@@ -1,0 +1,117 @@
+"""Unit tests for product quantization (operators/pq.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitymatchingmodel_spark.operators.pq import (
+    pq_codebooks_from_ids,
+    pq_encode,
+    pq_fit,
+    pq_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # dim=4, m=2 -> 2-dim subvectors with hand-checkable geometry
+    rows = [
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [1.0, 0.1, 0.1, 1.0]),  # near vector 1 in both subspaces
+        (4, [0.1, 1.0, 1.0, 0.1]),  # near vector 2 in both subspaces
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_codebooks_from_ids_layout(vectors):
+    cb = pq_codebooks_from_ids(vectors, "vec_id", "embedding", m=2, k=2)
+    rows = {(r["sub_id"], r["code"]): r["centroid"] for r in cb.collect()}
+    # code c = subvector of the c-th smallest id: vec 1 -> code 0, vec 2 -> code 1
+    assert rows[(0, 0)] == [1.0, 0.0] and rows[(1, 0)] == [0.0, 1.0]
+    assert rows[(0, 1)] == [0.0, 1.0] and rows[(1, 1)] == [1.0, 0.0]
+    assert len(rows) == 4
+
+
+def test_encode_assigns_nearest_code(vectors):
+    cb = pq_codebooks_from_ids(vectors, "vec_id", "embedding", m=2, k=2)
+    codes = {r["vec_id"]: r["codes"] for r in
+             pq_encode(vectors, cb, "vec_id", "embedding", m=2).collect()}
+    assert codes[1] == [0, 0] and codes[3] == [0, 0]  # near v1's slices
+    assert codes[2] == [1, 1] and codes[4] == [1, 1]  # near v2's slices
+
+
+def test_topk_adc_hand_computed(vectors):
+    """With codebook == {v1, v2} slices, v3 encodes to v1's word, so its
+    ADC score against query v1 is exactly IP(v1, v1) = 2.0."""
+    cb = pq_codebooks_from_ids(vectors, "vec_id", "embedding", m=2, k=2)
+    codes = pq_encode(vectors, cb, "vec_id", "embedding", m=2)
+    q = vectors.filter("vec_id = 1").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = pq_topk(codes, cb, q, "vec_id", "qid", "embedding", k=4)
+    got = [(r["vec_id"], r["score"], r["rank"]) for r in out.orderBy("rank").collect()]
+    # v1 and v3 share code word [0,0] -> reconstructed as v1 -> score 2.0,
+    # tie ranks id-ascending; v2/v4 share [1,1] -> IP(v1, v2) = 0.0
+    assert got == [(1, 2.0, 1), (3, 2.0, 2), (2, 0.0, 3), (4, 0.0, 4)]
+
+
+def test_exactness_when_codebook_spans_corpus(vectors):
+    """k >= n distinct subvectors: encoding is lossless, so ADC == true
+    inner product for every pair."""
+    cb = pq_codebooks_from_ids(vectors, "vec_id", "embedding", m=2, k=4)
+    codes = pq_encode(vectors, cb, "vec_id", "embedding", m=2)
+    q = vectors.select(F.col("vec_id").alias("qid"), "embedding")
+    out = pq_topk(codes, cb, q, "vec_id", "qid", "embedding", k=1)
+    # every vector's own reconstruction is itself -> rank-1 hit is itself
+    # (its self-IP strictly dominates here)
+    top = {r["qid"]: r["vec_id"] for r in out.collect()}
+    assert top == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_geometry_fail_fast(spark, vectors):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(vectors, "vec_id", "embedding", m=3, k=2)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mixed vector dimensions"):
+        pq_fit(ragged, "vec_id", "embedding", m=2, k=2)
+
+
+def test_max_queries_guard(vectors):
+    cb = pq_codebooks_from_ids(vectors, "vec_id", "embedding", m=2, k=2)
+    codes = pq_encode(vectors, cb, "vec_id", "embedding", m=2)
+    q = vectors.select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(codes, cb, q, "vec_id", "qid", "embedding", k=1, max_queries=2)
+
+
+def test_fit_keeps_full_codebook_and_improves_recall(spark):
+    """Learned codebooks on the real embedding table: (a) the codebook
+    stays exactly m*k rows (empty codes inherit their previous centroid);
+    (b) ADC recall@10 against exact inner-product top-10 clears a floor
+    that the task is genuinely above (measured ~0.5-0.7 with m=8,k=16)."""
+    from entitymatchingmodel_spark.operators.ann import _dot
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_fit(emb, "vec_id", "embedding", m=8, k=16, n_iter=3)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=8)
+    queries = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    approx = pq_topk(codes, cb, queries, "vec_id", "qid", "qv", k=10)
+    # exact IP top-10 (brute force on the 500-row table)
+    from pyspark.sql import Window
+
+    pairs = queries.crossJoin(emb).select(
+        "qid", "vec_id", _dot(F.col("qv"), F.col("embedding")).alias("ip")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("ip"), F.asc("vec_id"))
+    exact = pairs.withColumn("r", F.row_number().over(w)).filter("r <= 10")
+    hits = approx.join(exact, ["qid", "vec_id"]).count()
+    recall = hits / (8 * 10)
+    assert recall >= 0.35, f"ADC recall@10 collapsed: {recall}"

@@ -1,0 +1,121 @@
+"""Unit tests for DSIR importance weighting (functions/selection.py)."""
+
+import hashlib
+import math
+
+import pytest
+
+from entitymatchingmodel_spark.functions.selection import (
+    MICRO,
+    dsir_bucket_logratios,
+    dsir_scores,
+)
+
+
+def _bucket(gram: str, n_buckets: int) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _expected_scores(target, raw, n_buckets, alpha):
+    """Driver-side mirror of the whole DSIR pipeline (python md5 + integer
+    micro-units) — the exactness witness for the Spark plan."""
+
+    def grams(text):
+        toks = [t for t in "".join(
+            ch if ch.isalnum() else " " for ch in text.lower()
+        ).split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def counts(docs):
+        c = {}
+        for _, text in docs:
+            for g in grams(text):
+                b = _bucket(g, n_buckets)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cr = counts(target), counts(raw)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    aB = alpha * n_buckets
+
+    def lr_micro(b):
+        lr = math.log((ct.get(b, 0) + alpha) / (tt + aB)) - math.log(
+            (cr.get(b, 0) + alpha) / (tr + aB)
+        )
+        return round(lr * MICRO)
+
+    out = {}
+    for doc_id, text in raw:
+        gs = grams(text)
+        s = sum(lr_micro(_bucket(g, n_buckets)) for g in gs)
+        out[doc_id] = (len(gs), round(s / MICRO, 6) if gs else None)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    target = [(101, "clean curated text about science and method")]
+    raw = [
+        (1, "clean curated text about science and method"),  # == target
+        (2, "spam spam click here buy now"),                  # disjoint
+        (3, "science method text"),                           # partial
+        (4, ""),                                              # zero grams
+        (5, None),                                            # null text
+    ]
+    t = spark.createDataFrame(target, "doc_id long, text string")
+    r = spark.createDataFrame(raw, "doc_id long, text string")
+    return t, r, target, raw
+
+
+def test_scores_match_python_mirror_exactly(corpora):
+    t, r, target, raw = corpora
+    B, A = 64, 1.0
+    ratios = dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=B, alpha=A)
+    got = {
+        row["doc_id"]: (row["n_grams"], row["dsir_logratio"])
+        for row in dsir_scores(r, ratios, "doc_id", "text", n_buckets=B).collect()
+    }
+    want = _expected_scores(target, [(i, x or "") for i, x in raw], B, A)
+    assert got == want
+
+
+def test_target_like_scores_above_disjoint(corpora):
+    t, r, *_ = corpora
+    ratios = dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=256)
+    s = {
+        row["doc_id"]: row["dsir_logratio"]
+        for row in dsir_scores(r, ratios, "doc_id", "text", n_buckets=256).collect()
+    }
+    # the doc IDENTICAL to the target must beat the disjoint spam doc,
+    # and so must the partial-overlap doc (target-seen grams score
+    # positive log-ratios; spam grams all score negative)
+    assert s[1] > s[2]
+    assert s[3] > s[2]
+    assert s[4] is None and s[5] is None
+
+
+def test_zero_gram_rows_survive_with_zero_counts(corpora):
+    t, r, *_ = corpora
+    ratios = dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=64)
+    rows = {
+        row["doc_id"]: row["n_grams"]
+        for row in dsir_scores(r, ratios, "doc_id", "text", n_buckets=64).collect()
+    }
+    assert rows[4] == 0 and rows[5] == 0
+    assert len(rows) == 5
+
+
+def test_ratio_table_bounded_by_buckets(corpora):
+    t, r, *_ = corpora
+    ratios = dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=8)
+    assert ratios.count() <= 8
+    cols = set(ratios.columns)
+    assert cols == {"bucket", "lr_micro", "lr_default_micro"}
+
+
+def test_validation(corpora):
+    t, r, *_ = corpora
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=1)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_bucket_logratios(t, r, "doc_id", "text", alpha=0.0)

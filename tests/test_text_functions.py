@@ -210,3 +210,47 @@ def test_lang_id_table_matches_column_api(spark):
     got = {r["doc_id"]: (r["lang"], r["hits"], r["n_trigrams"]) for r in
            lang_id_table(docs, "doc_id", "text").collect()}
     assert got == want and len(got) == docs.count()
+
+
+def test_blocked_terms_literal_hand_computed(spark):
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam and more SPAM here"),   # occurrences counted, case-folded
+            (2, "perfectly clean text"),
+            (3, ""),                          # zero tokens
+            (4, None),                        # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["n_blocked"], r["blocked_ratio"], r["keep"])
+           for r in blocked_terms_table(df, "doc_id", "text", ["spam", "junk"]).collect()}
+    assert out[1] == (5, 2, 0.4, False)       # both 'spam' occurrences count
+    assert out[2] == (3, 0, 0.0, True)
+    assert out[3] == (0, 0, None, True)
+    assert out[4] == (0, 0, None, True)
+
+
+def test_blocked_terms_table_variant_matches_literal(spark):
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["spark", "slow", "dup"]
+    lit_rows = sorted(
+        blocked_terms_table(docs, "doc_id", "text", terms).collect())
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tab_rows = sorted(
+        blocked_terms_table(docs, "doc_id", "text", tdf).collect())
+    assert lit_rows == tab_rows
+
+
+def test_blocked_terms_validation(spark):
+    import pytest as _pytest
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="lowercase"):
+        blocked_terms_table(df, "doc_id", "text", ["Bad"])
+    with _pytest.raises(ValueError, match="empty"):
+        blocked_terms_table(df, "doc_id", "text", [])
