@@ -507,6 +507,37 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, cb, queries, "vec_id", "qid", "embedding", k=_PQ_TOPK)
 
 
+# IVF-PQ contract parameters — the oracle is GENERATED from these
+# (IVF half mirrors ivf_topk's constants; PQ half mirrors pq_topk's)
+_IPQ_NLIST = 16
+_IPQ_NPROBE = 4
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (r9, Jegou et al. 2011 §V — the billion-scale layout):
+    IVF md5-sampled centroids prune to nprobe/nlist of the corpus, then
+    PQ/ADC scores candidates from m codes instead of raw vectors.  The
+    deterministic unit-normalized codebook (subvectors of the k smallest
+    vec_ids) keeps the whole composition SQL-reconstructable; learned
+    codebooks (pq_fit) are pytest'd for recall instead.  Round-before-rank
+    on bucket choices + integer micro-unit ADC sums — EXACT oracle."""
+    from entitymatchingmodel_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_codebooks_from_ids,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    cb = pq_codebooks_from_ids(
+        emb, "vec_id", "embedding", _PQ_M, _PQ_K, normalize=True
+    )
+    return ivf_pq_topk(
+        queries, emb, "vec_id", "embedding", k=_PQ_TOPK,
+        nlist=_IPQ_NLIST, nprobe=_IPQ_NPROBE, m=_PQ_M, pq_k=_PQ_K,
+        codebooks=cb, score_decimals=6,
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus observability rollup ("data card" numbers): ONE
     map-side-combined aggregate — counts/sums exact, averages rounded to
@@ -2255,19 +2286,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the nine new r9 rows (temperature_mix_domain,
+    the LEF growth), (2) the ten new r9 rows (temperature_mix_domain,
     resample_domain, url_dedup, gopher_repetition, gopher_keep,
-    reg_domain, blocklist_filter, dsir_scores, pq_topk), (3) r8-dated
-    rows whose code r9
+    reg_domain, blocklist_filter, dsir_scores, pq_topk, ivf_pq_topk),
+    (3) r8-dated rows whose code r9
     touched (lef_match: +46 forms & the SASU fix; lang_id: +5 profiles;
-    streaming_curation: curate_stream url/lm
-    stages + watermark handling; the lm rows: score_rowwise addition +
-    band validation).  That is exactly 50 = 36 + 9 + 5.  The mixture
-    rows temperature_mix / temperature_mix_up / resample_to_mix moved
-    to the tail to make room for the three rows new in the second half
-    of r9: their r9 diff is guard-only (max_groups / max_repeat
-    fail-fasts that don't change kept rows) and all three were
-    re-verified EXACT by this round's local sf0.01 check_oracle runs.
+    streaming_curation: curate_stream url/lm/blocklist
+    stages + watermark handling; lm_fit_score: score_rowwise addition).
+    That is exactly 50 = 36 + 10 + 4.  Four r8-green rows moved to the
+    tail to make room for the four rows new in the second half of r9:
+    the mixture rows temperature_mix / temperature_mix_up /
+    resample_to_mix (their r9 diff is guard-only — max_groups /
+    max_repeat fail-fasts that don't change kept rows) and ppl_bands
+    (validation-only diff: lo_q < hi_q check); all four were re-verified
+    EXACT by this round's local sf0.01 check_oracle runs.
     The 49-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
@@ -2321,16 +2353,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "dsir_scores": q_dsir_scores,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         # --- tier 3: code path touched in r9 ---
         "lef_match": q_lef_match,
         "lang_id": q_lang_id,
         "streaming_curation": q_streaming_curation,
         "lm_fit_score": q_lm_fit_score,
-        "ppl_bands": q_ppl_bands,
         # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (49 = 99 - 50), incl. the four rows-only queries ---
         "temperature_mix": q_temperature_mix,
         "temperature_mix_up": q_temperature_mix_up,
         "resample_to_mix": q_resample_to_mix,
+        "ppl_bands": q_ppl_bands,
         "supervised_scores": q_supervised_scores,
         "sample_mix": q_sample_mix,
         "source_cap": q_source_cap,
@@ -4509,6 +4542,74 @@ _ORACLE["pq_topk"] = f"""
                                     ORDER BY s_micro DESC, vec_id ASC) AS rank
           FROM sc)
     SELECT qid, vec_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {_PQ_TOPK}
+"""
+
+
+# generated from the _IPQ_*/_PQ_* constants: the ivf_topk oracle's
+# centroid/assign/probe CTEs (seed 'ivf42', round-before-rank at 6dp)
+# composed with the pq_topk oracle's codebook/encode/ADC CTEs, both on
+# UNIT vectors; candidate set = probed buckets, scores = integer
+# micro-unit sums (order-free)
+_ORACLE["ivf_pq_topk"] = f"""
+    WITH eu AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    un AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vu
+           FROM eu WHERE list_dot_product(v, v) > 0),
+    ch AS (SELECT vec_id, CAST(concat('0x', substring(md5(concat_ws('|', 'ivf42',
+             CAST(vec_id AS VARCHAR))), 1, 7)) AS BIGINT) AS h
+           FROM eu),
+    cr AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM ch),
+    cent AS (SELECT cr.rn - 1 AS cent_id, u.vu AS cu
+             FROM cr JOIN un u USING (vec_id) WHERE cr.rn <= {_IPQ_NLIST}),
+    assign AS (
+      SELECT nn_id, cent_id FROM (
+        SELECT u.vec_id AS nn_id, c.cent_id,
+               row_number() OVER (PARTITION BY u.vec_id
+                 ORDER BY round(list_dot_product(u.vu, c.cu), 6) DESC, c.cent_id) AS r
+        FROM un u CROSS JOIN cent c) WHERE r = 1),
+    probe AS (
+      SELECT qid, cent_id FROM (
+        SELECT u.vec_id AS qid, c.cent_id,
+               row_number() OVER (PARTITION BY u.vec_id
+                 ORDER BY round(list_dot_product(u.vu, c.cu), 6) DESC, c.cent_id) AS r
+        FROM un u CROSS JOIN cent c WHERE u.vec_id < 20) WHERE r <= {_IPQ_NPROBE}),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub_id),
+    seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vu
+              FROM un ORDER BY vec_id LIMIT {_PQ_K}),
+    cb AS (SELECT s.sub_id, code,
+                  vu[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS centroid
+           FROM seeds, subs s),
+    sv AS (SELECT vec_id, s.sub_id,
+                  vu[s.sub_id*{_PQ_DSUB}+1 : s.sub_id*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+           FROM un, subs s),
+    codes AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vec_id, sub_id, code,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                 ORDER BY round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                            i -> (sv[i]-centroid[i])*(sv[i]-centroid[i]))), 9) ASC,
+                          code ASC) AS rn
+        FROM sv JOIN cb USING (sub_id)) WHERE rn = 1),
+    qsv AS (SELECT vec_id AS qid, sub_id, sv FROM sv WHERE vec_id < 20),
+    dt AS (SELECT qid, sub_id, code,
+                  CAST(round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                             i -> sv[i]*centroid[i])) * 1e6) AS BIGINT) AS c_micro
+           FROM qsv JOIN cb USING (sub_id)),
+    cand AS (SELECT p.qid, a.nn_id FROM probe p JOIN assign a USING (cent_id)),
+    sc AS (SELECT c.qid, c.nn_id, sum(dt.c_micro) AS s_micro
+           FROM cand c
+           JOIN codes k ON k.vec_id = c.nn_id
+           JOIN dt ON dt.qid = c.qid AND dt.sub_id = k.sub_id
+                  AND dt.code = k.code
+           GROUP BY 1, 2),
+    r AS (SELECT qid, nn_id, round(s_micro/1e6, 6) AS score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY s_micro DESC, nn_id ASC) AS rank
+          FROM sc)
+    SELECT qid, nn_id, score, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= {_PQ_TOPK}
 """
 

@@ -66,9 +66,17 @@ def _check_geometry(df: DataFrame, vec_col: str, m: int) -> int:
     return dim
 
 
-def _subvecs(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int) -> DataFrame:
-    """(id, sub_id, _sv) — map-only: the m slices are a literal struct
-    array exploded in one projection (no shuffle, no per-subspace scans)."""
+def _subvecs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    d_sub: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, carry...], sub_id, _sv) — map-only: the m slices are a literal
+    struct array exploded in one projection (no shuffle, no per-subspace
+    scans)."""
     # slices are cast to array<double> up front so learned (mean) and
     # initial (sampled) centroids share one type and the dot/L2 arithmetic
     # never mixes float32 rows into a double fold
@@ -82,8 +90,10 @@ def _subvecs(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int) -> Da
             for s in range(m)
         ]
     )
-    return df.select(F.col(id_col).alias("_id"), F.explode(pieces).alias("_p")).select(
-        "_id", F.col("_p.sub_id").alias("sub_id"), F.col("_p._sv").alias("_sv")
+    return df.select(
+        F.col(id_col).alias("_id"), *carry, F.explode(pieces).alias("_p")
+    ).select(
+        "_id", *carry, F.col("_p.sub_id").alias("sub_id"), F.col("_p._sv").alias("_sv")
     )
 
 
@@ -92,16 +102,20 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
-def _assign_codes(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+def _assign_codes(
+    sv: DataFrame, codebooks: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Nearest-code assignment: broadcast join the m*k codebook onto the
     subvector rows BY SUBSPACE (bounded k-way fan-out — the same
     bounded-centroid class as clustering's assign), min_by over the
     (distance, code) pair with the code-ascending tie-break both engines
-    agree on."""
+    agree on.  ``carry`` columns (functionally dependent on the id, e.g.
+    an IVF bucket) ride the group-by key for free instead of a second
+    corpus join."""
     cb = F.broadcast(codebooks.select("sub_id", "code", "centroid"))
     return (
         sv.join(cb, "sub_id")
-        .groupBy("_id", "sub_id")
+        .groupBy("_id", "sub_id", *carry)
         .agg(
             F.min(
                 F.struct(
@@ -277,23 +291,134 @@ def pq_topk(
 
 
 def pq_codebooks_from_ids(
-    df: DataFrame, id_col: str, vec_col: str, m: int, k: int
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int,
+    normalize: bool = False,
 ) -> DataFrame:
     """Deterministic NON-learned codebooks: code ``c`` of every subspace is
     the subvector of the corpus row with the ``c``-th smallest id.  Useful
     as a fixed, SQL-expressible quantizer for conformance testing (the
     contract row's oracle re-derives it in DuckDB) and as a degenerate
     baseline; real deployments use :func:`pq_fit`.
+
+    ``normalize=True`` L2-normalizes the seed vectors first (and skips
+    zero-norm rows) — the right quantizer domain when the codes will ADC
+    a COSINE search (:func:`ivf_pq_topk` operates on unit vectors).
     """
+    from entitymatchingmodel_spark.operators.ann import _l2_normalize
+
     dim = _check_geometry(df, vec_col, m)
-    w = Window.orderBy(F.col(id_col).asc())
-    seeds = (
-        df.filter(F.col(vec_col).isNotNull())
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-    )
-    return _subvecs(seeds, "_r", vec_col, m, dim // m).select(
+    base = df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+    if normalize:
+        base = _l2_normalize(base, "_v").filter(F.col("_v").isNotNull())
+    w = Window.orderBy(F.col("_sid").asc())
+    seeds = base.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    return _subvecs(seeds, "_r", "_v", m, dim // m).select(
         "sub_id",
         (F.col("_id") - 1).cast("int").alias("code"),
         F.col("_sv").alias("centroid"),
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    m: int = 4,
+    pq_k: int = 16,
+    seed: int = 42,
+    codebooks: DataFrame | None = None,
+    n_iter: int = 3,
+    score_decimals: int | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN layout (Jegou et al. 2011
+    §V) — IVF coarse pruning (:mod:`ann`'s deterministic md5-sampled
+    centroids) picks ``nprobe``/``nlist`` of the corpus per query, then
+    PQ/ADC scores the surviving candidates from ``m`` small codes instead
+    of the raw vectors.  At 100 TB the raw corpus never has to stay
+    resident for search: buckets prune I/O, codes shrink what remains by
+    ~dim*4/m bytes per vector.
+
+    Everything runs on UNIT vectors (ADC inner products then approximate
+    cosine; zero-norm rows drop, matching the exact path).  ``codebooks``
+    defaults to a learned :func:`pq_fit` over the unit corpus; pass
+    :func:`pq_codebooks_from_ids` (``normalize=True``) for the
+    deterministic, oracle-checkable quantizer.
+
+    Plan: centroid build + corpus bucket-assign are :func:`ann.ivf_topk`'s
+    own stages (bounded-centroid broadcast class); encoding adds one
+    broadcast codebook assign; search is one bucket equi-join (prunes to
+    the probed fraction), one broadcast ADC-table join, ONE (qid, id)
+    micro-unit rollup, and the top-k window.  The ADC table is bounded by
+    the guarded query batch — the same posture as :func:`pq_topk`.
+    """
+    from entitymatchingmodel_spark.operators.ann import (
+        _assign_corpus,
+        _build_centroids,
+        _l2_normalize,
+        _nearest_centroids,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}; ADC broadcasts "
+            "a per-query distance table — chunk the query set (or raise "
+            "max_queries if the m*k*batch table still fits in memory)"
+        )
+    dim = _check_geometry(corpus, vec_col, m)
+    d_sub = dim // m
+
+    cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
+    assigned = _assign_corpus(corpus, cents, id_col, vec_col, score_decimals)
+    if codebooks is None:
+        codebooks = pq_fit(
+            assigned, "nn_id", "_cv", m=m, k=pq_k, n_iter=n_iter, seed=seed
+        )
+    # encode the unit corpus; the IVF bucket rides the assign group-by
+    sv = _subvecs(assigned, "nn_id", "_cv", m, d_sub, carry=("bucket",))
+    codes = _assign_codes(sv, codebooks, carry=("bucket",))
+
+    qun = _l2_normalize(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).filter(F.col("_qv").isNotNull())
+    probed = _nearest_centroids(
+        qun, cents, "qid", "_qv", nprobe, "bucket", score_decimals
+    )
+    qsv = _subvecs(qun, "qid", "_qv", m, d_sub).withColumnRenamed("_id", "_qid")
+    dt = F.broadcast(
+        qsv.join(F.broadcast(codebooks), "sub_id").select(
+            "_qid",
+            "sub_id",
+            "code",
+            F.round(_dot(F.col("_sv"), F.col("centroid")) * MICRO)
+            .cast("long")
+            .alias("_c_micro"),
+        )
+    )
+    cands = probed.select(F.col("qid").alias("_qid"), "bucket").join(
+        codes, "bucket"
+    )
+    scores = (
+        cands.join(dt, ["_qid", "sub_id", "code"])
+        .groupBy("_qid", "_id")
+        .agg(F.sum("_c_micro").alias("_s_micro"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_s_micro"), F.asc("_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("qid"),
+            F.col("_id").alias("nn_id"),
+            F.round(F.col("_s_micro") / MICRO, 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

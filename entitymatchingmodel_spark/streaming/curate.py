@@ -37,6 +37,7 @@ def curate_stream(
     lm_model=None,
     max_perplexity: float | None = None,
     lm_max_model_rows: int = 5_000_000,
+    blocklist: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Language filter -> quality filter -> watermark-bounded exact dedup
     over a streaming document frame; with ``url_col`` set, a URL-dedup
@@ -55,6 +56,14 @@ def curate_stream(
     CCNet drops as garbage — are filtered.  This is the production CCNet
     posture: fit on the clean corpus offline, load, gate the crawl on
     ingest.
+
+    With ``blocklist`` set (a tuple of lowercase tokens — C4's "bad
+    words" list, Raffel et al. 2020 §2.2), a badwords screen runs right
+    after the quality filter: :func:`functions.text.blocked_terms_table`'s
+    literal shape, ONE stateless map-only projection (codegen isin probe
+    over the token array), dropping any page with a hit.  C4's published
+    order — URL dedup, then the cheap per-page screens, then content
+    dedup — is exactly the stage order here.
 
     Output: the surviving rows plus ``lang``, ``quality``,
     ``content_hash`` — ``url_norm`` when ``url_col`` is set, and
@@ -94,6 +103,19 @@ def curate_stream(
     s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= min_quality
     )
+    if blocklist:
+        from entitymatchingmodel_spark.functions.tokenize import word_tokens
+
+        bad = list(blocklist)
+        probe = [t for t in bad if not t or t != t.lower() or not t.isascii()]
+        if probe:
+            raise ValueError(
+                f"blocklist terms must be lowercase ascii tokens; got {probe[:5]!r}"
+            )
+        # the blocked_terms_table literal shape inlined as a filter: a
+        # stateless projection (append-safe), zero joins/shuffles
+        toks = word_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        s = s.filter(F.size(F.filter(toks, lambda t: t.isin(*bad))) == 0)
     if lm_model is not None:
         s = lm_model.score_rowwise(s, text_col, max_model_rows=lm_max_model_rows)
         s = s.filter(F.col("perplexity") <= float(max_perplexity))

@@ -509,3 +509,57 @@ def test_curate_stream_perplexity_gate_matches_batch(spark, tmp_path):
             curate_stream(stream, "text", "ts", lm_model=loaded)
     finally:
         loaded.unpersist()
+
+
+def test_curate_stream_blocklist_stage_matches_batch(spark, tmp_path):
+    """curate_stream(blocklist=...) drops any page with a blocked-token
+    hit via a STATELESS projection, pinned equal to the batch screen
+    (blocked_terms_table keep flag) on the same rows; validation rejects
+    non-lowercase terms before any stream starts."""
+    import datetime
+    import os
+
+    import pytest as _pytest
+
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    T = datetime.datetime
+    clean = ("the quick brown fox and the dog went over the hills to the "
+             "river in the morning and came back before the night")
+    dirty = ("the quick brown fox saw spam near the river in the morning "
+             "and the dog went back to the hills before the night came")
+    rows = [
+        (1, clean, T(2024, 1, 1, 0, 0)),
+        (2, dirty, T(2024, 1, 1, 0, 1)),   # blocked token 'spam'
+        (3, clean + " and then slept", T(2024, 1, 1, 0, 2)),
+    ]
+    src = str(tmp_path / "bl_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="lowercase"):
+        curate_stream(stream, "text", "ts", blocklist=("Spam",))
+
+    out = curate_stream(
+        stream, "text", "ts", langs=("en",), min_quality=0.2,
+        blocklist=("spam", "junk"),
+    )
+    got = []
+    q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_bl")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_keep = {
+        r["doc_id"]
+        for r in blocked_terms_table(df, "doc_id", "text", ["spam", "junk"])
+        .filter("keep").collect()
+    }
+    assert {r["doc_id"] for r in got} == batch_keep == {1, 3}

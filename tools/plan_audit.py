@@ -57,8 +57,11 @@ def main() -> int:
                 # index's save/load cycle)
                 # (kmeans_clusters assigns through the same bounded k-row
                 # broadcast — linear scan, k dots per row)
+                # (ivf_pq_topk reuses the IVF centroid assignment verbatim;
+                # its PQ stages are hash joins)
                 if name in ("naive_pairs", "ivf_topk", "ivf_index_topk",
-                            "kmeans_clusters", "cluster_balanced_sample"):
+                            "kmeans_clusters", "cluster_balanced_sample",
+                            "ivf_pq_topk"):
                     flags.append("bounded cross-join (documented)")
                 else:
                     flags.append("NESTED-LOOP <-- FAIL")
