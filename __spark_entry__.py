@@ -702,6 +702,19 @@ _LANG_PHRASES = [
     "la guineu rapida salta per sobre dels gossos mandrosos i corre cap al bosc que tenim amb els amics",  # ca
     "ako rychla liska pre nas skace cez psa do lesa ktory sa vola stary a nie je znamy v tych miestach ktore mame",  # sk
     "brza lisica skace preko lijenog psa koji se ne da i bit ce da ima sto na putu ali se ne zna je li to sve",  # hr
+    # r9 tranche (sl/et/lv/lt/sw — profiles landed earlier this round;
+    # phrases added so every profile is driver-witnessed again) + r9
+    # second tranche (af/tl/ga/eu).  Each phrase's argmax verified by the
+    # python mirror against the FULL 30-profile set before commit.
+    "hitra lisica tudi skoci kot pes in tako je da se pri tem ne ve kaj tudi pri nas tako kot je v gozdu",  # sl
+    "kiire rebane on kui koer oma metsas ja nad olid seal ise kui vanad puud on selle koha peal ja jooksevad",  # et
+    "atra lapsa un suns ir tas kas par mezu vai talak iet un tiem draugiem ir sava briviba un tas ir viss",  # lv
+    "greita lape ir suo yra kad kaip tai bet miskas yra toliau ir geriau matomas kad tai yra tiesa",  # lt
+    "mbweha mwepesi na mbwa wa kijiji ni kwa sababu ya kukimbia katika msitu na njia za watu ni za zamani",  # sw
+    "die vinnige jakkals en die hond wat oor die heuwels gaan want ons het baie dinge gesien en hulle wat saam maar verder stap",  # af
+    "ang mabilis na soro at ang aso na ito ay para sa kanya dahil hindi niya alam ang lahat ng mga bagay dito",  # tl
+    "agus an sionnach tapa agus an madra ach sin mar a deir siad chun faoi agus bhi gach rud go maith ann",  # ga
+    "azeri azkarra eta txakurra bat zen eta dira baina ez zuen egin nahi izan dute eta beste bat egin zen",  # eu
 ]
 
 

@@ -185,6 +185,23 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "sw": (" na", "na ", " ya", "ya ", " wa", "wa ", "kwa", " kw", "ika",
            "kat", "ati", "tik", " ku", "ni ", " ni", "za ", " za", "la ",
            "cha", " ch"),
+    # r9 second tranche (same [a-z ]-residue rule: af 'die/wat/vir/ons/
+    # baie/hulle/maar', tl 'ang/mga/ito/hindi/niya/dahil', ga 'agus/ach/
+    # bhi/sin/chun/faoi', eu 'eta/bat/zen/dira/egin/izan').  Winner-shift
+    # audit: adding these four changed NO existing plant phrase's argmax
+    # (python-mirror check, this round).
+    "af": (" di", "die", "ie ", " wa", "wat", "at ", " vi", "vir", "ir ",
+           " on", "ons", "ns ", "bai", "aie", " ba", "hul", "ull", "lle",
+           " hu", "maa"),
+    "tl": ("ang", "ng ", " mg", "mga", "ga ", "ito", "to ", " it", "hin",
+           "ind", "ndi", "di ", " hi", "niy", "iya", "ya ", " ni", "dah",
+           "ahi", "hil"),
+    "ga": ("agu", "gus", "us ", " ag", " ac", "ach", "ch ", "bhi", "hi ",
+           " bh", "sin", "in ", " si", "chu", "hun", "un ", " ch", "fao",
+           "aoi", "oi "),
+    "eu": ("eta", "ta ", " et", "bat", " ba", "zen", "en ", " ze", "dir",
+           "ira", "ra ", " di", "egi", "gin", "in ", " eg", "iza", "zan",
+           "an ", " iz"),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

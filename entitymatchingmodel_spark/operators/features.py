@@ -862,6 +862,38 @@ LEGAL_FORM_TERMS = sorted(
         "free zone company", "sociedad anonima deportiva",
         "monoprosopi etaireia periorismenis efthynis",
         "sicav", "cva", "esv", "gaec", "scpi", "mepe", "vvag", "zadruga",
+        # r9 second tranche (public cleanco/GLEIF-style suffix forms):
+        # EU-level vehicles (EEIG/SCE full forms, both languages), DE/CH
+        # mutual insurers + sole traders + general partnerships, IT coop
+        # arl + mutuo soccorso + consortile abbrevs, MX bursatil/SAPI full
+        # forms, SI/HR unlimited + general-partnership full forms, NO
+        # foreign-branch + BA full forms, JP LLP, VN partnership/sole
+        # proprietor, ID perseroan terbatas, PL mutual insurers, CZ
+        # public-benefit + registered associations, IE Irish-language
+        # Teoranta, BE commandite abbrevs + single-member BVBA, LU
+        # simplified SARL, Gulf free-zone + Qatari public forms, FI
+        # foundations
+        "societa cooperativa a responsabilita limitata",
+        "versicherungsverein auf gegenseitigkeit",
+        "europaische wirtschaftliche interessenvereinigung",
+        "european economic interest grouping",
+        "societas cooperativa europaea",
+        "kollektivgesellschaft", "einzelunternehmen",
+        "societe en commandite",
+        "druzba z neomejeno odgovornostjo", "javno trgovacko drustvo",
+        "norsk avdeling av utenlandsk foretak",
+        "selskap med begrenset ansvar",
+        "yugen sekinin jigyo kumiai",
+        "cong ty hop danh", "doanh nghiep tu nhan",
+        "perseroan terbatas",
+        "towarzystwo ubezpieczen wzajemnych",
+        "sociedad anonima bursatil de capital variable",
+        "sociedad anonima promotora de inversion de capital variable",
+        "obecne prospesna spolecnost", "zapsany spolek",
+        "societa di mutuo soccorso",
+        "fz llc", "sarl s", "comm v", "z s", "sp p",
+        "tuw", "fzc", "qpsc", "saatio", "scarl", "scpa", "sicaf",
+        "teo", "teoranta", "gcv", "ebvba",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -1202,6 +1234,43 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "sicav": ["public"], "cva": ["partnership"], "esv": ["partnership"],
     "gaec": ["partnership"], "scpi": ["private"], "mepe": ["private"],
     "vvag": ["cooperative"], "zadruga": ["cooperative"],
+    # r9 second tranche — abbreviation <-> full form families kept
+    # consistent (the SASU lesson: a family splitting across types makes
+    # 'acme <abbrev>' vs the full form classify as no_match)
+    "societa cooperativa a responsabilita limitata": ["cooperative"],
+    "scarl": ["cooperative"],
+    "versicherungsverein auf gegenseitigkeit": ["cooperative"],
+    "towarzystwo ubezpieczen wzajemnych": ["cooperative"],
+    "tuw": ["cooperative"],
+    "europaische wirtschaftliche interessenvereinigung": ["partnership"],
+    "european economic interest grouping": ["partnership"],
+    "societas cooperativa europaea": ["cooperative"],
+    "kollektivgesellschaft": ["partnership"],
+    "einzelunternehmen": ["private"],
+    "societe en commandite": ["partnership"],
+    "druzba z neomejeno odgovornostjo": ["unlimited"],
+    "javno trgovacko drustvo": ["partnership"],
+    "norsk avdeling av utenlandsk foretak": ["private"],
+    "selskap med begrenset ansvar": ["cooperative"],
+    "yugen sekinin jigyo kumiai": ["limited liability partnership"],
+    "cong ty hop danh": ["partnership"],
+    "doanh nghiep tu nhan": ["private"],
+    "perseroan terbatas": ["limited"],
+    "sociedad anonima bursatil de capital variable": ["public"],
+    "sociedad anonima promotora de inversion de capital variable": ["corporation"],
+    "obecne prospesna spolecnost": ["nonprofit"],
+    "zapsany spolek": ["nonprofit"], "z s": ["nonprofit"],
+    "societa di mutuo soccorso": ["nonprofit"],
+    "fz llc": ["private"], "fzc": ["private"],
+    "sarl s": ["private"],
+    "comm v": ["partnership"], "gcv": ["partnership"],
+    "sp p": ["partnership"],
+    "qpsc": ["public"],
+    "saatio": ["nonprofit"],
+    "teo": ["limited"], "teoranta": ["limited"],
+    "ebvba": ["private"],
+    "sicaf": ["public"],
+    "scpa": ["public"],
 }
 
 

@@ -170,6 +170,17 @@ def test_vocabulary_joined_matches_literal_path(spark):
     ("acme spoldzielnia", "spoldzielnia"),
     ("acme sicav", "sicav"),
     ("acme benefit corporation", "benefit corporation"),
+    # r9 second tranche
+    ("acme perseroan terbatas", "perseroan terbatas"),
+    ("acme versicherungsverein auf gegenseitigkeit",
+     "versicherungsverein auf gegenseitigkeit"),
+    ("acme teoranta", "teoranta"),
+    ("acme fz llc", "fz llc"),            # beats bare 'llc' (longest-first)
+    ("acme obecne prospesna spolecnost", "obecne prospesna spolecnost"),
+    ("acme sociedad anonima bursatil de capital variable",
+     "sociedad anonima bursatil de capital variable"),
+    ("acme yugen sekinin jigyo kumiai", "yugen sekinin jigyo kumiai"),
+    ("acme scarl", "scarl"),
 ])
 def test_lef_r4_term_breadth(spark, name, lef):
     from entitymatchingmodel_spark.operators.features import extract_lef
