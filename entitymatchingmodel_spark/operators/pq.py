@@ -310,8 +310,17 @@ def pq_codebooks_from_ids(
     base = df.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
     if normalize:
         base = _l2_normalize(base, "_v").filter(F.col("_v").isNotNull())
+    # distributed top-k FIRST (orderBy().limit(k) plans as TakeOrdered —
+    # per-partition top-k, no global sort), THEN the row_number window
+    # over the k surviving rows (tiny, post-limit) — the ann
+    # _build_centroids idiom.  A window straight over the corpus would
+    # rank EVERY row in one task.
     w = Window.orderBy(F.col("_sid").asc())
-    seeds = base.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    seeds = (
+        base.orderBy(F.col("_sid").asc())
+        .limit(k)
+        .withColumn("_r", F.row_number().over(w))
+    )
     return _subvecs(seeds, "_r", "_v", m, dim // m).select(
         "sub_id",
         (F.col("_id") - 1).cast("int").alias("code"),

@@ -356,10 +356,113 @@ def r9_probe():
     docs.unpersist()
 
 
+def r9b_probe():
+    """r9 second-tranche probe: DSIR fit+score, PQ encode, IVF-PQ search,
+    and the blocklist screen vs CORPUS SIZE (1x/4x/10x).  All four must be
+    ~linear: DSIR's bucket table and PQ's codebook are fixed-size, so only
+    the corpus-side scans/rollups should grow."""
+    import time as _t
+
+    spark = get_spark("r9b-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def timed(label, df):
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = _t.time() - t0
+        print(f"  {label:34s} {dt:7.2f}s", flush=True)
+        return dt
+
+    def report(name, sizes, times, limit=1.5):
+        ratios = [round(t / times[0], 2) for t in times]
+        srat = [round(s / sizes[0], 1) for s in sizes]
+        flag = "  <-- SUPERLINEAR" if ratios[-1] > srat[-1] * limit else ""
+        print(f"{name}: sizes {srat} -> times {ratios}{flag}", flush=True)
+
+    def inflate_docs(k):
+        return base_docs.select(
+            "doc_id", "text", "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        ).select(
+            (F.col("doc_id") * k + F.col("_i")).alias("doc_id"), "text", "lang"
+        )
+
+    def inflate_emb(k):
+        return base_emb.select(
+            "vec_id", "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        ).select(
+            (F.col("vec_id") * k + F.col("_i")).alias("vec_id"), "embedding"
+        )
+
+    from entitymatchingmodel_spark.functions.selection import (
+        dsir_bucket_logratios,
+        dsir_scores,
+    )
+    from entitymatchingmodel_spark.functions.text import blocked_terms_table
+    from entitymatchingmodel_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_codebooks_from_ids,
+        pq_encode,
+    )
+
+    # 1) DSIR fit+score vs corpus size
+    sizes, times = [], []
+    for k in FACTORS:
+        d = inflate_docs(k).persist()
+        d.count()
+        t0 = _t.time()
+        ratios = dsir_bucket_logratios(
+            d.where("lang = 'en'"), d, "doc_id", "text", n_buckets=4096
+        )
+        dt_fit = _t.time() - t0  # fit materializes (localCheckpoint)
+        t = timed(f"dsir fit+score corpus x{k}",
+                  dsir_scores(d, ratios, "doc_id", "text", n_buckets=4096))
+        times.append(dt_fit + t)
+        sizes.append(k)
+        d.unpersist()
+    report("dsir_fit_score vs corpus", sizes, times)
+
+    # 2) blocklist screen vs corpus size (map-only -> must track the scan)
+    sizes, times = [], []
+    for k in FACTORS:
+        d = inflate_docs(k).persist()
+        d.count()
+        times.append(timed(f"blocked_terms corpus x{k}",
+                           blocked_terms_table(d, "doc_id", "text",
+                                               ["spark", "slow", "dup"])))
+        sizes.append(k)
+        d.unpersist()
+    report("blocked_terms vs corpus", sizes, times)
+
+    # 3) PQ encode + IVF-PQ search vs corpus size (fixed query batch)
+    sizes, t_enc, t_srch = [], [], []
+    for k in FACTORS:
+        e = inflate_emb(k).persist()
+        e.count()
+        cb = pq_codebooks_from_ids(e, "vec_id", "embedding", 4, 16,
+                                   normalize=True)
+        t_enc.append(timed(f"pq_encode corpus x{k}",
+                           pq_encode(e, cb, "vec_id", "embedding", 4)))
+        q = e.filter(F.col("vec_id") < 20)
+        t_srch.append(timed(f"ivf_pq_topk corpus x{k}",
+                            ivf_pq_topk(q, e, "vec_id", "embedding", k=5,
+                                        nlist=16, nprobe=4, m=4, pq_k=16,
+                                        codebooks=cb, score_decimals=6)))
+        sizes.append(k)
+        e.unpersist()
+    report("pq_encode vs corpus", sizes, t_enc)
+    report("ivf_pq_topk vs corpus", sizes, t_srch)
+
+
 if __name__ == "__main__":
     if "--spans" in sys.argv:
         span_heavy_probe()
     elif "--r9" in sys.argv:
         r9_probe()
+    elif "--r9b" in sys.argv:
+        r9b_probe()
     else:
         main()
