@@ -431,3 +431,89 @@ def ivf_pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+class PQModel:
+    """Fit-once / encode-many product quantizer with persistence — the
+    production posture (train codebooks on a sample weekly, encode the
+    stream/crawl daily).  Follows the :class:`clustering.KMeansModel`
+    idiom: the model holds the bounded ``m * k``-row codebook table; fit
+    output is already localCheckpoint-ed so construction adds no work;
+    ``save``/``load`` round-trip the codebooks as parquet (doubles are
+    exact in parquet, so loaded encodings and ADC scores are
+    byte-identical — pytest-pinned) plus a ``meta.json`` of the fit
+    params, written through :func:`session.write_meta_json` (the 1-row
+    LocalRelation stall fix)."""
+
+    def __init__(self, codebooks: DataFrame, m: int, k: int, seed: int):
+        self.codebooks = codebooks
+        self.m = m
+        self.k = k
+        self.seed = seed
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        m: int = 4,
+        k: int = 16,
+        n_iter: int = 3,
+        seed: int = 42,
+    ) -> "PQModel":
+        cb = pq_fit(df, id_col, vec_col, m=m, k=k, n_iter=n_iter, seed=seed)
+        return cls(cb, m, k, seed)
+
+    def encode(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        return pq_encode(df, self.codebooks, id_col, vec_col, self.m)
+
+    def topk(
+        self,
+        codes: DataFrame,
+        queries: DataFrame,
+        id_col: str,
+        qid_col: str,
+        qvec_col: str,
+        k: int = 10,
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        return pq_topk(
+            codes, self.codebooks, queries, id_col, qid_col, qvec_col,
+            k=k, max_queries=max_queries,
+        )
+
+    def save(self, path: str) -> None:
+        """m*k codebook rows + fit params under ``path``; coalesce(1) —
+        a codebook never needs more than one file."""
+        import json
+
+        spark = self.codebooks.sparkSession
+        self.codebooks.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/codebooks.parquet"
+        )
+        from entitymatchingmodel_spark.session import write_meta_json
+
+        write_meta_json(
+            spark,
+            f"{path}/meta.json",
+            json.dumps({"m": self.m, "k": self.k, "seed": self.seed}),
+        )
+
+    @classmethod
+    def load(
+        cls, spark, path: str, persist_handles: list | None = None
+    ) -> "PQModel":
+        """Reload; the bounded codebook table is persisted (it sits under
+        every encode/ADC join) — release via :meth:`unpersist` or the
+        ``persist_handles`` convention."""
+        import json
+
+        meta = json.loads(spark.read.json(f"{path}/meta.json").head()["meta"])
+        cb = spark.read.parquet(f"{path}/codebooks.parquet").persist()
+        if persist_handles is not None:
+            persist_handles.append(cb)
+        return cls(cb, int(meta["m"]), int(meta["k"]), int(meta["seed"]))
+
+    def unpersist(self) -> None:
+        self.codebooks.unpersist()

@@ -191,3 +191,29 @@ def test_ivf_pq_deterministic_codebooks_subset_of_probed_buckets(spark):
     for r in out:
         by_q.setdefault(r["qid"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_pq_model_save_load_roundtrip(spark, tmp_path):
+    """PQModel fit -> save -> load must reproduce encodings and ADC
+    top-k byte-identically (codebook doubles round-trip exactly through
+    parquet), and meta params survive."""
+    from entitymatchingmodel_spark.operators.pq import PQModel
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m1 = PQModel.fit(emb, "vec_id", "embedding", m=4, k=8, n_iter=2, seed=7)
+    codes1 = m1.encode(emb, "vec_id", "embedding")
+    q = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    top1 = sorted(map(tuple, m1.topk(codes1, q, "vec_id", "qid", "embedding",
+                                     k=5).collect()))
+    path = str(tmp_path / "pqm")
+    m1.save(path)
+    m2 = PQModel.load(spark, path)
+    assert (m2.m, m2.k, m2.seed) == (4, 8, 7)
+    codes2 = m2.encode(emb, "vec_id", "embedding")
+    assert sorted(map(tuple, codes1.collect())) == sorted(map(tuple, codes2.collect()))
+    top2 = sorted(map(tuple, m2.topk(codes2, q, "vec_id", "qid", "embedding",
+                                     k=5).collect()))
+    assert top1 == top2
+    m2.unpersist()
