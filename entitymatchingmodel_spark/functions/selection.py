@@ -213,3 +213,97 @@ def dsir_scores(
             F.round(F.col("_sum") / MICRO, 6).alias("dsir_logratio"),
         )
     )
+
+
+def dsir_scores_rowwise(
+    df: DataFrame,
+    ratios: DataFrame,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """STATELESS per-row DSIR scoring: ``df`` plus ``n_grams`` /
+    ``dsir_logratio`` columns computed inside one Arrow-batched pandas
+    UDF against the BROADCAST ratio table — no explode, no join, no
+    aggregation.  This is the STREAMING shape of :func:`dsir_scores`
+    (whose per-doc rollup is a streaming aggregation — illegal mid-query
+    in append mode); a pure projection composes with any downstream
+    stateful stage, so DSIR target-likeness can gate ingest the same way
+    the BigramLM perplexity gate does (the
+    :meth:`~entitymatchingmodel_spark.operators.lm.BigramLM.score_rowwise`
+    idiom).
+
+    Parity with the batch scorer is EXACT, not approximate: python's
+    ``hashlib.md5`` equals both engines' md5, the bucket arithmetic is
+    integer, and scores are integer micro-unit sums — pinned equal in
+    tests.  The broadcast is bounded by ``n_buckets`` rows (the fit
+    guarantees it), so no size guard is needed — the table is always
+    dict-sized.
+    """
+    rows = ratios.collect()  # <= n_buckets rows by construction
+    lr = {r["bucket"]: r["lr_micro"] for r in rows}
+    default = max((r["lr_default_micro"] for r in rows), default=0)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((lr, default))
+
+    clash = {"n_grams", "dsir_logratio"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dsir_scores_rowwise adds columns {sorted(clash)}; rename them"
+        )
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_grams", IntegerType()),
+            StructField("dsir_logratio", DoubleType()),
+        ]
+    )
+    B = int(n_buckets)
+
+    def _score_batches(batches):
+        import hashlib
+        import re
+        from decimal import ROUND_HALF_UP, Decimal
+
+        m, dflt = bc.value
+        tok_re = re.compile(r"[^a-z0-9]+")
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            n_out, s_out = [], []
+            for t in texts:
+                toks = [x for x in tok_re.split((t or "").lower()) if x]
+                grams = toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]
+                if not grams:
+                    n_out.append(0)
+                    s_out.append(None)
+                    continue
+                s = 0
+                for g in grams:
+                    s += m.get(bucket(g), dflt)
+                n_out.append(len(grams))
+                # Spark round(double, 6) = shortest-repr HALF_UP; python's
+                # built-in round is HALF_EVEN — use the Decimal idiom from
+                # BigramLM.score_rowwise so parity with the batch scorer
+                # cannot break on a .5 boundary
+                s_out.append(float(
+                    Decimal(repr(s / MICRO)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                ))
+            pdf = pdf.copy()
+            pdf["n_grams"] = n_out
+            pdf["dsir_logratio"] = s_out
+            yield pdf
+
+    return df.mapInPandas(_score_batches, out_schema)

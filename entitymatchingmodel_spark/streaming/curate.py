@@ -38,6 +38,9 @@ def curate_stream(
     max_perplexity: float | None = None,
     lm_max_model_rows: int = 5_000_000,
     blocklist: "tuple[str, ...] | None" = None,
+    dsir_ratios: DataFrame | None = None,
+    min_dsir: float | None = None,
+    dsir_n_buckets: int = 4096,
 ) -> DataFrame:
     """Language filter -> quality filter -> watermark-bounded exact dedup
     over a streaming document frame; with ``url_col`` set, a URL-dedup
@@ -65,6 +68,16 @@ def curate_stream(
     order — URL dedup, then the cheap per-page screens, then content
     dedup — is exactly the stage order here.
 
+    With ``dsir_ratios`` (a fitted
+    :func:`functions.selection.dsir_bucket_logratios` table) and
+    ``min_dsir`` set, a DSIR target-likeness gate runs alongside the LM
+    gate: rows are scored STATELESSLY against the broadcast bucket
+    ratios (:func:`functions.selection.dsir_scores_rowwise` — an
+    Arrow-batched projection, append-safe; the batch scorer's per-doc
+    rollup has no append-mode form) and rows scoring below ``min_dsir``
+    — or zero-gram rows, which carry no evidence of target-likeness —
+    are dropped.  ``dsir_n_buckets`` must match the fit.
+
     Output: the surviving rows plus ``lang``, ``quality``,
     ``content_hash`` — ``url_norm`` when ``url_col`` is set, and
     ``n_bigrams``/``avg_logp``/``perplexity`` when the LM gate is on —
@@ -74,6 +87,8 @@ def curate_stream(
     """
     if (lm_model is None) != (max_perplexity is None):
         raise ValueError("lm_model and max_perplexity must be set together")
+    if (dsir_ratios is None) != (min_dsir is None):
+        raise ValueError("dsir_ratios and min_dsir must be set together")
     if not stream.isStreaming:
         raise ValueError("curate_stream requires a streaming DataFrame")
     if url_col is not None:
@@ -119,6 +134,14 @@ def curate_stream(
     if lm_model is not None:
         s = lm_model.score_rowwise(s, text_col, max_model_rows=lm_max_model_rows)
         s = s.filter(F.col("perplexity") <= float(max_perplexity))
+    if dsir_ratios is not None:
+        from entitymatchingmodel_spark.functions.selection import (
+            dsir_scores_rowwise,
+        )
+
+        s = dsir_scores_rowwise(s, dsir_ratios, text_col,
+                                n_buckets=dsir_n_buckets)
+        s = s.filter(F.col("dsir_logratio") >= float(min_dsir))
     # when the URL stage ran, it already set the watermark — redefining it
     # downstream of a stateful operator is disallowed
     return drop_exact_duplicates_stream(

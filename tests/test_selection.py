@@ -9,6 +9,7 @@ from entitymatchingmodel_spark.functions.selection import (
     MICRO,
     dsir_bucket_logratios,
     dsir_scores,
+    dsir_scores_rowwise,
 )
 
 
@@ -119,3 +120,34 @@ def test_validation(corpora):
         dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=1)
     with pytest.raises(ValueError, match="alpha"):
         dsir_bucket_logratios(t, r, "doc_id", "text", alpha=0.0)
+
+
+def test_rowwise_matches_batch_exactly(spark):
+    """dsir_scores_rowwise (the streaming shape: python md5 + integer
+    micro-units in a mapInPandas projection) must equal the batch
+    scorer's output exactly on the real documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ratios = dsir_bucket_logratios(
+        docs.where("lang = 'en'"), docs, "doc_id", "text", n_buckets=512
+    )
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logratio"])
+        for r in dsir_scores(docs, ratios, "doc_id", "text",
+                             n_buckets=512).collect()
+    }
+    rowwise = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logratio"])
+        for r in dsir_scores_rowwise(docs, ratios, "text",
+                                     n_buckets=512).collect()
+    }
+    assert rowwise == batch
+
+
+def test_rowwise_column_clash_fails_fast(spark):
+    df = spark.createDataFrame([(1, "x", 0.5)],
+                               "doc_id long, text string, dsir_logratio double")
+    t = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    ratios = dsir_bucket_logratios(t, t, "doc_id", "text", n_buckets=8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="adds columns"):
+        dsir_scores_rowwise(df, ratios, "text", n_buckets=8)

@@ -563,3 +563,65 @@ def test_curate_stream_blocklist_stage_matches_batch(spark, tmp_path):
         .filter("keep").collect()
     }
     assert {r["doc_id"] for r in got} == batch_keep == {1, 3}
+
+
+def test_curate_stream_dsir_gate_matches_batch(spark, tmp_path):
+    """curate_stream(dsir_ratios=..., min_dsir=...) gates rows by DSIR
+    target-likeness through the STATELESS rowwise scorer, pinned equal
+    to the batch dsir_scores filter on the same rows; mismatched args
+    fail fast before any stream starts."""
+    import datetime
+    import os
+
+    import pytest as _pytest
+
+    from entitymatchingmodel_spark.functions.selection import (
+        dsir_bucket_logratios,
+        dsir_scores,
+    )
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    T = datetime.datetime
+    targetish = ("the quick brown fox and the dog went over the hills to "
+                 "the river in the morning and came back before the night")
+    spammy = ("click here buy now great offer deal discount sale cheap "
+              "prices best value limited time only act fast and buy today")
+    rows = [
+        (1, targetish, T(2024, 1, 1, 0, 0)),
+        (2, spammy, T(2024, 1, 1, 0, 1)),
+        (3, targetish + " and then slept by the water", T(2024, 1, 1, 0, 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    target = df.filter("doc_id = 1").select("doc_id", "text")
+    ratios = dsir_bucket_logratios(
+        target, df.select("doc_id", "text"), "doc_id", "text", n_buckets=256
+    )
+    # threshold between the spam score and the target-like scores
+    scores = {r["doc_id"]: r["dsir_logratio"] for r in
+              dsir_scores(df, ratios, "doc_id", "text", n_buckets=256).collect()}
+    thresh = (scores[2] + min(scores[1], scores[3])) / 2
+    batch_keep = {i for i, s in scores.items() if s >= thresh}
+    assert batch_keep == {1, 3}
+
+    src = str(tmp_path / "dsir_src")
+    os.makedirs(src)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="set together"):
+        curate_stream(stream, "text", "ts", dsir_ratios=ratios)
+
+    out = curate_stream(
+        stream, "text", "ts", langs=(), min_quality=0.0,
+        dsir_ratios=ratios, min_dsir=thresh, dsir_n_buckets=256,
+    )
+    got = []
+    q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_dsir")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in got} == batch_keep
+    assert all(r["dsir_logratio"] >= thresh for r in got)
