@@ -2313,7 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     max_repeat fail-fasts that don't change kept rows) and ppl_bands
     (validation-only diff: lo_q < hi_q check); all four were re-verified
     EXACT by this round's local sf0.01 check_oracle runs.
-    The 49-query
+    The 50-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
     they sit — so a 50-row cutoff leaves every oracle-checkable query
@@ -2372,7 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "streaming_curation": q_streaming_curation,
         "lm_fit_score": q_lm_fit_score,
-        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (49 = 99 - 50), incl. the four rows-only queries ---
+        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (50 = 100 - 50), incl. the four rows-only queries ---
         "temperature_mix": q_temperature_mix,
         "temperature_mix_up": q_temperature_mix_up,
         "resample_to_mix": q_resample_to_mix,

@@ -307,3 +307,53 @@ def dsir_scores_rowwise(
             yield pdf
 
     return df.mapInPandas(_score_batches, out_schema)
+
+
+def dsir_resample(
+    scores: DataFrame,
+    id_col: str,
+    k: int,
+    score_col: str = "dsir_logratio",
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel-top-k resampling — the actual selection step of the DSIR
+    paper (sample k documents WITHOUT replacement with probability
+    proportional to ``exp(score / temperature)``): per-row sampling key
+
+        key = score / temperature + G,   G = -ln(-ln(u))
+
+    with ``u`` the deterministic md5-derived uniform (the corpus-wide
+    ``_unit_hash`` idiom, salted by ``seed``) — so the draw is exactly
+    reproducible across runs, engines, and partitionings, and a pytest
+    mirror can re-derive the selected set with ``hashlib``.  Rows with a
+    NULL score (zero-gram documents) carry no evidence and are excluded.
+
+    Scale shape: one map-only projection (hash, two ``ln`` calls) and a
+    global top-k — ``orderBy().limit(k)`` plans as TakeOrdered (each
+    partition keeps its local top-k; no global sort shuffle), so the
+    operator is one corpus scan regardless of k << corpus.
+
+    ``temperature -> 0`` degenerates toward deterministic top-k by score;
+    large temperatures approach uniform sampling.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if temperature <= 0:
+        raise ValueError(
+            "temperature must be > 0 (use a plain orderBy(score).limit(k) "
+            "for deterministic top-k selection)"
+        )
+    from entitymatchingmodel_spark.functions.sampling import _unit_hash
+
+    # clamp away from 0 so ln(-ln(u)) can't hit ln(0): md5-prefix zero is
+    # one key in 16^7 but it would NaN-poison that row's key
+    u = F.greatest(_unit_hash(F.col(id_col), f"dsir{seed}"), F.lit(1e-12))
+    key = F.col(score_col) / float(temperature) - F.log(-F.log(u))
+    return (
+        scores.filter(F.col(score_col).isNotNull())
+        .withColumn("_gumbel_key", key)
+        .orderBy(F.desc("_gumbel_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_gumbel_key")
+    )

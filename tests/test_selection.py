@@ -151,3 +151,52 @@ def test_rowwise_column_clash_fails_fast(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="adds columns"):
         dsir_scores_rowwise(df, ratios, "text", n_buckets=8)
+
+
+def test_dsir_resample_matches_python_mirror(spark):
+    """Gumbel-top-k selection must be exactly reproducible from the
+    hashlib mirror of the md5 uniform (same salt, same clamp, same key
+    formula) — the engine-portability witness."""
+    import math
+
+    from entitymatchingmodel_spark.functions.selection import dsir_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ratios = dsir_bucket_logratios(
+        docs.where("lang = 'en'"), docs, "doc_id", "text", n_buckets=256
+    )
+    scores = dsir_scores(docs, ratios, "doc_id", "text", n_buckets=256)
+    K, T, SEED = 25, 2.0, 7
+    got = sorted(r["doc_id"] for r in
+                 dsir_resample(scores, "doc_id", K, temperature=T,
+                               seed=SEED).collect())
+
+    def unit_hash(doc_id):
+        h = int(hashlib.md5(f"dsir{SEED}|{doc_id}".encode()).hexdigest()[:7], 16)
+        return h / float(1 << 28)
+
+    rows = scores.collect()
+    keyed = []
+    for r in rows:
+        if r["dsir_logratio"] is None:
+            continue
+        u = max(unit_hash(r["doc_id"]), 1e-12)
+        keyed.append((r["dsir_logratio"] / T - math.log(-math.log(u)),
+                      -r["doc_id"]))
+    want = sorted(-d for _, d in sorted(keyed, reverse=True)[:K])
+    assert got == want
+
+
+def test_dsir_resample_validation_and_determinism(spark):
+    from entitymatchingmodel_spark.functions.selection import dsir_resample
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, -1.0), (3, None)], "doc_id long, dsir_logratio double"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        dsir_resample(df, "doc_id", 0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(df, "doc_id", 1, temperature=0.0)
+    a = sorted(r["doc_id"] for r in dsir_resample(df, "doc_id", 2).collect())
+    b = sorted(r["doc_id"] for r in dsir_resample(df, "doc_id", 2).collect())
+    assert a == b and 3 not in a and len(a) == 2
