@@ -21,11 +21,17 @@ physical execution; Python UDFs appear only where a vectorized library is
 genuinely required, always Arrow-batched.
 """
 
+from entitymatchingmodel_spark.functions.selection import (
+    dsir_bucket_logratios,
+    dsir_resample,
+    dsir_scores,
+)
 from entitymatchingmodel_spark.operators.clustering import (
     cluster_balanced_sample,
     kmeans_clusters,
 )
 from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup, semantic_dedup
+from entitymatchingmodel_spark.operators.pq import PQModel, ivf_pq_topk
 from entitymatchingmodel_spark.operators.events import scoped_conf
 from entitymatchingmodel_spark.persistence import load_model, save_model
 from entitymatchingmodel_spark.pipeline import SparkEntityMatching
@@ -43,5 +49,12 @@ __all__ = [
     "semantic_dedup",
     "kmeans_clusters",
     "cluster_balanced_sample",
+    # data selection (DSIR) + compressed ANN — the r9 additions a
+    # training-data user reaches for by name
+    "dsir_bucket_logratios",
+    "dsir_scores",
+    "dsir_resample",
+    "PQModel",
+    "ivf_pq_topk",
 ]
-__version__ = "0.7.0"
+__version__ = "0.8.0"
