@@ -524,3 +524,30 @@ def test_pq_bounded_shuffles_broadcast_joins(spark):
     assert exchange_count(out) <= 3
     plan = explain_str(out)
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_ivf_pq_bounded_shuffles_no_smj(spark):
+    """IVF-PQ: the only nested loops are the documented bounded-centroid
+    class (corpus x nlist-row broadcast assigns — linear scans, not pair
+    joins); everything else is broadcast hash joins + bounded rollups.
+    A SortMergeJoin or CartesianProduct here means a corpus-sized side
+    left the broadcast path."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_codebooks_from_ids,
+    )
+    from entitymatchingmodel_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = pq_codebooks_from_ids(emb, "vec_id", "embedding", 4, 16,
+                               normalize=True)
+    out = ivf_pq_topk(emb.filter("vec_id < 5"), emb, "vec_id", "embedding",
+                      k=5, nlist=16, nprobe=4, m=4, pq_k=16,
+                      codebooks=cb, score_decimals=6)
+    plan = explain_str(out)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4  # bounded-centroid class
+    assert exchange_count(out) <= 4
+    assert broadcast_join_count(out) >= 3
