@@ -239,7 +239,17 @@ def dsir_scores_rowwise(
     guarantees it), so no size guard is needed — the table is always
     dict-sized.
     """
-    rows = ratios.collect()  # <= n_buckets rows by construction
+    # bounded by construction when the table comes from the fit — but an
+    # arbitrary frame passed here would be an unbounded driver collect, so
+    # enforce the invariant instead of assuming it (limit+count probes at
+    # most n_buckets+1 rows before collecting anything)
+    if ratios.limit(n_buckets + 1).count() > n_buckets:
+        raise ValueError(
+            f"ratios has more than n_buckets={n_buckets} rows — not a "
+            "dsir_bucket_logratios table for this bucket count; pass the "
+            "fit's output (and the same n_buckets it was fit with)"
+        )
+    rows = ratios.collect()
     lr = {r["bucket"]: r["lr_micro"] for r in rows}
     default = max((r["lr_default_micro"] for r in rows), default=0)
     sc = df.sparkSession.sparkContext

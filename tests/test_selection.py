@@ -200,3 +200,16 @@ def test_dsir_resample_validation_and_determinism(spark):
     a = sorted(r["doc_id"] for r in dsir_resample(df, "doc_id", 2).collect())
     b = sorted(r["doc_id"] for r in dsir_resample(df, "doc_id", 2).collect())
     assert a == b and 3 not in a and len(a) == 2
+
+
+def test_rowwise_rejects_oversized_ratio_table(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    big = spark.range(100).select(
+        F.col("id").alias("bucket"),
+        F.lit(0).cast("long").alias("lr_micro"),
+        F.lit(0).cast("long").alias("lr_default_micro"),
+    )
+    with pytest.raises(ValueError, match="more than n_buckets"):
+        dsir_scores_rowwise(df, big, "text", n_buckets=8)
