@@ -49,9 +49,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from entitymatchingmodel_spark.functions.text import tokens, _word_ngrams
+from entitymatchingmodel_spark.functions.text import _word_ngrams
 
 MICRO = 1_000_000
+
+
+def _ascii_tokens(c) -> "F.Column":
+    """Lowercase ``[^a-z0-9]+``-split tokens — the corpus-wide ORACLE
+    convention, applied HERE ON THE JVM SIDE TOO (not the Unicode
+    ``\\p{IsAlphabetic}`` tokenizer the text operators use) so that the
+    Spark fit, the Spark batch scorer, the Python rowwise scorer
+    (:func:`dsir_scores_rowwise` — ``re.split(r"[^a-z0-9]+")``) and the
+    DuckDB oracle produce IDENTICAL grams on ANY input, non-ASCII
+    included: accented characters are separators everywhere instead of
+    tokens on one side and separators on the other.  (A review caught the
+    asymmetric version mis-scoring non-ASCII text in the streaming gate;
+    the pinned ASCII residue convention is the fix — the same posture as
+    BigramLM.score_rowwise and every text oracle.)"""
+    return F.array_remove(F.split(F.lower(F.coalesce(c, F.lit(""))), "[^a-z0-9]+"), "")
 
 
 def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,7 +78,7 @@ def _grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token array and exploded together (no self-union, so the text is
     tokenized once, not twice).
     """
-    toks = tokens(F.col(text_col))
+    toks = _ascii_tokens(F.col(text_col))
     both = F.concat(toks, F.coalesce(_word_ngrams(toks, 2), F.array()))
     return df.select(F.col(id_col), F.explode_outer(both).alias("gram"))
 
@@ -152,8 +167,38 @@ def dsir_bucket_logratios(
             "bucket",
             F.round(lr * MICRO).cast("long").alias("lr_micro"),
             F.round(lr_default * MICRO).cast("long").alias("lr_default_micro"),
+            # the fit's bucket count rides the table so scorers read it
+            # from the data instead of trusting a caller-repeated
+            # parameter (a fit/score n_buckets mismatch silently sends
+            # most grams to the default ratio — review finding)
+            F.lit(int(n_buckets)).alias("n_buckets"),
         )
     )
+
+
+def _table_n_buckets(ratios: DataFrame, n_buckets: "int | None") -> int:
+    """Resolve the bucket count from the ratio TABLE (authoritative),
+    validating any caller-supplied value against it.  One bounded driver
+    read (the table is <= n_buckets rows; only the first row is taken)."""
+    if "n_buckets" in ratios.columns:
+        row = ratios.select("n_buckets").first()
+        if row is None:
+            # empty fit (both corpora gramless): any positive modulus works
+            return int(n_buckets) if n_buckets else 4096
+        table_b = int(row["n_buckets"])
+        if n_buckets is not None and int(n_buckets) != table_b:
+            raise ValueError(
+                f"n_buckets={n_buckets} does not match the ratio table's "
+                f"fit (n_buckets={table_b}); scoring with a different "
+                "modulus sends grams to the wrong buckets"
+            )
+        return table_b
+    # pre-n_buckets-column table: fall back to the caller's value
+    if n_buckets is None:
+        raise ValueError(
+            "ratio table carries no n_buckets column and none was supplied"
+        )
+    return int(n_buckets)
 
 
 def dsir_scores(
@@ -161,7 +206,7 @@ def dsir_scores(
     ratios: DataFrame,
     id_col: str,
     text_col: str,
-    n_buckets: int = 4096,
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Per-document DSIR importance scores against a fitted ratio table
     (:func:`dsir_bucket_logratios`): ``(id, n_grams int, dsir_logratio
@@ -174,9 +219,14 @@ def dsir_scores(
     hashing to a bucket absent from the fit score ``lr_default_micro``
     (the pure-smoothing ratio) — taken from a 1-row broadcast anchor off
     the ratio table, so transform-time needs no driver state either.
+
+    ``n_buckets`` is read from the ratio table itself (the fit stamps
+    it); passing it explicitly only validates — a mismatch raises instead
+    of silently mis-bucketing.
     """
+    B = _table_n_buckets(ratios, n_buckets)
     g = _grams(raw, id_col, text_col).select(
-        F.col(id_col), (_bucket(F.col("gram")) % n_buckets).alias("bucket")
+        F.col(id_col), (_bucket(F.col("gram")) % B).alias("bucket")
     )
     # 1-row default anchor on an always-zero key DERIVED FROM THE DATA
     # (the sampling.py idiom): a conditionless join would plan as a
@@ -219,7 +269,7 @@ def dsir_scores_rowwise(
     df: DataFrame,
     ratios: DataFrame,
     text_col: str,
-    n_buckets: int = 4096,
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """STATELESS per-row DSIR scoring: ``df`` plus ``n_grams`` /
     ``dsir_logratio`` columns computed inside one Arrow-batched pandas
@@ -232,24 +282,27 @@ def dsir_scores_rowwise(
     :meth:`~entitymatchingmodel_spark.operators.lm.BigramLM.score_rowwise`
     idiom).
 
-    Parity with the batch scorer is EXACT, not approximate: python's
-    ``hashlib.md5`` equals both engines' md5, the bucket arithmetic is
-    integer, and scores are integer micro-unit sums — pinned equal in
-    tests.  The broadcast is bounded by ``n_buckets`` rows (the fit
-    guarantees it), so no size guard is needed — the table is always
-    dict-sized.
+    Parity with the batch scorer is EXACT, not approximate, for ANY
+    input including non-ASCII: both sides tokenize with the pinned
+    lowercase ``[^a-z0-9]+`` residue convention (see
+    :func:`_ascii_tokens`), python's ``hashlib.md5`` equals both
+    engines' md5, the bucket arithmetic is integer, and scores are
+    integer micro-unit sums — pinned equal in tests.  ``n_buckets`` is
+    read from the ratio table (the fit stamps it); passing it explicitly
+    only validates.
     """
+    B = _table_n_buckets(ratios, n_buckets)
     # bounded by construction when the table comes from the fit — but an
     # arbitrary frame passed here would be an unbounded driver collect, so
-    # enforce the invariant instead of assuming it (limit+count probes at
-    # most n_buckets+1 rows before collecting anything)
-    if ratios.limit(n_buckets + 1).count() > n_buckets:
+    # enforce the invariant instead of assuming it: ONE bounded job
+    # (limit(B+1).collect() fetches at most B+1 rows)
+    rows = ratios.limit(B + 1).collect()
+    if len(rows) > B:
         raise ValueError(
-            f"ratios has more than n_buckets={n_buckets} rows — not a "
+            f"ratios has more than n_buckets={B} rows — not a "
             "dsir_bucket_logratios table for this bucket count; pass the "
-            "fit's output (and the same n_buckets it was fit with)"
+            "fit's output"
         )
-    rows = ratios.collect()
     lr = {r["bucket"]: r["lr_micro"] for r in rows}
     default = max((r["lr_default_micro"] for r in rows), default=0)
     sc = df.sparkSession.sparkContext
@@ -274,7 +327,6 @@ def dsir_scores_rowwise(
             StructField("dsir_logratio", DoubleType()),
         ]
     )
-    B = int(n_buckets)
 
     def _score_batches(batches):
         import hashlib

@@ -97,6 +97,24 @@ def _subvecs(
     )
 
 
+def _check_codebook(codebooks: DataFrame, d_sub: int) -> None:
+    """Cross-check the codebook's centroid length against the data's
+    subvector length (one bounded driver read — the table is m*k rows).
+    Without it a dim-mismatched (but m-divisible) input NULL-poisons the
+    zip_with arithmetic and every row silently encodes to code 0 via the
+    NULL-distance tie-break — the failure _check_geometry exists to
+    prevent, reachable again through the codebook side (review finding)."""
+    row = codebooks.select(F.size("centroid").alias("d")).first()
+    if row is None:
+        raise ValueError("empty codebook")
+    if int(row["d"]) != d_sub:
+        raise ValueError(
+            f"codebook centroids are {row['d']}-dimensional but the data's "
+            f"subvectors are {d_sub}-dimensional (dim/m mismatch between "
+            "fit and transform)"
+        )
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
@@ -158,11 +176,25 @@ def pq_fit(
         df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, m, d_sub
     ).persist()
     try:
-        w = Window.partitionBy("sub_id").orderBy(F.col("_h"), F.col("_id"))
+        # Seed selection: the hash rank depends only on the DOCUMENT id,
+        # so all m subspaces seed from the SAME k documents — pick those
+        # k ids with a distributed TakeOrdered (orderBy().limit(k): each
+        # partition keeps a local top-k, no corpus-wide window task),
+        # then rank the k survivors and join back to their subvectors.
+        # (A row_number window partitioned by sub_id would sort the
+        # ENTIRE corpus inside m single tasks — review finding.)
+        wk = Window.orderBy(F.col("_h"), F.col("_id"))
+        seed_ids = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("_id"))
+            .withColumn("_h", _unit_hash(F.col("_id"), f"pq{seed}"))
+            .orderBy("_h", "_id")
+            .limit(k)
+            .withColumn("_r", F.row_number().over(wk))
+            .select("_id", "_r")
+        )
         cb = (
-            sv.withColumn("_h", _unit_hash(F.col("_id"), f"pq{seed}"))
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= k)
+            sv.join(F.broadcast(seed_ids), "_id")
             .select(
                 "sub_id",
                 (F.col("_r") - 1).cast("int").alias("code"),
@@ -209,6 +241,7 @@ def pq_encode(
     the (sub_id, code) pairs — deterministic, engine-portable).
     """
     dim = _check_geometry(df, vec_col, m)
+    _check_codebook(codebooks, dim // m)
     sv = _subvecs(df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, m, dim // m)
     codes = _assign_codes(sv, codebooks)
     return (
@@ -255,7 +288,12 @@ def pq_topk(
             "max_queries if the m*k*batch table still fits in memory)"
         )
     m = codebooks.select(F.max("sub_id")).first()[0] + 1
+    # NULL query vectors carry no geometry: without the filter they'd
+    # explode to NULL subvectors, tie all ADC scores at NULL, and emit the
+    # k smallest corpus ids as fabricated neighbours (review finding)
+    queries = queries.filter(F.col(qvec_col).isNotNull())
     qdim = _check_geometry(queries, qvec_col, m)
+    _check_codebook(codebooks, qdim // m)
     qsv = _subvecs(queries, qid_col, qvec_col, m, qdim // m).withColumnRenamed(
         "_id", "_qid"
     )
@@ -383,13 +421,34 @@ def ivf_pq_topk(
         )
     dim = _check_geometry(corpus, vec_col, m)
     d_sub = dim // m
+    # fail fast on a dim-mismatched query batch: unchecked, the probe's
+    # zip_with dots go NULL and the window "probes" the first nprobe
+    # buckets of every query — garbage neighbours, no error (review
+    # finding); same check for a user-supplied codebook's centroid length
+    qdim = _check_geometry(queries, vec_col, m)
+    if qdim != dim:
+        raise ValueError(
+            f"query vectors are {qdim}-dimensional but the corpus is "
+            f"{dim}-dimensional"
+        )
+    if codebooks is not None:
+        _check_codebook(codebooks, d_sub)
 
     cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
     assigned = _assign_corpus(corpus, cents, id_col, vec_col, score_decimals)
     if codebooks is None:
-        codebooks = pq_fit(
-            assigned, "nn_id", "_cv", m=m, k=pq_k, n_iter=n_iter, seed=seed
-        )
+        # the fit scans `assigned` n_iter + 2 times (geometry probe, init,
+        # one assignment per iteration); cache the corpus-wide centroid
+        # assignment for the fit's lifetime (the kmeans_fit posture) and
+        # release before return — the final search query then recomputes
+        # it once instead of every fit pass re-deriving it (review finding)
+        assigned = assigned.persist()
+        try:
+            codebooks = pq_fit(
+                assigned, "nn_id", "_cv", m=m, k=pq_k, n_iter=n_iter, seed=seed
+            )
+        finally:
+            assigned.unpersist()
     # encode the unit corpus; the IVF bucket rides the assign group-by
     sv = _subvecs(assigned, "nn_id", "_cv", m, d_sub, carry=("bucket",))
     codes = _assign_codes(sv, codebooks, carry=("bucket",))

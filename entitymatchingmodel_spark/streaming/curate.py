@@ -40,7 +40,7 @@ def curate_stream(
     blocklist: "tuple[str, ...] | None" = None,
     dsir_ratios: DataFrame | None = None,
     min_dsir: float | None = None,
-    dsir_n_buckets: int = 4096,
+    dsir_n_buckets: "int | None" = None,
 ) -> DataFrame:
     """Language filter -> quality filter -> watermark-bounded exact dedup
     over a streaming document frame; with ``url_col`` set, a URL-dedup
@@ -76,7 +76,8 @@ def curate_stream(
     Arrow-batched projection, append-safe; the batch scorer's per-doc
     rollup has no append-mode form) and rows scoring below ``min_dsir``
     — or zero-gram rows, which carry no evidence of target-likeness —
-    are dropped.  ``dsir_n_buckets`` must match the fit.
+    are dropped.  The bucket count is read from the fitted table itself;
+    ``dsir_n_buckets`` only validates when supplied.
 
     Output: the surviving rows plus ``lang``, ``quality``,
     ``content_hash`` — ``url_norm`` when ``url_col`` is set, and

@@ -111,7 +111,10 @@ def test_ratio_table_bounded_by_buckets(corpora):
     ratios = dsir_bucket_logratios(t, r, "doc_id", "text", n_buckets=8)
     assert ratios.count() <= 8
     cols = set(ratios.columns)
-    assert cols == {"bucket", "lr_micro", "lr_default_micro"}
+    assert cols == {"bucket", "lr_micro", "lr_default_micro", "n_buckets"}
+    # the fit stamps its modulus; scoring with a contradicting value raises
+    with pytest.raises(ValueError, match="does not match"):
+        dsir_scores(r, ratios, "doc_id", "text", n_buckets=16)
 
 
 def test_validation(corpora):
