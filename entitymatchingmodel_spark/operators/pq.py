@@ -471,9 +471,13 @@ def ivf_pq_topk(
             .alias("_c_micro"),
         )
     )
-    cands = probed.select(F.col("qid").alias("_qid"), "bucket").join(
-        codes, "bucket"
-    )
+    # probed is bounded (<= max_queries * nprobe rows) while codes is
+    # corpus-sized: pin the broadcast side explicitly instead of trusting
+    # size estimates (estimate-borderline inputs otherwise flip this to a
+    # corpus-shuffling SortMergeJoin)
+    cands = F.broadcast(
+        probed.select(F.col("qid").alias("_qid"), "bucket")
+    ).join(codes, "bucket")
     scores = (
         cands.join(dt, ["_qid", "sub_id", "code"])
         .groupBy("_qid", "_id")

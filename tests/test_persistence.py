@@ -155,13 +155,16 @@ def test_bucketed_weights_roundtrip_plan_and_ddl_recreate(spark, fitted, names, 
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 0
 
+        # save/restore: unset() falls back to Spark's 10MB default, not the
+        # builder's 64MB, leaking a smaller threshold into later plan tests
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             n_plain = exchange_count(plain.transform(names))
             n_bucketed = exchange_count(bucketed.transform(names))
             assert n_bucketed < n_plain, explain_str(bucketed.transform(names))
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
         # catalog-miss path: drop the entries, reload -> DDL re-create
         for t in tables:

@@ -247,7 +247,11 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         a = read_bucketed(spark, "t_bucket_gt")
         b = read_bucketed(spark, "t_bucket_names")
         # force the sort-merge path so the comparison is exchange counts,
-        # not broadcast-vs-not
+        # not broadcast-vs-not.  Save/restore the session value: unset()
+        # falls back to Spark's 10MB default, NOT the builder's 64MB, and
+        # the leaked smaller threshold flips estimate-borderline joins in
+        # later plan tests to SortMergeJoin.
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             bucketed_join = a.join(b, "uid").groupBy("uid").agg(F.sum("v").alias("s"))
@@ -261,7 +265,7 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
             got_p = {(r["uid"], r["s"]) for r in plain_join.collect()}
             assert got_b == got_p
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_gt")
         spark.sql("DROP TABLE IF EXISTS t_bucket_names")
