@@ -476,6 +476,37 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, ratios, "doc_id", "text", n_buckets=_DSIR_BUCKETS)
 
 
+# resample contract parameters — the oracle is GENERATED from these
+_DSIR_K = 100
+_DSIR_SEED = 42
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step (r9, Xie et al. 2023 §2): Gumbel-top-k sampling
+    without replacement proportional to exp(score/temperature) over the
+    fitted importance scores — the Gumbel noise derives from the md5 unit
+    hash (salted by the seed), so the draw reproduces exactly across
+    engines and the oracle re-derives the identical k-document set.
+    Plan: the dsir_scores pipeline + one map-only key projection + a
+    TakeOrdered top-k (per-partition top-k, no global sort)."""
+    from entitymatchingmodel_spark.functions.selection import (
+        dsir_bucket_logratios,
+        dsir_resample,
+        dsir_scores,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    ratios = dsir_bucket_logratios(
+        target, docs, "doc_id", "text",
+        n_buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
+    )
+    scores = dsir_scores(docs, ratios, "doc_id", "text", n_buckets=_DSIR_BUCKETS)
+    return dsir_resample(
+        scores, "doc_id", k=_DSIR_K, temperature=1.0, seed=_DSIR_SEED
+    )
+
+
 # PQ contract parameters — the oracle is GENERATED from these
 _PQ_M = 4          # subspaces (64-dim embeddings -> 16-dim subvectors)
 _PQ_K = 16         # codes per subspace
@@ -2299,21 +2330,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the ten new r9 rows (temperature_mix_domain,
+    the LEF growth), (2) the eleven new r9 rows (temperature_mix_domain,
     resample_domain, url_dedup, gopher_repetition, gopher_keep,
-    reg_domain, blocklist_filter, dsir_scores, pq_topk, ivf_pq_topk),
+    reg_domain, blocklist_filter, dsir_scores, dsir_resample, pq_topk,
+    ivf_pq_topk),
     (3) r8-dated rows whose code r9
     touched (lef_match: +46 forms & the SASU fix; lang_id: +5 profiles;
     streaming_curation: curate_stream url/lm/blocklist
-    stages + watermark handling; lm_fit_score: score_rowwise addition).
-    That is exactly 50 = 36 + 10 + 4.  Four r8-green rows moved to the
-    tail to make room for the four rows new in the second half of r9:
+    stages + watermark handling).
+    That is exactly 50 = 36 + 11 + 3.  Five r8-green rows moved to the
+    tail to make room for the rows new in the second half of r9:
     the mixture rows temperature_mix / temperature_mix_up /
     resample_to_mix (their r9 diff is guard-only — max_groups /
-    max_repeat fail-fasts that don't change kept rows) and ppl_bands
-    (validation-only diff: lo_q < hi_q check); all four were re-verified
-    EXACT by this round's local sf0.01 check_oracle runs.
-    The 50-query
+    max_repeat fail-fasts that don't change kept rows), ppl_bands
+    (validation-only diff: lo_q < hi_q check), and lm_fit_score (r9
+    diff additive only — score_rowwise is a NEW method pinned equal to
+    the batch scorer; the row's own plan is untouched); all
+    five were re-verified EXACT by this round's local sf0.01
+    check_oracle runs.
+    The 51-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
     they sit — so a 50-row cutoff leaves every oracle-checkable query
@@ -2365,14 +2400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_domain": q_reg_domain,
         "blocklist_filter": q_blocklist_filter,
         "dsir_scores": q_dsir_scores,
+        "dsir_resample": q_dsir_resample,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         # --- tier 3: code path touched in r9 ---
         "lef_match": q_lef_match,
         "lang_id": q_lang_id,
         "streaming_curation": q_streaming_curation,
+        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (51 = 101 - 50), incl. the four rows-only queries ---
         "lm_fit_score": q_lm_fit_score,
-        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (50 = 100 - 50), incl. the four rows-only queries ---
         "temperature_mix": q_temperature_mix,
         "temperature_mix_up": q_temperature_mix_up,
         "resample_to_mix": q_resample_to_mix,
@@ -4514,6 +4550,61 @@ _ORACLE["dsir_scores"] = f"""
            CAST(coalesce(n_grams, 0) AS INT) AS n_grams,
            round(s_micro / 1e6, 6) AS dsir_logratio
     FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
+"""
+
+# dsir_resample = the dsir_scores pipeline + the deterministic Gumbel
+# top-k: u = md5-unit-hash(seed-salted id) clamped to >= 1e-12, key =
+# score/temperature - ln(-ln(u)), top _DSIR_K by (key DESC, doc_id ASC).
+# ln() gaps between adjacent order statistics (~1e-2 at this corpus size)
+# dwarf any last-ulp libm difference, so the selected set is engine-exact.
+_ORACLE["dsir_resample"] = f"""
+    WITH tok AS (SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(toks) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+      FROM tok WHERE len(toks) >= 2
+    ),
+    b AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS bucket
+          FROM grams),
+    ct AS (SELECT bucket, count(*) AS c_target FROM b
+           WHERE lang = 'en' GROUP BY 1),
+    cr AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY 1),
+    j AS (SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+                 coalesce(c_target, 0) AS c_target,
+                 coalesce(c_raw, 0) AS c_raw
+          FROM ct FULL OUTER JOIN cr USING (bucket)),
+    tot AS (SELECT sum(c_target) AS t_target, sum(c_raw) AS t_raw FROM j),
+    r AS (SELECT bucket,
+                 CAST(round((ln((c_target + {_DSIR_ALPHA})
+                               / (t_target + {_DSIR_ALPHA * _DSIR_BUCKETS}))
+                           - ln((c_raw + {_DSIR_ALPHA})
+                               / (t_raw + {_DSIR_ALPHA * _DSIR_BUCKETS})))
+                            * 1e6) AS BIGINT) AS lr_micro
+          FROM j, tot),
+    s AS (SELECT b.doc_id,
+                 CAST(count(bucket) AS INT) AS n_grams,
+                 round(sum(r.lr_micro) / 1e6, 6) AS dsir_logratio
+          FROM b LEFT JOIN r USING (bucket) GROUP BY 1),
+    keyed AS (SELECT doc_id, n_grams, dsir_logratio,
+                 dsir_logratio / 1.0
+                   - ln(-ln(greatest(
+                       CAST(('0x' || substr(md5('dsir{_DSIR_SEED}|'
+                               || CAST(doc_id AS VARCHAR)), 1, 7))
+                            AS BIGINT) / 268435456.0,
+                       1e-12))) AS gkey
+          FROM s WHERE dsir_logratio IS NOT NULL)
+    SELECT doc_id, n_grams, dsir_logratio
+    FROM keyed
+    ORDER BY gkey DESC, doc_id ASC
+    LIMIT {_DSIR_K}
 """
 
 # generated from the _PQ_* constants: codebook = 16-dim subvectors of the
