@@ -32,7 +32,10 @@ _LEF_RE_SQL = "(?:^|\\s)(" + "|".join(LEGAL_FORM_TERMS) + ")$"
 # DuckDB oracle (rendered as a replace()-count sum — the same
 # non-overlapping-equals-all-positions counting the Spark side uses; no
 # profile trigram is self-overlapping, asserted at package import)
-from entitymatchingmodel_spark.functions.text import CHAR_TRIGRAM_PROFILES
+from entitymatchingmodel_spark.functions.text import (
+    C4_POLICY_PHRASES,
+    CHAR_TRIGRAM_PROFILES,
+)
 
 
 def _trigram_sql_hits(lang: str) -> str:
@@ -448,6 +451,47 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return blocked_terms_table(docs, "doc_id", "text", list(_BLOCK_TERMS))
+
+
+# c4_rules plant constants — the oracle fragment is GENERATED from these.
+# Each doc gets doc_id%8 good sentences plus four always-dropped lines
+# (short / javascript / policy / unterminated); every 7th doc gains a
+# lorem-ipsum line (page-level drop), every 11th a curly-brace snippet.
+_C4_GOOD = "All of these words form a clean valid sentence number "
+_C4_FIXED = (
+    "Too short line.",
+    "Please enable javascript for the full experience today.",
+    "This site uses cookies per our posted rules.",
+    "no terminal punctuation on this line of words",
+)
+_C4_LOREM = "Decorative lorem ipsum filler sentence appears right here."
+_C4_CURLY = "Snippet with braces { inside } and a period."
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (r9, Raffel et al. 2020 §2.2 / the official
+    c4_utils.py): line-level terminal-punctuation / min-words /
+    javascript / policy-phrase retention plus page-level lorem-ipsum /
+    curly-brace / min-sentence verdicts, as ONE map-only projection over
+    deterministically planted multi-line text (the plant-then-transform
+    pattern — the synthetic corpus has no newlines or punctuation).
+    Completes the big-three rule sets beside gopher_* and
+    blocklist_filter — EXACT oracle."""
+    from entitymatchingmodel_spark.functions.text import c4_rules_table
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    good = F.concat(
+        F.lit(_C4_GOOD), (F.col("doc_id") % 5).cast("string"), F.lit(".")
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.array_repeat(good, (F.col("doc_id") % 8).cast("int")),
+        F.array(*[F.lit(x) for x in _C4_FIXED]),
+        F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(_C4_LOREM))).otherwise(empty),
+        F.when(F.col("doc_id") % 11 == 0, F.array(F.lit(_C4_CURLY))).otherwise(empty),
+    )
+    planted = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return c4_rules_table(planted, "doc_id", "text")
 
 
 # DSIR contract parameters — the oracle is GENERATED from these
@@ -2330,25 +2374,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the eleven new r9 rows (temperature_mix_domain,
+    the LEF growth), (2) the twelve new r9 rows (temperature_mix_domain,
     resample_domain, url_dedup, gopher_repetition, gopher_keep,
-    reg_domain, blocklist_filter, dsir_scores, dsir_resample, pq_topk,
-    ivf_pq_topk),
+    reg_domain, blocklist_filter, c4_rules, dsir_scores, dsir_resample,
+    pq_topk, ivf_pq_topk),
     (3) r8-dated rows whose code r9
-    touched (lef_match: +46 forms & the SASU fix; lang_id: +5 profiles;
+    touched (lef_match: +46 forms & the SASU fix;
     streaming_curation: curate_stream url/lm/blocklist
     stages + watermark handling).
-    That is exactly 50 = 36 + 11 + 3.  Five r8-green rows moved to the
+    That is exactly 50 = 36 + 12 + 2.  Six r8-green rows moved to the
     tail to make room for the rows new in the second half of r9:
     the mixture rows temperature_mix / temperature_mix_up /
     resample_to_mix (their r9 diff is guard-only — max_groups /
     max_repeat fail-fasts that don't change kept rows), ppl_bands
-    (validation-only diff: lo_q < hi_q check), and lm_fit_score (r9
+    (validation-only diff: lo_q < hi_q check), lm_fit_score (r9
     diff additive only — score_rowwise is a NEW method pinned equal to
-    the batch scorer; the row's own plan is untouched); all
-    five were re-verified EXACT by this round's local sf0.01
+    the batch scorer; the row's own plan is untouched), and lang_id
+    (+9 profiles r9, but every growth step was locally re-verified
+    EXACT — the generated oracle moves with the profile table); all
+    six were re-verified EXACT by this round's local sf0.01
     check_oracle runs.
-    The 51-query
+    The 52-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
     they sit — so a 50-row cutoff leaves every oracle-checkable query
@@ -2399,15 +2445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_keep": q_gopher_keep,
         "reg_domain": q_reg_domain,
         "blocklist_filter": q_blocklist_filter,
+        "c4_rules": q_c4_rules,
         "dsir_scores": q_dsir_scores,
         "dsir_resample": q_dsir_resample,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         # --- tier 3: code path touched in r9 ---
         "lef_match": q_lef_match,
-        "lang_id": q_lang_id,
         "streaming_curation": q_streaming_curation,
-        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (51 = 101 - 50), incl. the four rows-only queries ---
+        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (52 = 102 - 50), incl. the four rows-only queries ---
+        "lang_id": q_lang_id,
         "lm_fit_score": q_lm_fit_score,
         "temperature_mix": q_temperature_mix,
         "temperature_mix_up": q_temperature_mix_up,
@@ -4550,6 +4597,56 @@ _ORACLE["dsir_scores"] = f"""
            CAST(coalesce(n_grams, 0) AS INT) AS n_grams,
            round(s_micro / 1e6, 6) AS dsir_logratio
     FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
+"""
+
+# c4_rules: replay the deterministic plant from the _C4_* constants, then
+# apply the line retention predicate (terminal mark, >=5 whitespace-words,
+# no javascript / policy phrase) and the page verdicts in SQL.
+_C4_PHRASE_SQL = " OR ".join(
+    f"contains(lower(t), '{p}')" for p in ("javascript", *C4_POLICY_PHRASES)
+)
+_C4_FIXED_SQL = ", ".join(f"'{x}'" for x in _C4_FIXED)
+_ORACLE["c4_rules"] = f"""
+    WITH planted AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(generate_series(1, CAST(doc_id % 8 AS BIGINT)),
+                 i -> '{_C4_GOOD}' || CAST(doc_id % 5 AS VARCHAR) || '.')
+               || [{_C4_FIXED_SQL}]
+               || (CASE WHEN doc_id % 7 = 0 THEN ['{_C4_LOREM}']
+                        ELSE CAST([] AS VARCHAR[]) END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ['{_C4_CURLY}']
+                        ELSE CAST([] AS VARCHAR[]) END),
+               chr(10)) AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS rawlines,
+             list_filter(
+               list_transform(string_split(text, chr(10)),
+                              x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+               t -> regexp_matches(t, '[.!?"]$')
+                    AND len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                        w -> w <> '')) >= 5
+                    AND NOT ({_C4_PHRASE_SQL})
+             ) AS kept
+      FROM planted),
+    k AS (
+      SELECT doc_id,
+             CAST(len(rawlines) AS INT) AS n_lines,
+             CAST(len(kept) AS INT) AS n_lines_kept,
+             CAST(len(regexp_extract_all(
+                 coalesce(array_to_string(kept, chr(10)), ''),
+                 '[.!?]')) AS INT) AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_curly,
+             -- duckdb: array_to_string([]) is NULL; spark array_join is ''
+             coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+      FROM l)
+    SELECT doc_id, n_lines, n_lines_kept, n_sentences, has_lorem, has_curly,
+           (NOT has_lorem AND NOT has_curly AND n_sentences >= 5) AS keep,
+           kept_text
+    FROM k
 """
 
 # dsir_resample = the dsir_scores pipeline + the deterministic Gumbel

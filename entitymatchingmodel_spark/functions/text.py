@@ -995,3 +995,96 @@ def blocked_terms_table(
         ).alias("blocked_ratio"),
         (F.col("n_blocked") == 0).alias("keep"),
     )
+
+
+# C4 line-filter policy phrases (Raffel et al. 2020 §2.2 / the official
+# TensorFlow-datasets c4_utils.py line filter — public).  Single source
+# of truth: the operator AND any generated oracle read this tuple.
+C4_POLICY_PHRASES: tuple[str, ...] = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+# terminal marks a retained line must end with (c4_utils._END_MARKS)
+C4_END_MARKS = '[.!?"]$'
+
+
+def c4_rules_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 5,
+    policy_phrases: "tuple[str, ...]" = C4_POLICY_PHRASES,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, as pinned down by
+    the public ``c4_utils.py`` reference implementation) as ONE map-only
+    projection — the third canonical web-curation rule set beside
+    :func:`gopher_rules_table` / :func:`gopher_repetition_table` and
+    :func:`blocked_terms_table` (which covers C4's badwords step; its
+    URL-dedup step is ``operators.dedup.drop_url_duplicates``).
+
+    Line level (lines = ``\\n``-split, whitespace-trimmed): a line is
+    RETAINED iff it ends in a terminal mark (``. ! ? "``), has at least
+    ``min_words_per_line`` whitespace-words (official default 5), and
+    contains neither the word "javascript" nor any ``policy_phrases``
+    entry (case-insensitive).  Page level: the page is KEPT iff its text
+    contains no "lorem ipsum" and no curly brace ``{``, and the retained
+    text has at least ``min_sentences`` sentences (official default 5;
+    the paper's prose says 3).  Sentences are counted as terminal-mark
+    occurrences in the retained text — a regex simplification of the
+    reference's NLTK splitter, documented so both engines agree exactly.
+
+    Output per input row: ``(id, n_lines int, n_lines_kept int,
+    n_sentences int, has_lorem bool, has_curly bool, keep bool,
+    kept_text string)``.  NULL text behaves as empty text (one empty
+    line, nothing retained, ``keep=false``).  No aggregation, no
+    shuffle, no UDFs: every rule is a higher-order-function / regex
+    expression, so the filter pushes to the scan at any corpus size.
+    """
+    if min_words_per_line < 1:
+        raise ValueError("min_words_per_line must be >= 1")
+    if min_sentences < 0:
+        raise ValueError("min_sentences must be >= 0")
+    for p in policy_phrases:
+        if not p or p != p.lower():
+            raise ValueError(
+                f"policy phrases must be non-empty lowercase: {p!r}"
+            )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(
+        F.split(txt, "\n"),
+        lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+    )
+
+    def _retain(t: Column) -> Column:
+        lt = F.lower(t)
+        word_ok = (
+            F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        phrase_bad = F.lit(False)
+        for p in ("javascript", *policy_phrases):
+            phrase_bad = phrase_bad | lt.contains(p)
+        return t.rlike(C4_END_MARKS) & word_ok & ~phrase_bad
+
+    kept = F.filter(lines, _retain)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(kept_text, F.lit("[.!?]"))
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_curly = txt.contains("{")
+    keep = ~has_lorem & ~has_curly & (n_sentences >= min_sentences)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_curly.alias("has_curly"),
+        keep.alias("keep"),
+        kept_text.alias("kept_text"),
+    )

@@ -405,3 +405,95 @@ def test_gopher_repetition_table_hand_expectations(spark):
     assert set(fused) == {1, 2, 3, 4, 5, 6}
     for i in fused:
         assert fused[i]["keep"] == (fused[i]["keep_rules"] and fused[i]["keep_repetition"])
+
+
+def _py_c4(text, min_words_per_line=5, min_sentences=5):
+    """Python mirror of c4_rules_table (the c4_utils.py line/page rules)."""
+    import re
+
+    from entitymatchingmodel_spark.functions.text import C4_POLICY_PHRASES
+
+    t = text or ""
+    lines = [re.sub(r"^\s+|\s+$", "", l) for l in t.split("\n")]
+    kept = []
+    for l in lines:
+        ll = l.lower()
+        if not re.search(r'[.!?"]$', l):
+            continue
+        if len([w for w in re.split(r"\s+", l) if w]) < min_words_per_line:
+            continue
+        if "javascript" in ll or any(p in ll for p in C4_POLICY_PHRASES):
+            continue
+        kept.append(l)
+    kept_text = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", kept_text))
+    has_lorem = "lorem ipsum" in t.lower()
+    has_curly = "{" in t
+    keep = (not has_lorem) and (not has_curly) and n_sent >= min_sentences
+    return (len(lines), len(kept), n_sent, has_lorem, has_curly, keep,
+            kept_text)
+
+
+def test_c4_rules_match_python_mirror(spark):
+    from entitymatchingmodel_spark.functions.text import c4_rules_table
+
+    good = "This is a perfectly valid long sentence number %d."
+    rows = [
+        (1, "\n".join(good % i for i in range(6))),          # kept
+        (2, "\n".join(good % i for i in range(3))),          # < 5 sentences
+        (3, "\n".join([good % 0] * 5 + ["short line."])),    # short line drops
+        (4, "\n".join([good % 0] * 5
+                      + ["Please enable JavaScript to continue browsing."])),
+        (5, "\n".join([good % 0] * 5
+                      + ["We updated our privacy policy terms for users."])),
+        (6, "\n".join([good % 0] * 5) + "\nlorem ipsum dolor sit."),  # page drop
+        (7, "\n".join([good % 0] * 5) + "\nvar f = function() { };"),  # curly
+        (8, "No terminal punctuation on this line at all"),
+        (9, "  \tWhitespace padded valid sentence with words here.  " + "\n"
+            + "\n".join([good % 0] * 4)),
+        (10, None),
+        (11, ""),
+        (12, 'Quoted line ending with several words present here."'
+             + "\n" + "\n".join([good % 0] * 4)),            # quote mark ends
+        (13, "Multiple. Sentences! In? One line with words."),  # 4 marks, 1 line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_lines_kept"], r["n_sentences"],
+            r["has_lorem"], r["has_curly"], r["keep"], r["kept_text"],
+        )
+        for r in c4_rules_table(df, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_c4(t), (i, got[i], _py_c4(t))
+    # keep verdicts worth asserting by name
+    keeps = {i: got[i][5] for i, _ in rows}
+    assert keeps[1] and keeps[3] and keeps[9] and keeps[12]
+    assert not any(keeps[i] for i in (2, 6, 7, 8, 10, 11))
+    # doc 13: one line, 4 terminal marks -> 4 sentences < 5
+    assert got[13][2] == 4 and not keeps[13]
+
+
+def test_c4_rules_validation(spark):
+    import pytest
+
+    from entitymatchingmodel_spark.functions.text import c4_rules_table
+
+    df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_words_per_line"):
+        c4_rules_table(df, "doc_id", "text", min_words_per_line=0)
+    with pytest.raises(ValueError, match="min_sentences"):
+        c4_rules_table(df, "doc_id", "text", min_sentences=-1)
+    with pytest.raises(ValueError, match="lowercase"):
+        c4_rules_table(df, "doc_id", "text", policy_phrases=("Privacy",))
+
+
+def test_c4_rules_exchange_free(spark):
+    from entitymatchingmodel_spark.functions.text import c4_rules_table
+    from entitymatchingmodel_spark.plans import exchange_count
+
+    df = spark.createDataFrame(
+        [(1, "Valid sentence with five words here.")], "doc_id long, text string"
+    )
+    assert exchange_count(c4_rules_table(df, "doc_id", "text")) == 0
