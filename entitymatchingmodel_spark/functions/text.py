@@ -1013,6 +1013,68 @@ C4_POLICY_PHRASES: tuple[str, ...] = (
 C4_END_MARKS = '[.!?"]$'
 
 
+def _c4_validate(
+    min_words_per_line: int,
+    min_sentences: int,
+    policy_phrases: "tuple[str, ...]",
+) -> None:
+    if min_words_per_line < 1:
+        raise ValueError("min_words_per_line must be >= 1")
+    if min_sentences < 0:
+        raise ValueError("min_sentences must be >= 0")
+    for p in policy_phrases:
+        if not p or p != p.lower():
+            raise ValueError(
+                f"policy phrases must be non-empty lowercase: {p!r}"
+            )
+
+
+def c4_retained_lines(
+    c: Column,
+    min_words_per_line: int = 5,
+    policy_phrases: "tuple[str, ...]" = C4_POLICY_PHRASES,
+) -> Column:
+    """``array<string>`` of the whitespace-trimmed lines of ``c`` that
+    survive C4's line filter (terminal ``. ! ? "`` mark, at least
+    ``min_words_per_line`` whitespace-words, no "javascript" / policy
+    phrase, case-insensitive).  Pure HOF/regex expression — the shared
+    core of :func:`c4_rules_table` and the ``c4_clean`` streaming stage.
+    NULL text behaves as empty text (nothing retained)."""
+    lines = F.transform(
+        F.split(F.coalesce(c, F.lit("")), "\n"),
+        lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+    )
+
+    def _retain(t: Column) -> Column:
+        lt = F.lower(t)
+        word_ok = (
+            F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        phrase_bad = F.lit(False)
+        for p in ("javascript", *policy_phrases):
+            phrase_bad = phrase_bad | lt.contains(p)
+        return t.rlike(C4_END_MARKS) & word_ok & ~phrase_bad
+
+    return F.filter(lines, _retain)
+
+
+def c4_page_keep(
+    text: Column, kept_text: Column, min_sentences: int = 5
+) -> Column:
+    """C4's page-level verdict given the ORIGINAL text and the retained
+    text: no "lorem ipsum", no curly brace, and at least ``min_sentences``
+    terminal marks in the retained text.  NULL-safe (NULL text = drop)."""
+    txt = F.coalesce(text, F.lit(""))
+    n_sentences = F.regexp_count(F.coalesce(kept_text, F.lit("")),
+                                 F.lit("[.!?]"))
+    return (
+        ~F.lower(txt).contains("lorem ipsum")
+        & ~txt.contains("{")
+        & (n_sentences >= min_sentences)
+    )
+
+
 def c4_rules_table(
     df: DataFrame,
     id_col: str,
@@ -1046,38 +1108,17 @@ def c4_rules_table(
     shuffle, no UDFs: every rule is a higher-order-function / regex
     expression, so the filter pushes to the scan at any corpus size.
     """
-    if min_words_per_line < 1:
-        raise ValueError("min_words_per_line must be >= 1")
-    if min_sentences < 0:
-        raise ValueError("min_sentences must be >= 0")
-    for p in policy_phrases:
-        if not p or p != p.lower():
-            raise ValueError(
-                f"policy phrases must be non-empty lowercase: {p!r}"
-            )
+    _c4_validate(min_words_per_line, min_sentences, policy_phrases)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.transform(
-        F.split(txt, "\n"),
-        lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+    lines = F.split(txt, "\n")
+    kept = c4_retained_lines(
+        F.col(text_col), min_words_per_line, policy_phrases
     )
-
-    def _retain(t: Column) -> Column:
-        lt = F.lower(t)
-        word_ok = (
-            F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
-            >= min_words_per_line
-        )
-        phrase_bad = F.lit(False)
-        for p in ("javascript", *policy_phrases):
-            phrase_bad = phrase_bad | lt.contains(p)
-        return t.rlike(C4_END_MARKS) & word_ok & ~phrase_bad
-
-    kept = F.filter(lines, _retain)
     kept_text = F.array_join(kept, "\n")
     n_sentences = F.regexp_count(kept_text, F.lit("[.!?]"))
     has_lorem = F.lower(txt).contains("lorem ipsum")
     has_curly = txt.contains("{")
-    keep = ~has_lorem & ~has_curly & (n_sentences >= min_sentences)
+    keep = c4_page_keep(F.col(text_col), kept_text, min_sentences)
     return df.select(
         F.col(id_col),
         F.size(lines).cast("int").alias("n_lines"),

@@ -41,6 +41,9 @@ def curate_stream(
     dsir_ratios: DataFrame | None = None,
     min_dsir: float | None = None,
     dsir_n_buckets: "int | None" = None,
+    c4_clean: bool = False,
+    c4_min_words_per_line: int = 5,
+    c4_min_sentences: int = 5,
 ) -> DataFrame:
     """Language filter -> quality filter -> watermark-bounded exact dedup
     over a streaming document frame; with ``url_col`` set, a URL-dedup
@@ -67,6 +70,16 @@ def curate_stream(
     over the token array), dropping any page with a hit.  C4's published
     order — URL dedup, then the cheap per-page screens, then content
     dedup — is exactly the stage order here.
+
+    With ``c4_clean=True``, the C4 line filter + page rules
+    (:func:`functions.text.c4_retained_lines` /
+    :func:`functions.text.c4_page_keep`, Raffel et al. 2020 §2.2) run
+    right after the quality filter: the page text is REWRITTEN to its
+    retained lines and pages failing the lorem-ipsum / curly-brace /
+    min-sentence rules are dropped — both stateless HOF/regex
+    expressions, so the stage is append-safe and downstream stages
+    (blocklist, LM, DSIR, content dedup) see the CLEANED text, which is
+    C4's published composition.
 
     With ``dsir_ratios`` (a fitted
     :func:`functions.selection.dsir_bucket_logratios` table) and
@@ -119,6 +132,32 @@ def curate_stream(
     s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= min_quality
     )
+    if c4_clean:
+        from entitymatchingmodel_spark.functions.text import (
+            C4_POLICY_PHRASES,
+            _c4_validate,
+            c4_page_keep,
+            c4_retained_lines,
+        )
+
+        _c4_validate(c4_min_words_per_line, c4_min_sentences,
+                     C4_POLICY_PHRASES)
+        # C4's line filter REWRITES the page (dropped lines removed) and
+        # its page rules drop the page outright — both stateless
+        # HOF/regex expressions (append-safe).  The rewrite happens
+        # BEFORE blocklist / LM / DSIR / content-dedup, so downstream
+        # stages see the cleaned text — C4's published stage order.
+        kept = F.array_join(
+            c4_retained_lines(F.col(text_col), c4_min_words_per_line),
+            "\n",
+        )
+        s = (
+            s.withColumn("_c4_kept", kept)
+            .filter(c4_page_keep(F.col(text_col), F.col("_c4_kept"),
+                                 c4_min_sentences))
+            .withColumn(text_col, F.col("_c4_kept"))
+            .drop("_c4_kept")
+        )
     if blocklist:
         from entitymatchingmodel_spark.functions.tokenize import word_tokens
 

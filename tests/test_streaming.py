@@ -625,3 +625,64 @@ def test_curate_stream_dsir_gate_matches_batch(spark, tmp_path):
         q.stop()
     assert {r["doc_id"] for r in got} == batch_keep
     assert all(r["dsir_logratio"] >= thresh for r in got)
+
+
+def test_curate_stream_c4_stage_matches_batch(spark, tmp_path):
+    """curate_stream(c4_clean=True) rewrites pages to their retained
+    lines and drops pages failing the C4 page rules, via STATELESS
+    expressions — pinned equal to the batch c4_rules_table on the same
+    rows (keep verdicts AND rewritten text); downstream content dedup
+    hashes the CLEANED text, so two pages whose differences are only in
+    dropped lines collapse to one."""
+    import datetime
+    import os
+
+    from entitymatchingmodel_spark.functions.text import c4_rules_table
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    T = datetime.datetime
+    good = "The quick brown fox went over the hills number %d."
+    body = "\n".join(good % i for i in range(6))
+    rows = [
+        # kept: 6 clean sentences
+        (1, body, T(2024, 1, 1, 0, 0)),
+        # kept, and its javascript line is REMOVED -> same cleaned text
+        # as doc 1 -> content dedup collapses it onto doc 1
+        (2, body + "\nPlease enable javascript to continue here.",
+         T(2024, 1, 1, 0, 1)),
+        # dropped: lorem ipsum page rule
+        (3, body + "\nDecorative lorem ipsum filler sentence sits here.",
+         T(2024, 1, 1, 0, 2)),
+        # dropped: only 3 sentences < 5
+        (4, "\n".join(good % i for i in range(3)), T(2024, 1, 1, 0, 3)),
+    ]
+    src = str(tmp_path / "c4_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    out = curate_stream(
+        stream, "text", "ts", langs=(), min_quality=0.0, c4_clean=True
+    )
+    got = []
+    q = (out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_c4")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    table = {r["doc_id"]: r for r in
+             c4_rules_table(df, "doc_id", "text").collect()}
+    # page verdicts match the batch table
+    assert table[1]["keep"] and table[2]["keep"]
+    assert not table[3]["keep"] and not table[4]["keep"]
+    # stream: doc 3 and 4 dropped by the page rules; doc 2's cleaned
+    # text equals doc 1's, so the dedup stage keeps only the first
+    assert {r["doc_id"] for r in got} == {1}
+    (surv,) = [r for r in got if r["doc_id"] == 1]
+    assert surv["text"] == table[1]["kept_text"] == body
+    assert table[2]["kept_text"] == body
