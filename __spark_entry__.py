@@ -494,6 +494,49 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules_table(planted, "doc_id", "text")
 
 
+# curate_batch plant constants — the oracle fragment is GENERATED from
+# these.  Each doc's text becomes one terminal-punctuated line plus
+# doc_id%3 filler sentences and two always-dropped lines; every 7th doc
+# gains a lorem-ipsum line, every 11th a curly-brace line (page drops).
+_CB_FILLER = "The quick brown fox jumps over the lazy dog again."
+_CB_SHORT = "Too short."
+_CB_JS = "Please enable javascript to view this page properly."
+_CB_LOREM = "Filler lorem ipsum sentence appears in this page."
+_CB_CURLY = "Broken markup with a { brace character inside it."
+_CB_MIN_SENT = 2
+
+
+def q_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch curation front-door (r9, operators/curation.py
+    curate_batch — the offline twin of curate_stream, same stage list
+    and config): quality gate -> C4 line/page rules (rewrite + drop) ->
+    exact content dedup keeping the deterministic min-id representative
+    per CLEANED text -> char-trigram language filter scored on the
+    representative's cleaned text (the expensive scorer runs on deduped
+    survivors only — result-identical since the scorer normalizes
+    exactly like the content hash).  Every non-dedup stage is a map-only
+    projection; the dedup is one min-struct aggregate.  The plant adds
+    line structure (the corpus has none); representatives are
+    deterministic, so doc_id/quality project safely — EXACT oracle."""
+    from entitymatchingmodel_spark.operators.curation import curate_batch
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.array(F.concat(F.col("text"), F.lit("."))),
+        F.array_repeat(F.lit(_CB_FILLER), (F.col("doc_id") % 3).cast("int")),
+        F.array(F.lit(_CB_SHORT), F.lit(_CB_JS)),
+        F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(_CB_LOREM))).otherwise(empty),
+        F.when(F.col("doc_id") % 11 == 0, F.array(F.lit(_CB_CURLY))).otherwise(empty),
+    )
+    planted = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = curate_batch(
+        planted, "doc_id", "text", langs=("en",), min_quality=0.5,
+        c4_clean=True, c4_min_sentences=_CB_MIN_SENT,
+    )
+    return out.select("doc_id", "lang", "quality", "content_hash")
+
+
 # DSIR contract parameters — the oracle is GENERATED from these
 _DSIR_BUCKETS = 1024
 _DSIR_ALPHA = 1.0
@@ -2374,27 +2417,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the twelve new r9 rows (temperature_mix_domain,
+    the LEF growth), (2) the thirteen new r9 rows (temperature_mix_domain,
     resample_domain, url_dedup, gopher_repetition, gopher_keep,
-    reg_domain, blocklist_filter, c4_rules, dsir_scores, dsir_resample,
-    pq_topk, ivf_pq_topk),
-    (3) r8-dated rows whose code r9
-    touched (lef_match: +46 forms & the SASU fix;
-    streaming_curation: curate_stream url/lm/blocklist
+    reg_domain, blocklist_filter, c4_rules, curate_batch, dsir_scores,
+    dsir_resample, pq_topk, ivf_pq_topk),
+    (3) the r8-dated row whose code r9 touched most
+    (streaming_curation: curate_stream url/lm/blocklist/c4
     stages + watermark handling).
-    That is exactly 50 = 36 + 12 + 2.  Six r8-green rows moved to the
+    That is exactly 50 = 36 + 13 + 1.  Seven r8-green rows moved to the
     tail to make room for the rows new in the second half of r9:
     the mixture rows temperature_mix / temperature_mix_up /
     resample_to_mix (their r9 diff is guard-only — max_groups /
     max_repeat fail-fasts that don't change kept rows), ppl_bands
     (validation-only diff: lo_q < hi_q check), lm_fit_score (r9
     diff additive only — score_rowwise is a NEW method pinned equal to
-    the batch scorer; the row's own plan is untouched), and lang_id
-    (+9 profiles r9, but every growth step was locally re-verified
-    EXACT — the generated oracle moves with the profile table); all
-    six were re-verified EXACT by this round's local sf0.01
+    the batch scorer; the row's own plan is untouched), lang_id
+    (+9 profiles r9) and lef_match (+84 forms & the SASU fix) — both
+    dictionary rows' oracles are GENERATED from the dictionaries, and
+    every growth step was locally re-verified EXACT; all
+    seven were re-verified EXACT by this round's local sf0.01
     check_oracle runs.
-    The 52-query
+    The 53-query
     tail is r8-green AND r9-untouched (or additively extended), plus the
     four rows-only-by-design queries, which carry no oracle wherever
     they sit — so a 50-row cutoff leaves every oracle-checkable query
@@ -2446,14 +2489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_domain": q_reg_domain,
         "blocklist_filter": q_blocklist_filter,
         "c4_rules": q_c4_rules,
+        "curate_batch": q_curate_batch,
         "dsir_scores": q_dsir_scores,
         "dsir_resample": q_dsir_resample,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         # --- tier 3: code path touched in r9 ---
-        "lef_match": q_lef_match,
         "streaming_curation": q_streaming_curation,
-        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (52 = 102 - 50), incl. the four rows-only queries ---
+        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (53 = 103 - 50), incl. the four rows-only queries ---
+        "lef_match": q_lef_match,
         "lang_id": q_lang_id,
         "lm_fit_score": q_lm_fit_score,
         "temperature_mix": q_temperature_mix,
@@ -4599,13 +4643,90 @@ _ORACLE["dsir_scores"] = f"""
     FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
 """
 
-# c4_rules: replay the deterministic plant from the _C4_* constants, then
-# apply the line retention predicate (terminal mark, >=5 whitespace-words,
-# no javascript / policy phrase) and the page verdicts in SQL.
+# shared C4 oracle fragments (used by curate_batch AND c4_rules below)
 _C4_PHRASE_SQL = " OR ".join(
     f"contains(lower(t), '{p}')" for p in ("javascript", *C4_POLICY_PHRASES)
 )
 _C4_FIXED_SQL = ", ".join(f"'{x}'" for x in _C4_FIXED)
+
+# curate_batch: replay the plant from the _CB_* constants, then the
+# composed front-door in ITS stage order — quality (same formula as
+# curation_pipeline) -> C4 rules (same shape as the c4_rules oracle) ->
+# min-doc_id representative per md5 of the CLEANED text -> lang (same
+# generated trigram fragments as the lang_id / streaming_curation
+# oracles) scored on the representative's CLEANED text.
+_ORACLE["curate_batch"] = f"""
+    WITH planted AS (
+      SELECT doc_id,
+             array_to_string(
+               [text || '.']
+               || list_transform(generate_series(1, CAST(doc_id % 3 AS BIGINT)),
+                                 i -> '{_CB_FILLER}')
+               || ['{_CB_SHORT}', '{_CB_JS}']
+               || (CASE WHEN doc_id % 7 = 0 THEN ['{_CB_LOREM}']
+                        ELSE CAST([] AS VARCHAR[]) END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ['{_CB_CURLY}']
+                        ELSE CAST([] AS VARCHAR[]) END),
+               chr(10)) AS text
+      FROM documents),
+    tok AS (SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM planted),
+    q AS (SELECT doc_id, text,
+                 round(
+                   (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+                   * (CASE WHEN list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(toks) BETWEEN 2 AND 12
+                           THEN 1.0 ELSE 0.5 END)
+                   * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+          FROM tok),
+    qf AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
+    c4 AS (SELECT doc_id, quality, text,
+                  list_filter(
+                    list_transform(string_split(text, chr(10)),
+                                   x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+                    t -> regexp_matches(t, '[.!?"]$')
+                         AND len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                             w -> w <> '')) >= 5
+                         AND NOT ({_C4_PHRASE_SQL})
+                  ) AS kept
+           FROM qf),
+    pages AS (SELECT doc_id, quality,
+                     coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{{') AS has_curly
+              FROM c4),
+    ok AS (SELECT doc_id, quality, kept_text,
+                  md5(trim(lower(kept_text))) AS content_hash
+           FROM pages
+           WHERE NOT has_lorem AND NOT has_curly
+             AND len(regexp_extract_all(kept_text, '[.!?]')) >= {_CB_MIN_SENT}),
+    rep AS (SELECT content_hash, min(doc_id) AS doc_id FROM ok GROUP BY 1),
+    reps AS (SELECT ok.doc_id, ok.quality, ok.kept_text, ok.content_hash
+             FROM ok JOIN rep USING (content_hash, doc_id)),
+    n AS (SELECT doc_id, quality, content_hash,
+                 ' ' || trim(regexp_replace(lower(coalesce(kept_text, '')),
+                             '[^a-z]+', ' ', 'g')) || ' ' AS t
+          FROM reps),
+    s AS (SELECT doc_id, quality, content_hash,
+                 {{_LANG_HITS}}
+          FROM n),
+    b AS (SELECT *, {{_LANG_BEST}} AS best FROM s)
+    SELECT doc_id, 'en' AS lang, quality, content_hash
+    FROM b WHERE {{_LANG_WINS_EN}}
+"""
+_ORACLE["curate_batch"] = (
+    _ORACLE["curate_batch"]
+    .replace("{_LANG_HITS}", _lang_hits_select())
+    .replace("{_LANG_BEST}", _lang_best_expr())
+    .replace("{_LANG_WINS_EN}", _lang_wins_sql("en"))
+)
+
+# c4_rules: replay the deterministic plant from the _C4_* constants, then
+# apply the line retention predicate (terminal mark, >=5 whitespace-words,
+# no javascript / policy phrase) and the page verdicts in SQL
+# (_C4_PHRASE_SQL / _C4_FIXED_SQL defined above curate_batch's oracle).
 _ORACLE["c4_rules"] = f"""
     WITH planted AS (
       SELECT doc_id,

@@ -30,6 +30,7 @@ from entitymatchingmodel_spark.operators.clustering import (
     cluster_balanced_sample,
     kmeans_clusters,
 )
+from entitymatchingmodel_spark.operators.curation import curate_batch
 from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup, semantic_dedup
 from entitymatchingmodel_spark.operators.pq import PQModel, ivf_pq_topk
 from entitymatchingmodel_spark.operators.events import scoped_conf
@@ -56,5 +57,7 @@ __all__ = [
     "dsir_resample",
     "PQModel",
     "ivf_pq_topk",
+    # the batch curation front-door (streaming twin: streaming.curate_stream)
+    "curate_batch",
 ]
 __version__ = "0.8.0"

@@ -45,12 +45,18 @@ def curate_stream(
     c4_min_words_per_line: int = 5,
     c4_min_sentences: int = 5,
 ) -> DataFrame:
-    """Language filter -> quality filter -> watermark-bounded exact dedup
+    """Quality filter -> watermark-bounded exact dedup -> language filter
     over a streaming document frame; with ``url_col`` set, a URL-dedup
     stage (:func:`drop_url_duplicates_stream`) runs FIRST — C4's pipeline
     order is URL dedup -> quality -> content dedup, and the URL stage is
     the cheapest state (one short key per page vs a content hash computed
-    over every candidate).
+    over every candidate).  The expensive scorers (trigram lang, LM,
+    DSIR) run AFTER the content dedup: they normalize case/edge
+    whitespace exactly like the content hash, so every duplicate-group
+    member scores identically and scoring only the surviving
+    representative is result-identical and strictly cheaper (see the
+    stage-order note in the body).  When ``c4_clean=True`` they score
+    the CLEANED text — the text the corpus will actually keep.
 
     With ``lm_model`` (a fitted/loaded :class:`operators.lm.BigramLM`)
     and ``max_perplexity`` set, a CCNet-style perplexity gate runs after
@@ -117,19 +123,18 @@ def curate_stream(
         quality_score,
     )
 
-    # project the normalized string as a REAL column before scoring (the
-    # lang_id_table shape): the ~20-per-language replace() counts then run
-    # as flat whole-stage-codegen expressions over a column reference
-    # instead of inside a HOF let-binding — measured 2.2x faster on the
-    # 13-profile scorer, and the projection is stateless so it stays
-    # append-safe
-    s = stream.withColumn("_lang_norm", _chargram_norm(F.col(text_col)))
-    s = s.withColumn(
-        "lang", _score_from_norm(F.col("_lang_norm"))["lang"]
-    ).drop("_lang_norm")
-    if langs:
-        s = s.filter(F.col("lang").isin(*langs))
-    s = s.withColumn("quality", quality_score(F.col(text_col))).filter(
+    # stage-order economics (r9): the cheap per-page screens (quality, C4,
+    # badwords) run FIRST, content dedup next, and the EXPENSIVE scorers
+    # (the ~600-replace trigram lang scorer, the LM and DSIR gates) run
+    # only on the deduped survivors.  This is semantically identical to
+    # scoring before dedup — all three scorers normalize case and edge
+    # whitespace exactly like the content hash does, so every member of a
+    # duplicate group scores the same — and strictly cheaper: each unique
+    # content is scored once, and Catalyst's filter pushdown (which
+    # substitutes a derived column's defining expression into the pushed
+    # predicate, re-evaluating it) re-runs the scorer over the small
+    # deduped frame instead of the raw firehose.
+    s = stream.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= min_quality
     )
     if c4_clean:
@@ -171,6 +176,27 @@ def curate_stream(
         # stateless projection (append-safe), zero joins/shuffles
         toks = word_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
         s = s.filter(F.size(F.filter(toks, lambda t: t.isin(*bad))) == 0)
+    # the lang scorer is PROJECTED here (once — the projected normalizer
+    # keeps the per-language replace() counts in flat whole-stage-codegen
+    # expressions, the lang_id_table shape) but FILTERED only after the
+    # stateful dedup below: the state boundary blocks predicate pushdown,
+    # so Catalyst cannot substitute the ~600-replace scorer into the
+    # filter predicate (an adjacent project+filter pair re-evaluates it
+    # per pushed reference, and the duplicated expression blows janino's
+    # 64KB method limit — the whole stage then runs interpreted).  The
+    # projection is stateless, so it stays append-safe; duplicates of a
+    # kept row never reach the filter anyway (dedup drops them first).
+    s = s.withColumn("_lang_norm", _chargram_norm(F.col(text_col)))
+    s = s.withColumn(
+        "lang", _score_from_norm(F.col("_lang_norm"))["lang"]
+    ).drop("_lang_norm")
+    # when the URL stage ran, it already set the watermark — redefining it
+    # downstream of a stateful operator is disallowed
+    s = drop_exact_duplicates_stream(
+        s, text_col, ts_col, watermark, set_watermark=url_col is None
+    )
+    if langs:
+        s = s.filter(F.col("lang").isin(*langs))
     if lm_model is not None:
         s = lm_model.score_rowwise(s, text_col, max_model_rows=lm_max_model_rows)
         s = s.filter(F.col("perplexity") <= float(max_perplexity))
@@ -182,8 +208,4 @@ def curate_stream(
         s = dsir_scores_rowwise(s, dsir_ratios, text_col,
                                 n_buckets=dsir_n_buckets)
         s = s.filter(F.col("dsir_logratio") >= float(min_dsir))
-    # when the URL stage ran, it already set the watermark — redefining it
-    # downstream of a stateful operator is disallowed
-    return drop_exact_duplicates_stream(
-        s, text_col, ts_col, watermark, set_watermark=url_col is None
-    )
+    return s
