@@ -457,6 +457,102 @@ def r9b_probe():
     report("ivf_pq_topk vs corpus", sizes, t_srch)
 
 
+def r9c_probe():
+    """r9 late-tranche probe: the C4 rules vs DOCUMENT LENGTH (line count),
+    curate_batch / pareto_keep / QualityClassifier.score vs CORPUS SIZE
+    (1x/4x/10x).  All map-only or bounded-rollup shapes — expect ~linear;
+    the classifier is FIT ONCE on the base corpus (the fit-once posture)
+    and only scoring is scaled."""
+    import time as _t
+
+    spark = get_spark("r9c-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs.count()
+
+    def timed(label, df):
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = _t.time() - t0
+        print(f"  {label:34s} {dt:7.2f}s", flush=True)
+        return dt
+
+    def report(name, sizes, times, limit=1.5):
+        ratios = [round(t / times[0], 2) for t in times]
+        srat = [round(s / sizes[0], 1) for s in sizes]
+        flag = "  <-- SUPERLINEAR" if ratios[-1] > srat[-1] * limit else ""
+        print(f"{name}: sizes {srat} -> times {ratios}{flag}", flush=True)
+
+    from entitymatchingmodel_spark.functions.text import c4_rules_table
+    from entitymatchingmodel_spark.operators.curation import curate_batch
+    from entitymatchingmodel_spark.operators.quality_clf import (
+        QualityClassifier,
+        pareto_keep,
+    )
+
+    def corpus(k):
+        return (
+            docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .withColumn("doc_id", F.xxhash64("doc_id", "_r")).drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    # 1) c4_rules vs doc length: k sentence-lines per doc (fixed doc count)
+    sizes, times = [], []
+    for k in FACTORS:
+        lined = docs.select(
+            "doc_id",
+            F.array_join(
+                F.array_repeat(F.concat(F.col("text"), F.lit(".")), k), "\n"
+            ).alias("text"),
+        )
+        times.append(timed(f"c4_rules lines x{k}",
+                           c4_rules_table(lined, "doc_id", "text")))
+        sizes.append(k)
+    report("c4_rules(doc length)", sizes, times)
+
+    # 2) curate_batch vs corpus (quality -> c4 -> dedup -> lang)
+    sizes, times = [], []
+    for k in FACTORS:
+        d = corpus(k).select(
+            "doc_id",
+            F.array_join(
+                F.array(F.concat(F.col("text"), F.lit(".")),
+                        F.concat(F.col("text"), F.lit(" again."))), "\n"
+            ).alias("text"),
+        )
+        times.append(timed(
+            f"curate_batch corpus x{k}",
+            curate_batch(d, "doc_id", "text", langs=("en",),
+                         min_quality=0.3, c4_clean=True, c4_min_sentences=1),
+        ))
+        sizes.append(k)
+    report("curate_batch(corpus)", sizes, times)
+
+    # 3) pareto_keep vs corpus (map-only pow)
+    sizes, times = [], []
+    for k in FACTORS:
+        d = corpus(k).select(
+            "doc_id", (F.pmod(F.xxhash64("doc_id"), F.lit(1000)) / 1000.0
+                       ).alias("quality_prob"))
+        times.append(timed(f"pareto_keep corpus x{k}",
+                           pareto_keep(d, "doc_id")))
+        sizes.append(k)
+    report("pareto_keep(corpus)", sizes, times)
+
+    # 4) classifier scoring vs corpus (fit ONCE on the base corpus)
+    clf = QualityClassifier.fit(
+        docs.where(F.col("lang") == "en"), docs, "doc_id", "text",
+        n_features=1 << 14, max_iter=10,
+    )
+    sizes, times = [], []
+    for k in FACTORS:
+        times.append(timed(f"quality_clf.score corpus x{k}",
+                           clf.score(corpus(k), "doc_id", "text")))
+        sizes.append(k)
+    report("quality_clf.score(corpus)", sizes, times)
+
+
 if __name__ == "__main__":
     if "--spans" in sys.argv:
         span_heavy_probe()
@@ -464,5 +560,7 @@ if __name__ == "__main__":
         r9_probe()
     elif "--r9b" in sys.argv:
         r9b_probe()
+    elif "--r9c" in sys.argv:
+        r9c_probe()
     else:
         main()
