@@ -35,6 +35,7 @@ _LEF_RE_SQL = "(?:^|\\s)(" + "|".join(LEGAL_FORM_TERMS) + ")$"
 from entitymatchingmodel_spark.functions.text import (
     C4_POLICY_PHRASES,
     CHAR_TRIGRAM_PROFILES,
+    RW_MAX_REMOVED_FRAC as _RW_FRAC,
 )
 
 
@@ -463,6 +464,10 @@ _C4_FIXED = (
     "Please enable javascript for the full experience today.",
     "This site uses cookies per our posted rules.",
     "no terminal punctuation on this line of words",
+    # ends in '.', so the bare terminal-mark check would retain it; the
+    # official c4_utils drops ellipsis-terminated lines — exercises the
+    # NOT ends_with('...') leg of the predicate on both engines
+    "This sentence has plenty of words but just trails away...",
 )
 _C4_LOREM = "Decorative lorem ipsum filler sentence appears right here."
 _C4_CURLY = "Snippet with braces { inside } and a period."
@@ -492,6 +497,64 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
     return c4_rules_table(planted, "doc_id", "text")
+
+
+# refinedweb_lines plant constants — the oracle fragment is GENERATED
+# from these plus the RW_* rule constants in functions/text.py.  One
+# always-good line (the doc text, terminal-punctuated) plus one line
+# per removal rule: an all-caps shout (every 2nd doc), a numeric-only
+# line, a social counter, a one-word line (every 3rd doc).  The keep
+# verdict then varies naturally with the doc text's length (removed
+# chars are near-constant; the 5% budget is not).
+_RW_CAPS = "THIS ENTIRE LINE IS SHOUTING IN CAPITAL LETTERS ONLY."
+_RW_WORD = "Loading"
+
+
+def q_refinedweb_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise corrections (r10, Penedo et al. 2023 §G.2 —
+    functions/text.py refinedweb_lines_table): drop uppercase-dominated
+    / numeric-only / counter / one-word lines, then drop the DOCUMENT
+    when removed lines exceed 5% of its characters.  The fourth
+    canonical web-curation rule set beside gopher_*, c4_rules and
+    blocklist_filter.  All thresholds compared in integer micro-units
+    (no float division anywhere), one map-only projection — EXACT
+    oracle generated from the same constants the operator reads."""
+    from entitymatchingmodel_spark.functions.text import (
+        refinedweb_lines_table,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.array(F.concat(F.col("text"), F.lit("."))),
+        F.when(F.col("doc_id") % 2 == 0, F.array(F.lit(_RW_CAPS))).otherwise(empty),
+        F.array((F.col("doc_id") % 1000).cast("string")),
+        F.array(F.concat((F.col("doc_id") % 50).cast("string"), F.lit(" likes"))),
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(_RW_WORD))).otherwise(empty),
+    )
+    planted = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return refinedweb_lines_table(planted, "doc_id", "text")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-over-snapshot dedup (r10, operators/dedup.py
+    build_content_index + dedup_against_index — the CommonCrawl
+    monthly-dump reality): fingerprint an already-admitted slice (every
+    3rd doc) into a 16-byte-per-doc content index, then LEFT ANTI join
+    the full "new snapshot" against it, keeping only novel content.
+    Both sides partition on the uniform md5 key (viral duplicates
+    cannot skew it); with the index persisted bucketed on content_hash
+    the index-side exchange disappears.  EXACT oracle (NOT EXISTS —
+    matching left-anti NULL-key semantics)."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    seen = build_content_index(docs.where(F.col("doc_id") % 3 == 0), "text")
+    fresh = dedup_against_index(docs, "text", seen)
+    return fresh.select("doc_id", "lang", "source")
 
 
 def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +605,8 @@ def q_pareto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CB_FILLER = "The quick brown fox jumps over the lazy dog again."
 _CB_SHORT = "Too short."
 _CB_JS = "Please enable javascript to view this page properly."
+# terminal-mark '.', enough words — dropped ONLY by the ellipsis rule
+_CB_ELLIPSIS = "And then this page just keeps trailing off and off..."
 _CB_LOREM = "Filler lorem ipsum sentence appears in this page."
 _CB_CURLY = "Broken markup with a { brace character inside it."
 _CB_MIN_SENT = 2
@@ -566,7 +631,7 @@ def q_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.concat(
         F.array(F.concat(F.col("text"), F.lit("."))),
         F.array_repeat(F.lit(_CB_FILLER), (F.col("doc_id") % 3).cast("int")),
-        F.array(F.lit(_CB_SHORT), F.lit(_CB_JS)),
+        F.array(F.lit(_CB_SHORT), F.lit(_CB_JS), F.lit(_CB_ELLIPSIS)),
         F.when(F.col("doc_id") % 7 == 0, F.array(F.lit(_CB_LOREM))).otherwise(empty),
         F.when(F.col("doc_id") % 11 == 0, F.array(F.lit(_CB_CURLY))).otherwise(empty),
     )
@@ -2452,42 +2517,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate for the CORRECTNESS check only (the bench
     shuffles its own execution order per repeat, see bench.py): the
     driver's correctness file holds at most 50 rows per round, so queries
-    are listed most-in-need-of-a-check first — (1) the 36 oracle-checkable
-    queries whose last green row is r07 (the r8 tail, rotated back in per
-    the r8 verdict; the churn-adjacent ones first: curation_pipeline and
-    the dedup family share dedup.py with the r9 _drop_duplicates_by_key
-    refactor + drop_url_duplicates, the text rows share text.py with the
-    gopher-repetition additions, country_match shares features.py with
-    the LEF growth), (2) the fourteen oracle-checkable new r9 rows
-    (temperature_mix_domain,
-    resample_domain, url_dedup, gopher_repetition, gopher_keep,
-    reg_domain, blocklist_filter, c4_rules, curate_batch, dsir_scores,
-    dsir_resample, pq_topk, ivf_pq_topk, pareto_select).
-    That is exactly 50 = 36 + 14.  Eight r8-green rows moved to the
-    tail to make room for the rows new in the second half of r9:
-    the mixture rows temperature_mix / temperature_mix_up /
-    resample_to_mix (their r9 diff is guard-only — max_groups /
-    max_repeat fail-fasts that don't change kept rows), ppl_bands
-    (validation-only diff: lo_q < hi_q check), lm_fit_score (r9
-    diff additive only — score_rowwise is a NEW method pinned equal to
-    the batch scorer; the row's own plan is untouched), lang_id
-    (+9 profiles r9) and lef_match (+84 forms & the SASU fix) — both
-    dictionary rows' oracles are GENERATED from the dictionaries — and
-    streaming_curation (r9 diff: the c4/blocklist/lm/dsir stages and
-    the scorer-single-eval reorder; re-verified EXACT locally after
-    EVERY one of those changes, three times this session alone).  All
-    eight stay r8-green, satisfying the one-round-staleness invariant,
-    and all were re-verified EXACT by this round's local sf0.01
-    check_oracle runs.
-    The 55-query
-    tail additionally holds the five rows-only-by-design queries
-    (noised_names, supervised_*, quality_clf_scores — no oracle
-    wherever they sit; quality_clf_scores is new late in r9 and takes
-    its first window slot at the next rotation) — so a 50-row cutoff
-    leaves every oracle-checkable query with a green row no older than
-    one round."""
+    are listed most-in-need-of-a-check first.
+
+    r10 window (first 50): (1) the two rows NEW in r10
+    (refinedweb_lines, incremental_dedup); (2) the rows whose CODE or
+    ORACLE changed in r10 — c4_rules / curate_batch (the c4_utils
+    ellipsis-exclusion fix + a planted ellipsis line exercising it),
+    pareto_select (the micro-unit threshold quantization), and
+    quality_clf_scores (the per-row _gram_array featurizer fix; still
+    rows-only by design, taking the first-window slot promised at the
+    r9 rotation); (3) the r8-green tail rotated back in, churn-adjacent
+    first — the text.py consumers (lang_id, gopher_quality,
+    corpus_stats, chunk_docs, top_terms, streaming_curation) share the
+    file with the ellipsis fix and the new RefinedWeb rules, the
+    dedup.py consumers (dedup_drop, dedup_passages, dup_clusters,
+    simhash*, minhash_signatures) share the file with the new
+    incremental-dedup operators (both diffs additive, but adjacency
+    earns the slot), then the LM/mixture/supervised-feature/cossim/
+    kmeans families whose last green row is r08.
+
+    Tail (57 = 107 - 50): six r8-green oracle-checkable rows whose
+    files r10 did not touch (tpch_q1_pricing, events_windowed,
+    events_sessions, events_rollup, media_metadata, media_features —
+    all re-verified EXACT by this round's local sf0.01 check_oracle
+    run, see BENCH_NOTES r10; they lead the r11 rotation); the four
+    rows-only-by-design queries (noised_names, supervised_* — seeded
+    RNG / ML scores, no SQL oracle wherever they sit); and the 47
+    r9-window rows whose latest green row is r09 (c4_rules /
+    curate_batch / pareto_select moved forward out of this group)."""
     return {
-        # --- tier 1: last green row is r07 (the r8 tail); churn-adjacent first ---
+        # --- r10 window: new rows, changed rows, then the r8-green tail ---
+        "refinedweb_lines": q_refinedweb_lines,
+        "incremental_dedup": q_incremental_dedup,
+        "c4_rules": q_c4_rules,
+        "curate_batch": q_curate_batch,
+        "pareto_select": q_pareto_select,
+        "quality_clf_scores": q_quality_clf_scores,
+        "lang_id": q_lang_id,
+        "gopher_quality": q_gopher_quality,
+        "corpus_stats": q_corpus_stats,
+        "chunk_docs": q_chunk_docs,
+        "top_terms": q_top_terms,
+        "streaming_curation": q_streaming_curation,
+        "dedup_drop": q_dedup_drop,
+        "dedup_passages": q_dedup_passages,
+        "dup_clusters": q_dup_clusters,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "lef_match": q_lef_match,
+        "lm_fit_score": q_lm_fit_score,
+        "lm_perplexity": q_lm_perplexity,
+        "ppl_bands": q_ppl_bands,
+        "temperature_mix": q_temperature_mix,
+        "temperature_mix_up": q_temperature_mix_up,
+        "resample_to_mix": q_resample_to_mix,
+        "sample_mix": q_sample_mix,
+        "source_cap": q_source_cap,
+        "token_budget_sample": q_token_budget_sample,
+        "stratified_sample": q_stratified_sample,
+        "grouped_split": q_grouped_split,
+        "vocab_features": q_vocab_features,
+        "pair_features": q_pair_features,
+        "agg_max_freq": q_agg_max_freq,
+        "agg_mean_score": q_agg_mean_score,
+        "cossim_char_blocked": q_cossim_char_blocked,
+        "cossim_word_topk": q_cossim_word_topk,
+        "cossim_lsh_topk": q_cossim_lsh_topk,
+        "topn_per_group": q_topn_per_group,
+        "naive_pairs": q_naive_pairs,
+        "sni_window": q_sni_window,
+        "rank_features": q_rank_features,
+        "best_match": q_best_match,
+        "threshold_curves": q_threshold_curves,
+        "auc": q_auc,
+        "url_normalize": q_url_normalize,
+        "kmeans_stream_assign": q_kmeans_stream_assign,
+        "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "ivf_topk": q_ivf_topk,
+        "ivf_index_topk": q_ivf_index_topk,
+        # --- tail: r8-green untouched-file rows (lead the r11 rotation) +
+        # rows-only-by-design ---
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "noised_names": q_noised_names,
+        "supervised_scores": q_supervised_scores,
+        "supervised_score_only": q_supervised_score_only,
+        "supervised_quality": q_supervised_quality,
+        # --- tail: r9-green rows (checked last round, files unchanged or
+        # additively extended since) ---
         "curation_pipeline": q_curation_pipeline,
         "dedup_exact": q_dedup_exact,
         "repetition_stats": q_repetition_stats,
@@ -2524,7 +2647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vocab": q_tfidf_vocab,
         "media_frames": q_media_frames,
         "audio_stats": q_audio_stats,
-        # --- tier 2: new in r9 ---
         "temperature_mix_domain": q_temperature_mix_domain,
         "resample_domain": q_resample_domain,
         "url_dedup": q_url_dedup,
@@ -2532,73 +2654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_keep": q_gopher_keep,
         "reg_domain": q_reg_domain,
         "blocklist_filter": q_blocklist_filter,
-        "c4_rules": q_c4_rules,
-        "curate_batch": q_curate_batch,
         "dsir_scores": q_dsir_scores,
         "dsir_resample": q_dsir_resample,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
-        "pareto_select": q_pareto_select,
-        # --- tail (55 = 105 - 50): r8-green rows that are r9-untouched,
-        # additively extended, or touched-but-locally-re-verified-EXACT;
-        # the five rows-only-by-design queries (no oracle wherever they
-        # sit); and quality_clf_scores, new late in r9, rows-only by
-        # design, awaiting its first window slot in the next rotation ---
-        "streaming_curation": q_streaming_curation,
-        "quality_clf_scores": q_quality_clf_scores,
-        "lef_match": q_lef_match,
-        "lang_id": q_lang_id,
-        "lm_fit_score": q_lm_fit_score,
-        "temperature_mix": q_temperature_mix,
-        "temperature_mix_up": q_temperature_mix_up,
-        "resample_to_mix": q_resample_to_mix,
-        "ppl_bands": q_ppl_bands,
-        "supervised_scores": q_supervised_scores,
-        "sample_mix": q_sample_mix,
-        "source_cap": q_source_cap,
-        "lm_perplexity": q_lm_perplexity,
-        "supervised_score_only": q_supervised_score_only,
-        "supervised_quality": q_supervised_quality,
-        "noised_names": q_noised_names,
-        "vocab_features": q_vocab_features,
-        "pair_features": q_pair_features,
-        "agg_max_freq": q_agg_max_freq,
-        "cossim_char_blocked": q_cossim_char_blocked,
-        "dup_clusters": q_dup_clusters,
-        "topn_per_group": q_topn_per_group,
-        "naive_pairs": q_naive_pairs,
-        "dedup_passages": q_dedup_passages,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "events_windowed": q_events_windowed,
-        "simhash": q_simhash,
-        "minhash_signatures": q_minhash_signatures,
-        "dedup_drop": q_dedup_drop,
-        "events_sessions": q_events_sessions,
-        "events_rollup": q_events_rollup,
-        "cossim_word_topk": q_cossim_word_topk,
-        "sni_window": q_sni_window,
-        "rank_features": q_rank_features,
-        "best_match": q_best_match,
-        "agg_mean_score": q_agg_mean_score,
-        "media_metadata": q_media_metadata,
-        "media_features": q_media_features,
-        "threshold_curves": q_threshold_curves,
-        "auc": q_auc,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "stratified_sample": q_stratified_sample,
-        "grouped_split": q_grouped_split,
-        "gopher_quality": q_gopher_quality,
-        "corpus_stats": q_corpus_stats,
-        "url_normalize": q_url_normalize,
-        "chunk_docs": q_chunk_docs,
-        "top_terms": q_top_terms,
-        "kmeans_stream_assign": q_kmeans_stream_assign,
-        "token_budget_sample": q_token_budget_sample,
-        "cossim_lsh_topk": q_cossim_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "ivf_index_topk": q_ivf_index_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
 
 
@@ -4695,7 +4754,12 @@ _ORACLE["dsir_scores"] = f"""
 # pareto_select: the quality formula (same as curation_pipeline /
 # curate_batch oracles) + GPT-3's noisy threshold with the Pareto draw
 # derived from the md5 unit hash (inverse CDF, Lomax form) — keep iff
-# score > 1 - ((1-u)^(-1/alpha) - 1)
+# score > 1 - ((1-u)^(-1/alpha) - 1), with BOTH sides quantized to
+# integer micro-units (round(v*1e6)) so a libm-pow ulp difference
+# between engines cannot flip a keep: the engines disagree only if
+# their pow results straddle a 0.5-micro rounding boundary, and
+# tests/test_quality_clf.py measures every threshold's distance to the
+# nearest boundary on this corpus (min margin pinned >= 1e-3 micro).
 _ORACLE["pareto_select"] = f"""
     WITH tok AS (SELECT doc_id, text,
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -4715,7 +4779,9 @@ _ORACLE["pareto_select"] = f"""
           FROM q)
     SELECT doc_id, quality_prob
     FROM u
-    WHERE quality_prob > 1.0 - (power(1.0 - uh, -1.0 / {_PARETO_ALPHA}) - 1.0)
+    WHERE CAST(round(quality_prob * 1e6) AS BIGINT)
+          > CAST(round((1.0 - (power(1.0 - uh, -1.0 / {_PARETO_ALPHA}) - 1.0))
+                       * 1e6) AS BIGINT)
 """
 
 # shared C4 oracle fragments (used by curate_batch AND c4_rules below)
@@ -4737,7 +4803,7 @@ _ORACLE["curate_batch"] = f"""
                [text || '.']
                || list_transform(generate_series(1, CAST(doc_id % 3 AS BIGINT)),
                                  i -> '{_CB_FILLER}')
-               || ['{_CB_SHORT}', '{_CB_JS}']
+               || ['{_CB_SHORT}', '{_CB_JS}', '{_CB_ELLIPSIS}']
                || (CASE WHEN doc_id % 7 = 0 THEN ['{_CB_LOREM}']
                         ELSE CAST([] AS VARCHAR[]) END)
                || (CASE WHEN doc_id % 11 = 0 THEN ['{_CB_CURLY}']
@@ -4762,6 +4828,7 @@ _ORACLE["curate_batch"] = f"""
                     list_transform(string_split(text, chr(10)),
                                    x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                     t -> regexp_matches(t, '[.!?"]$')
+                         AND NOT ends_with(t, '...')
                          AND len(list_filter(regexp_split_to_array(t, '\\s+'),
                                              w -> w <> '')) >= 5
                          AND NOT ({_C4_PHRASE_SQL})
@@ -4822,6 +4889,7 @@ _ORACLE["c4_rules"] = f"""
                list_transform(string_split(text, chr(10)),
                               x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                t -> regexp_matches(t, '[.!?"]$')
+                    AND NOT ends_with(t, '...')
                     AND len(list_filter(regexp_split_to_array(t, '\\s+'),
                                         w -> w <> '')) >= 5
                     AND NOT ({_C4_PHRASE_SQL})
@@ -4843,6 +4911,93 @@ _ORACLE["c4_rules"] = f"""
            (NOT has_lorem AND NOT has_curly AND n_sentences >= 5) AS keep,
            kept_text
     FROM k
+"""
+
+
+def _rw_removed_sql(t: str) -> str:
+    """DuckDB predicate: RefinedWeb removes the trimmed line ``t`` —
+    GENERATED from the same RW_* constants functions/text.py reads
+    (micro-int uppercase threshold, numeric/counter/one-word regexes),
+    so the operator and the oracle cannot drift."""
+    from entitymatchingmodel_spark.functions.text import (
+        RW_COUNTER_WORDS,
+        RW_MAX_UPPER_FRAC,
+        RW_NUMERIC_RE,
+        _rw_counter_re,
+    )
+
+    thr = int(round(RW_MAX_UPPER_FRAC * 1_000_000))
+    alpha = f"length(regexp_replace({t}, '[^\\p{{L}}]', '', 'g'))"
+    upper = f"length(regexp_replace({t}, '[^\\p{{Lu}}]', '', 'g'))"
+    counter = _rw_counter_re(RW_COUNTER_WORDS)
+    return (
+        f"length({t}) > 0 AND ("
+        f"({alpha} > 0 AND {upper} * 1000000 > {thr} * {alpha})"
+        f" OR regexp_matches({t}, '{RW_NUMERIC_RE}')"
+        f" OR regexp_matches(lower({t}), '{counter}')"
+        f" OR regexp_matches({t}, '^\\S+$'))"
+    )
+
+
+# refinedweb_lines: replay the plant from the _RW_* constants, then the
+# line-removal rules + the 5%-of-chars document verdict — all integer
+# comparisons (micro-unit thresholds), no float division on either side.
+_ORACLE["refinedweb_lines"] = f"""
+    WITH planted AS (
+      SELECT doc_id,
+             array_to_string(
+               [text || '.']
+               || (CASE WHEN doc_id % 2 = 0 THEN ['{_RW_CAPS}']
+                        ELSE CAST([] AS VARCHAR[]) END)
+               || [CAST(doc_id % 1000 AS VARCHAR)]
+               || [CAST(doc_id % 50 AS VARCHAR) || ' likes']
+               || (CASE WHEN doc_id % 3 = 0 THEN ['{_RW_WORD}']
+                        ELSE CAST([] AS VARCHAR[]) END),
+               chr(10)) AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS rawlines,
+             list_transform(
+               list_filter(
+                 list_transform(string_split(text, chr(10)),
+                   x -> struct_pack(raw := x,
+                          t := regexp_replace(x, '^\\s+|\\s+$', '', 'g'))),
+                 s -> NOT ({_rw_removed_sql('s.t')})),
+               s -> s.raw) AS kept
+      FROM planted),
+    k AS (
+      SELECT doc_id,
+             CAST(len(rawlines) AS INT) AS n_lines,
+             CAST(len(rawlines) - len(kept) AS INT) AS n_lines_removed,
+             coalesce(list_aggregate(list_transform(rawlines,
+                 x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS n_chars,
+             coalesce(list_aggregate(list_transform(kept,
+                 x -> CAST(length(x) AS BIGINT)), 'sum'), 0) AS n_chars_kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
+      FROM l)
+    SELECT doc_id, n_lines, n_lines_removed,
+           -- duckdb's list_aggregate('sum') comes back DOUBLE; pin the
+           -- operator's long type so the driver's dtype-sensitive
+           -- compare sees identical columns
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_chars - n_chars_kept AS BIGINT) AS n_chars_removed,
+           ((n_chars - n_chars_kept) * 1000000
+            <= {int(round(_RW_FRAC * 1_000_000))} * n_chars) AS keep,
+           cleaned_text
+    FROM k
+"""
+
+# incremental_dedup: NOT EXISTS (not NOT IN) to match left-anti
+# NULL-key semantics — a NULL content hash never matches, so the row
+# is KEPT on both engines.
+_ORACLE["incremental_dedup"] = """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents s
+      WHERE s.doc_id % 3 = 0
+        AND md5(trim(lower(s.text))) = md5(trim(lower(d.text))))
 """
 
 # dsir_resample = the dsir_scores pipeline + the deterministic Gumbel

@@ -1035,11 +1035,14 @@ def c4_retained_lines(
     policy_phrases: "tuple[str, ...]" = C4_POLICY_PHRASES,
 ) -> Column:
     """``array<string>`` of the whitespace-trimmed lines of ``c`` that
-    survive C4's line filter (terminal ``. ! ? "`` mark, at least
-    ``min_words_per_line`` whitespace-words, no "javascript" / policy
-    phrase, case-insensitive).  Pure HOF/regex expression — the shared
-    core of :func:`c4_rules_table` and the ``c4_clean`` streaming stage.
-    NULL text behaves as empty text (nothing retained)."""
+    survive C4's line filter (terminal ``. ! ? "`` mark, NOT an ellipsis
+    ``...`` ending, at least ``min_words_per_line`` whitespace-words, no
+    "javascript" / policy phrase, case-insensitive).  Pure HOF/regex
+    expression — the shared core of :func:`c4_rules_table` and the
+    ``c4_clean`` streaming stage.  NULL text behaves as empty text
+    (nothing retained).  The ellipsis exclusion mirrors the official
+    ``c4_utils.py``, which drops ``line.endswith('...')`` even though
+    the final ``.`` satisfies the terminal-mark check."""
     lines = F.transform(
         F.split(F.coalesce(c, F.lit("")), "\n"),
         lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
@@ -1054,7 +1057,12 @@ def c4_retained_lines(
         phrase_bad = F.lit(False)
         for p in ("javascript", *policy_phrases):
             phrase_bad = phrase_bad | lt.contains(p)
-        return t.rlike(C4_END_MARKS) & word_ok & ~phrase_bad
+        return (
+            t.rlike(C4_END_MARKS)
+            & ~t.endswith("...")
+            & word_ok
+            & ~phrase_bad
+        )
 
     return F.filter(lines, _retain)
 
@@ -1091,10 +1099,11 @@ def c4_rules_table(
     URL-dedup step is ``operators.dedup.drop_url_duplicates``).
 
     Line level (lines = ``\\n``-split, whitespace-trimmed): a line is
-    RETAINED iff it ends in a terminal mark (``. ! ? "``), has at least
-    ``min_words_per_line`` whitespace-words (official default 5), and
-    contains neither the word "javascript" nor any ``policy_phrases``
-    entry (case-insensitive).  Page level: the page is KEPT iff its text
+    RETAINED iff it ends in a terminal mark (``. ! ? "``) but not in an
+    ellipsis ``...``, has at least ``min_words_per_line``
+    whitespace-words (official default 5), and contains neither the
+    word "javascript" nor any ``policy_phrases`` entry
+    (case-insensitive).  Page level: the page is KEPT iff its text
     contains no "lorem ipsum" and no curly brace ``{``, and the retained
     text has at least ``min_sentences`` sentences (official default 5;
     the paper's prose says 3).  Sentences are counted as terminal-mark
@@ -1128,4 +1137,117 @@ def c4_rules_table(
         has_curly.alias("has_curly"),
         keep.alias("keep"),
         kept_text.alias("kept_text"),
+    )
+
+
+# RefinedWeb line-wise correction rules (Penedo et al. 2023 §G.2 — the
+# fourth canonical web-curation rule set beside Gopher, C4, and the
+# badwords blocklist).  The paper's prose names the rule FAMILIES
+# ("mainly uppercase", "only numerical", "a counter, e.g. 3 likes",
+# "only one word") without exact thresholds; the constants below PIN a
+# deterministic instantiation, and the contract oracle is GENERATED
+# from them so the operator and any SQL engine agree exactly.
+RW_COUNTER_WORDS: tuple[str, ...] = (
+    "like", "share", "comment", "view", "vote", "reply", "repost",
+    "follower", "retweet", "upvote", "point", "subscriber",
+)
+RW_MAX_UPPER_FRAC = 0.6       # uppercase letters / letters, strictly above
+RW_MAX_REMOVED_FRAC = 0.05    # removed chars / total chars, strictly above
+# digits plus digit-punctuation only (at least one digit)
+RW_NUMERIC_RE = r"^[0-9\s.,:%/\-]*[0-9][0-9\s.,:%/\-]*$"
+
+
+def _rw_counter_re(words: "tuple[str, ...]") -> str:
+    return r"^[0-9]+\s+(" + "|".join(words) + r")s?$"
+
+
+def refinedweb_line_removed(
+    line: Column,
+    max_upper_frac: float = RW_MAX_UPPER_FRAC,
+    counter_words: "tuple[str, ...]" = RW_COUNTER_WORDS,
+) -> Column:
+    """True iff RefinedWeb's line-wise corrections REMOVE the (already
+    whitespace-trimmed) line: mainly uppercase (uppercase letters more
+    than ``max_upper_frac`` of letters — compared in integer micro-units
+    so the float threshold cannot ulp-flip between engines), only
+    numerical characters (:data:`RW_NUMERIC_RE`), a social counter
+    ("3 likes"), or a single word.  Empty lines are KEPT (they are
+    document structure, not content to correct)."""
+    n_alpha = F.length(F.regexp_replace(line, r"[^\p{L}]", ""))
+    n_upper = F.length(F.regexp_replace(line, r"[^\p{Lu}]", ""))
+    thr_micro = int(round(max_upper_frac * 1_000_000))
+    mainly_upper = (n_alpha > 0) & (
+        n_upper * F.lit(1_000_000).cast("long") > F.lit(thr_micro) * n_alpha
+    )
+    numeric_only = line.rlike(RW_NUMERIC_RE)
+    counter = F.lower(line).rlike(_rw_counter_re(counter_words))
+    one_word = line.rlike(r"^\S+$")
+    return mainly_upper | numeric_only | counter | one_word
+
+
+def refinedweb_lines_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_upper_frac: float = RW_MAX_UPPER_FRAC,
+    max_removed_frac: float = RW_MAX_REMOVED_FRAC,
+    counter_words: "tuple[str, ...]" = RW_COUNTER_WORDS,
+) -> DataFrame:
+    """RefinedWeb's line-wise corrections as ONE map-only projection:
+    drop uppercase-dominated / numeric-only / counter / one-word lines
+    (judged on the trimmed line; surviving lines keep their ORIGINAL
+    text), then drop the whole DOCUMENT when the removed lines account
+    for more than ``max_removed_frac`` of its characters (the paper's
+    "if modifications affect more than 5% of the document, remove it").
+
+    Output per input row: ``(id, n_lines int, n_lines_removed int,
+    n_chars long, n_chars_removed long, keep boolean, cleaned_text
+    string)``.  Char counts are over the raw ``\\n``-split lines
+    (newlines excluded), so ``keep`` is the INTEGER comparison
+    ``n_chars_removed * 1e6 <= round(max_removed_frac * 1e6) * n_chars``
+    — no float division anywhere, hence no cross-engine rounding
+    surface.  NULL text behaves as empty text (one empty line, nothing
+    removed, ``keep=true`` — an empty page is a page the rules did not
+    touch; compose with Gopher/C4/quality gates to drop empties).
+
+    Scale shape: every rule is a regex / higher-order-function
+    expression over the line array — no explode, no aggregation, no
+    shuffle, no UDF; the projection pushes to the scan and whole-stage
+    codegen at any corpus size, exactly like :func:`c4_rules_table` and
+    :func:`gopher_rules_table`.
+    """
+    if not 0 < max_upper_frac <= 1:
+        raise ValueError("max_upper_frac must be in (0, 1]")
+    if not 0 <= max_removed_frac <= 1:
+        raise ValueError("max_removed_frac must be in [0, 1]")
+    for w in counter_words:
+        if not w or w != w.lower() or not w.isalpha():
+            raise ValueError(
+                f"counter words must be non-empty lowercase alphabetic: {w!r}"
+            )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+
+    def removed(l: Column) -> Column:
+        t = F.regexp_replace(l, r"^\s+|\s+$", "")
+        return (F.length(t) > 0) & refinedweb_line_removed(
+            t, max_upper_frac, counter_words
+        )
+
+    kept = F.filter(lines, lambda l: ~removed(l))
+    n_chars = _sum_lengths(lines)
+    n_chars_kept = _sum_lengths(kept)
+    n_removed_chars = (n_chars - n_chars_kept).alias("n_chars_removed")
+    frac_micro = int(round(max_removed_frac * 1_000_000))
+    keep = (n_chars - n_chars_kept) * F.lit(1_000_000).cast("long") <= (
+        F.lit(frac_micro).cast("long") * n_chars
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_removed"),
+        n_chars.alias("n_chars"),
+        n_removed_chars,
+        keep.alias("keep"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
     )

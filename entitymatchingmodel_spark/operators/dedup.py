@@ -179,6 +179,67 @@ def drop_url_duplicates(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (snapshot-over-snapshot) dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+def build_content_index(df: DataFrame, text_col: str) -> DataFrame:
+    """``(content_hash string)`` — the distinct normalized-content
+    fingerprints of an already-ingested corpus, the persisted state of
+    INCREMENTAL dedup: each new crawl snapshot is deduplicated against
+    the union of everything admitted before it (the CommonCrawl
+    snapshot-over-snapshot reality — a new monthly dump re-serves most
+    of the previous one), without ever re-reading the old corpus text.
+
+    The hash is the same ``md5(trim(lower(text)))`` every exact-dedup
+    operator here keys on, so an index built by this function, the
+    ``content_hash`` emitted by :func:`exact_duplicates`, and
+    ``curate_batch``'s dedup stage all speak one key.  ONE map-side-
+    combined distinct (16 bytes/doc); persist it with
+    ``persistence.write_bucketed`` BUCKETED BY ``content_hash`` and the
+    anti-join in :func:`dedup_against_index` reads it shuffle-free on
+    the index side, append new snapshots' hashes as they are admitted.
+    """
+    return df.select(
+        F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash")
+    ).distinct()
+
+
+def dedup_against_index(
+    df: DataFrame, text_col: str, index: DataFrame
+) -> DataFrame:
+    """Rows of ``df`` whose normalized content hash is NOT in ``index``
+    (a ``content_hash`` frame from :func:`build_content_index`) — the
+    transform half of incremental dedup.  Schema = input schema.
+
+    LEFT ANTI join on the hash: both sides shuffle-partition on an
+    md5 key, so the join is skew-free by construction (the hash is
+    uniform even when the duplicated TEXTS are viral), and Spark keeps
+    only the join key from the index side (16 bytes/row) — with the
+    index persisted bucketed on ``content_hash`` the index-side
+    exchange disappears entirely.  In-batch duplicates are untouched
+    (two NEW copies of a novel document both survive): compose with
+    :func:`drop_exact_duplicates` before or after, exactly like the
+    batch front-door's dedup stage.
+    """
+    if "content_hash" not in index.columns:
+        raise ValueError(
+            f"index must have a content_hash column, got {index.columns}"
+        )
+    clash = "_emm_ch" in df.columns
+    if clash:
+        raise ValueError("df already has a _emm_ch column; rename it")
+    keyed = df.withColumn(
+        "_emm_ch", F.md5(F.trim(F.lower(F.col(text_col))))
+    )
+    out = keyed.join(
+        index.select(F.col("content_hash").alias("_emm_ch")),
+        "_emm_ch",
+        "left_anti",
+    )
+    return out.drop("_emm_ch")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
 

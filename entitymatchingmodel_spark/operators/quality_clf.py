@@ -39,20 +39,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from entitymatchingmodel_spark.functions.selection import _grams
+from entitymatchingmodel_spark.functions.selection import _ascii_tokens
+from entitymatchingmodel_spark.functions.text import _word_ngrams
 
 
 def _gram_array(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """df + ``_grams array<string>`` of uni+bi-grams (never NULL — empty
-    array for gramless docs), via the shared DSIR gram builder."""
-    g = _grams(df, id_col, text_col)
-    agg = (
-        g.where(F.col("gram").isNotNull())
-        .groupBy(id_col)
-        .agg(F.collect_list("gram").alias("_grams"))
-    )
-    return df.join(agg, id_col, "left").withColumn(
-        "_grams", F.coalesce("_grams", F.array().cast("array<string>"))
+    array for gramless docs), as a PURE PER-ROW projection over the same
+    tokenizer the DSIR gram builder uses (``_ascii_tokens`` +
+    ``_word_ngrams`` — the exact multiset ``selection._grams`` explodes).
+
+    Per-row on purpose: an earlier id-keyed
+    explode->groupBy->collect_list->join formulation merged gram lists
+    across ROWS that share an id, so fitting with overlapping
+    target/raw ids — the documented GPT-3 framing, where the target
+    corpus is a SLICE of the raw crawl — attached a doubled gram list
+    to both the label-1 and the label-0 copy of every overlapping doc,
+    a label-correlated 2x term-frequency artifact under
+    ``HashingTF(binary=False)``.  The per-row expression keys on
+    nothing, so duplicate or colliding ids cannot cross-contaminate —
+    and it drops two shuffles (the rollup + the rejoin) from both the
+    fit and every score call.  ``id_col`` stays in the signature for
+    the fit/score call sites, which validate it exists."""
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    toks = _ascii_tokens(F.col(text_col))
+    both = F.concat(toks, F.coalesce(_word_ngrams(toks, 2), F.array()))
+    return df.withColumn(
+        "_grams", F.coalesce(both, F.array().cast("array<string>"))
     )
 
 
@@ -205,18 +219,32 @@ def pareto_keep(
     soft cliff that keeps the kept corpus diverse.  Map-only expression
     (one pow per row), reproducible across engines — the selection half
     of the classifier IS oracle-checkable even though the scores are
-    not.  NULL scores drop (no evidence)."""
+    not.  NULL scores drop (no evidence).
+
+    The comparison is quantized to integer MICRO-UNITS on both sides
+    (``round(v * 1e6)`` — the fixed-precision idiom every sampler oracle
+    uses): engine scores land on the 6dp grid already (``score`` rounds
+    its output), and ``pow`` differs between libm implementations by a
+    few ulp, so an UNQUANTIZED threshold could flip a score sitting
+    within a ulp of it between Spark and an oracle engine.  After
+    quantization the engines disagree only if their ``pow`` results
+    straddle a 0.5-micro-unit rounding boundary — a ~1e-10-wide window
+    vs pow's ~1e-16 relative error; tests/test_quality_clf.py measures
+    the actual distance of every threshold in the test corpora to the
+    nearest boundary and pins the margin."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
     from entitymatchingmodel_spark.functions.sampling import _unit_hash
 
     u = _unit_hash(F.col(id_col), salt)
-    x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
-    return scores.filter(F.col(score_col) > F.lit(1.0) - x)
+    return scores.filter(
+        _quality_threshold_expr(F.col(score_col), alpha, u)
+    )
 
 
 def _quality_threshold_expr(score: Column, alpha: float, u: Column) -> Column:
-    """Internal: the keep predicate given a precomputed uniform (exposed
-    for tests that re-derive the draw with hashlib)."""
+    """Internal: the micro-unit keep predicate given a precomputed
+    uniform (exposed for tests that re-derive the draw with hashlib)."""
     x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
-    return score > F.lit(1.0) - x
+    thr_micro = F.round((F.lit(1.0) - x) * F.lit(1e6)).cast("long")
+    return F.round(score * F.lit(1e6)).cast("long") > thr_micro

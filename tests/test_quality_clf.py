@@ -2,6 +2,7 @@
 deterministic Pareto threshold rule."""
 
 import hashlib
+import math
 
 import pytest
 
@@ -76,6 +77,60 @@ def test_quality_clf_gramless_and_null_docs_keep_rows(spark):
     assert all(r["quality_prob"] is not None for r in got)
 
 
+def test_gram_array_is_per_row_even_with_duplicate_ids(spark):
+    """The featurizer must key on NOTHING: rows sharing an id (the
+    target-overlaps-raw fit framing, or plain dirty data) get exactly
+    their OWN text's grams — an id-keyed rollup would merge/double
+    them across rows."""
+    from entitymatchingmodel_spark.operators.quality_clf import _gram_array
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "alpha beta"), (1, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = [sorted(r["_grams"])
+           for r in _gram_array(df, "doc_id", "text").collect()]
+    assert sorted(map(tuple, got)) == sorted([
+        ("alpha", "alpha beta", "beta"),
+        ("alpha", "alpha beta", "beta"),
+        ("delta", "delta epsilon", "epsilon", "gamma", "gamma delta"),
+    ])
+    with pytest.raises(ValueError, match="id column"):
+        _gram_array(df, "nope", "text")
+
+
+def test_quality_clf_fit_with_target_subset_of_raw(spark):
+    """The GPT-3 framing: target is a SLICE of raw, ids overlap.  The
+    fitted model must be identical to fitting against the same raw rows
+    under disjoint ids — overlapping ids must not inflate the feature
+    vectors of the shared docs (the r9 id-keyed rollup doubled them)."""
+    from entitymatchingmodel_spark.operators.quality_clf import (
+        QualityClassifier,
+    )
+
+    target, junk = _corpora(spark, n_t=30, n_r=60)
+    raw = target.unionByName(junk)  # target ⊆ raw, same doc_ids
+    raw_disjoint = target.withColumn(
+        "doc_id", target["doc_id"] + 100000
+    ).unionByName(junk)
+
+    kw = dict(n_features=2048, max_iter=15, max_raw_ratio=100.0)
+    clf_overlap = QualityClassifier.fit(target, raw, "doc_id", "text", **kw)
+    clf_disjoint = QualityClassifier.fit(
+        target, raw_disjoint, "doc_id", "text", **kw
+    )
+    import numpy as np
+
+    a = clf_overlap.model.coefficients.toArray()
+    b = clf_disjoint.model.coefficients.toArray()
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-12)
+    assert abs(clf_overlap.model.intercept - clf_disjoint.model.intercept) < 1e-9
+    # and the overlap-fit model still separates
+    scored = {r["doc_id"]: r["quality_prob"]
+              for r in clf_overlap.score(junk, "doc_id", "text").collect()}
+    assert max(scored.values()) < 0.5
+
+
 def test_pareto_keep_matches_hashlib_mirror(spark):
     from entitymatchingmodel_spark.operators.quality_clf import pareto_keep
 
@@ -84,10 +139,13 @@ def test_pareto_keep_matches_hashlib_mirror(spark):
     kept = {r["doc_id"] for r in pareto_keep(df, "doc_id", alpha=9.0).collect()}
 
     def mirror(i, score, alpha=9.0, salt="pareto"):
+        # the micro-unit quantized rule pareto_keep pins (round-half-up
+        # on both sides, matching Spark's F.round / DuckDB's round)
         h = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:7]
         u = int(h, 16) / float(1 << 28)
         x = (1.0 - u) ** (-1.0 / alpha) - 1.0
-        return score > 1.0 - x
+        thr_micro = math.floor((1.0 - x) * 1e6 + 0.5)
+        return math.floor(score * 1e6 + 0.5) > thr_micro
 
     expect = {i for i, s in rows if mirror(i, s)}
     assert kept == expect
@@ -102,6 +160,33 @@ def test_pareto_keep_matches_hashlib_mirror(spark):
     assert 60 < n_low < 160, n_low
     # hard floor under the default alpha: perfect scores always survive
     assert all(i in kept for i, s in rows if s > 0.999)
+
+
+def test_pareto_threshold_margin_on_contract_corpora():
+    """The documented boundary-separation argument for the micro-unit
+    quantized pareto predicate: engines can only disagree if their
+    libm pow results straddle a 0.5-micro-unit rounding boundary.
+    Measure the ACTUAL distance of every threshold in the contract
+    corpora (sf0.001 + sf0.01 doc_ids — the driver's oracle inputs) to
+    the nearest boundary: the minimum is >= 1e-3 micro-units, ~1e6 x
+    pow's worst-case cross-engine error (a few ulp of a ~1e0 value,
+    ~1e-10 micro-units)."""
+    import pyarrow.parquet as pq
+
+    alpha = 9.0
+    min_gap = 1.0
+    for sf in ("sf0.001", "sf0.01"):
+        ids = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        assert ids
+        for i in ids:
+            h = hashlib.md5(f"pareto|{i}".encode()).hexdigest()[:7]
+            u = int(h, 16) / float(1 << 28)
+            thr_micro = (1.0 - ((1.0 - u) ** (-1.0 / alpha) - 1.0)) * 1e6
+            gap = abs((thr_micro - math.floor(thr_micro)) - 0.5)
+            min_gap = min(min_gap, gap)
+    assert min_gap >= 1e-3, min_gap
 
 
 def test_pareto_keep_null_scores_drop_and_validation(spark):

@@ -1,0 +1,182 @@
+"""RefinedWeb line-wise corrections + incremental (snapshot) dedup."""
+
+import re
+
+import pytest
+
+from tests.conftest import *  # noqa: F401,F403  (spark fixture)
+
+
+# ---------------------------------------------------------------------------
+# refinedweb_lines_table
+# ---------------------------------------------------------------------------
+
+def _py_rw(text, max_upper_frac=0.6, max_removed_frac=0.05):
+    """Python mirror of refinedweb_lines_table (Penedo et al. 2023 §G.2
+    as pinned by the RW_* constants)."""
+    from entitymatchingmodel_spark.functions.text import (
+        RW_COUNTER_WORDS,
+        RW_NUMERIC_RE,
+    )
+
+    t = text or ""
+    lines = t.split("\n")
+    counter_re = r"^[0-9]+\s+(" + "|".join(RW_COUNTER_WORDS) + r")s?$"
+
+    def removed(raw):
+        s = re.sub(r"^\s+|\s+$", "", raw)
+        if not s:
+            return False
+        alpha = "".join(ch for ch in s if ch.isalpha())
+        upper = "".join(ch for ch in s if ch.isupper())
+        if alpha and len(upper) * 1_000_000 > round(max_upper_frac * 1e6) * len(alpha):
+            return True
+        if re.match(RW_NUMERIC_RE, s):
+            return True
+        if re.match(counter_re, s.lower()):
+            return True
+        if re.match(r"^\S+$", s):
+            return True
+        return False
+
+    kept = [l for l in lines if not removed(l)]
+    n_chars = sum(len(l) for l in lines)
+    n_removed = n_chars - sum(len(l) for l in kept)
+    keep = n_removed * 1_000_000 <= round(max_removed_frac * 1e6) * n_chars
+    return (len(lines), len(lines) - len(kept), n_chars, n_removed, keep,
+            "\n".join(kept))
+
+
+GOOD = "A perfectly reasonable sentence with many mixed case words here."
+
+
+def test_refinedweb_rules_match_python_mirror(spark):
+    from entitymatchingmodel_spark.functions.text import (
+        refinedweb_lines_table,
+    )
+
+    long_doc = "\n".join([GOOD] * 40)
+    rows = [
+        (1, GOOD),                                     # kept, keep=True
+        (2, GOOD + "\nTHIS LINE IS ALL CAPS SHOUTING LOUDLY."),  # upper
+        (3, GOOD + "\n12 345.67"),                     # numeric-only
+        (4, GOOD + "\n3 likes"),                       # counter
+        (5, GOOD + "\n12 likes\n7 comments\n1 share"), # counters, plural+singular
+        (6, GOOD + "\nLoading"),                       # one word
+        (7, long_doc + "\n42"),                        # tiny removal -> keep
+        (8, "SHOUTY.\n17\nrefresh"),                   # everything removed
+        (9, ""),                                       # empty -> keep
+        (10, None),                                    # NULL -> empty
+        (11, GOOD + "\n   \n" + GOOD),                 # blank line kept
+        (12, GOOD + "\nMcDonald THE III SHOUTS"),      # mixed: 60% rule edge
+        (13, GOOD + "\n3 bananas"),                    # not a counter word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_lines_removed"], r["n_chars"],
+            r["n_chars_removed"], r["keep"], r["cleaned_text"],
+        )
+        for r in refinedweb_lines_table(df, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_rw(t), (i, got[i], _py_rw(t))
+    # semantics worth naming
+    assert got[1][4] is True and got[1][5] == GOOD
+    assert got[2][1] == 1 and got[2][4] is False       # caps removed, doc drops
+    assert got[5][1] == 3                              # all three counters
+    assert got[7][4] is True                           # 2 chars of 2600+: keep
+    assert got[8][1] == 3 and got[8][5] == ""          # everything removed
+    assert got[9] == (1, 0, 0, 0, True, "")            # empty doc kept
+    assert got[11][0] == 3 and got[11][1] == 0         # blank line is structure
+    assert got[13][1] == 0                             # bananas are not counters
+
+
+def test_refinedweb_validation_and_plan_shape(spark):
+    from entitymatchingmodel_spark.functions.text import (
+        refinedweb_lines_table,
+    )
+
+    df = spark.createDataFrame([(1, "x y.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_upper_frac"):
+        refinedweb_lines_table(df, "doc_id", "text", max_upper_frac=0.0)
+    with pytest.raises(ValueError, match="max_removed_frac"):
+        refinedweb_lines_table(df, "doc_id", "text", max_removed_frac=1.5)
+    with pytest.raises(ValueError, match="lowercase"):
+        refinedweb_lines_table(df, "doc_id", "text", counter_words=("Like",))
+    # map-only: no exchange in the plan
+    plan = refinedweb_lines_table(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# build_content_index + dedup_against_index
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_keeps_only_novel_content(spark):
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "Alpha  Doc")],
+        "doc_id long, text string",
+    )
+    idx = build_content_index(old, "text")
+    # normalized: lower+trim -> "alpha doc" and "beta doc"; internal
+    # whitespace is NOT collapsed, so "Alpha  Doc" is its own hash
+    assert idx.count() == 3
+
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA DOC  "),   # dup of old 1 after trim+lower
+            (11, "gamma doc"),     # novel
+            (12, "gamma doc"),     # in-batch dup of 11: BOTH survive
+            (13, None),            # NULL text: kept (never matches)
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"]
+                 for r in dedup_against_index(new, "text", idx).collect())
+    assert got == [11, 12, 13]
+    # schema passes through untouched
+    assert dedup_against_index(new, "text", idx).columns == new.columns
+
+
+def test_incremental_dedup_validation(spark):
+    from entitymatchingmodel_spark.operators.dedup import (
+        dedup_against_index,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    bad = spark.createDataFrame([("h",)], "not_hash string")
+    with pytest.raises(ValueError, match="content_hash"):
+        dedup_against_index(df, "text", bad)
+    clash = df.withColumn("_emm_ch", df["doc_id"].cast("string"))
+    good_idx = spark.createDataFrame([("h",)], "content_hash string")
+    with pytest.raises(ValueError, match="_emm_ch"):
+        dedup_against_index(clash, "text", good_idx)
+
+
+def test_incremental_dedup_snapshot_composition(spark):
+    """The snapshot story: admit snapshot A, index it, dedup snapshot B
+    against it, append B's novel hashes, dedup snapshot C against the
+    union — C sees duplicates from BOTH earlier snapshots."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    snap_a = spark.createDataFrame([(1, "one"), (2, "two")], "id long, text string")
+    idx = build_content_index(snap_a, "text")
+    snap_b = spark.createDataFrame([(3, "two"), (4, "three")], "id long, text string")
+    b_novel = dedup_against_index(snap_b, "text", idx)
+    assert [r["id"] for r in b_novel.collect()] == [4]
+    idx2 = idx.unionByName(build_content_index(b_novel, "text")).distinct()
+    snap_c = spark.createDataFrame(
+        [(5, "one"), (6, "three"), (7, "four")], "id long, text string"
+    )
+    c_novel = dedup_against_index(snap_c, "text", idx2)
+    assert [r["id"] for r in c_novel.collect()] == [7]

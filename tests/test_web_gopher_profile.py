@@ -420,6 +420,8 @@ def _py_c4(text, min_words_per_line=5, min_sentences=5):
         ll = l.lower()
         if not re.search(r'[.!?"]$', l):
             continue
+        if l.endswith("..."):  # official c4_utils drops ellipsis endings
+            continue
         if len([w for w in re.split(r"\s+", l) if w]) < min_words_per_line:
             continue
         if "javascript" in ll or any(p in ll for p in C4_POLICY_PHRASES):
@@ -456,6 +458,8 @@ def test_c4_rules_match_python_mirror(spark):
         (12, 'Quoted line ending with several words present here."'
              + "\n" + "\n".join([good % 0] * 4)),            # quote mark ends
         (13, "Multiple. Sentences! In? One line with words."),  # 4 marks, 1 line
+        (14, "This long thought simply trails off into the distance..."
+             + "\n" + "\n".join([good % 0] * 5)),            # ellipsis line drops
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -473,6 +477,9 @@ def test_c4_rules_match_python_mirror(spark):
     assert not any(keeps[i] for i in (2, 6, 7, 8, 10, 11))
     # doc 13: one line, 4 terminal marks -> 4 sentences < 5
     assert got[13][2] == 4 and not keeps[13]
+    # doc 14: the ellipsis line drops (n_lines_kept == 5, not 6) but the
+    # page keeps — the 5 good lines clear min_sentences
+    assert got[14][1] == 5 and keeps[14]
 
 
 def test_c4_rules_validation(spark):
