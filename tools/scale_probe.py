@@ -553,6 +553,88 @@ def r9c_probe():
     report("quality_clf.score(corpus)", sizes, times)
 
 
+def r10_probe():
+    """r10 additions: refinedweb_lines_table vs DOCUMENT LENGTH (line
+    count) and vs CORPUS SIZE; dedup_against_index vs corpus size (index
+    FIXED at the base corpus — the incremental posture: the snapshot
+    grows, yesterday's index is what it is)."""
+    import time as _t
+
+    spark = get_spark("r10-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs.count()
+
+    def timed(label, df):
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = _t.time() - t0
+        print(f"  {label:34s} {dt:7.2f}s", flush=True)
+        return dt
+
+    def report(name, sizes, times, limit=1.5):
+        ratios = [round(t / times[0], 2) for t in times]
+        srat = [round(s / sizes[0], 1) for s in sizes]
+        flag = "  <-- SUPERLINEAR" if ratios[-1] > srat[-1] * limit else ""
+        print(f"{name}: sizes {srat} -> times {ratios}{flag}", flush=True)
+
+    from entitymatchingmodel_spark.functions.text import (
+        refinedweb_lines_table,
+    )
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    def corpus(k):
+        return (
+            docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+            .withColumn("doc_id", F.xxhash64("doc_id", "_r"))
+            .withColumn(
+                "text",
+                F.when(F.col("_r") == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("_r"))),
+            )
+            .drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    # 1) refinedweb vs doc length: k lines per doc, alternating good/bad
+    times = []
+    for k in FACTORS:
+        lined = docs.select(
+            "doc_id",
+            F.array_join(
+                F.flatten(F.array_repeat(
+                    F.array(F.concat(F.col("text"), F.lit(".")),
+                            F.lit("SHOUTING HEADLINE LINE HERE."),
+                            F.lit("42"),
+                            (F.col("doc_id") % 50).cast("string")), k)),
+                "\n",
+            ).alias("text"),
+        )
+        times.append(timed(f"refinedweb lines x{k}",
+                           refinedweb_lines_table(lined, "doc_id", "text")))
+    report("refinedweb_lines(doc length)", FACTORS, times)
+
+    # 2) refinedweb vs corpus size
+    times = []
+    for k in FACTORS:
+        times.append(timed(f"refinedweb corpus x{k}",
+                           refinedweb_lines_table(corpus(k), "doc_id", "text")))
+    report("refinedweb_lines(corpus)", FACTORS, times)
+
+    # 3) incremental dedup vs snapshot size, base-corpus index
+    idx = build_content_index(docs, "text").persist()
+    idx.count()
+    times = []
+    for k in FACTORS:
+        times.append(timed(f"dedup_against_index x{k}",
+                           dedup_against_index(corpus(k), "text", idx)))
+    report("dedup_against_index(snapshot)", FACTORS, times)
+    idx.unpersist()
+
+
 if __name__ == "__main__":
     if "--spans" in sys.argv:
         span_heavy_probe()
@@ -562,5 +644,7 @@ if __name__ == "__main__":
         r9b_probe()
     elif "--r9c" in sys.argv:
         r9c_probe()
+    elif "--r10" in sys.argv:
+        r10_probe()
     else:
         main()
