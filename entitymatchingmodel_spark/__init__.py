@@ -35,7 +35,13 @@ from entitymatchingmodel_spark.operators.quality_clf import (
     QualityClassifier,
     pareto_keep,
 )
-from entitymatchingmodel_spark.operators.dedup import fuzzy_dedup, semantic_dedup
+from entitymatchingmodel_spark.operators.dedup import (
+    build_content_index,
+    dedup_against_index,
+    fuzzy_dedup,
+    semantic_dedup,
+)
+from entitymatchingmodel_spark.functions.text import refinedweb_lines_table
 from entitymatchingmodel_spark.operators.pq import PQModel, ivf_pq_topk
 from entitymatchingmodel_spark.operators.events import scoped_conf
 from entitymatchingmodel_spark.persistence import load_model, save_model
@@ -67,5 +73,9 @@ __all__ = [
     # deterministic Pareto threshold rule
     "QualityClassifier",
     "pareto_keep",
+    # r10: incremental snapshot dedup + the RefinedWeb rule table
+    "build_content_index",
+    "dedup_against_index",
+    "refinedweb_lines_table",
 ]
-__version__ = "0.9.0"
+__version__ = "0.10.0"

@@ -1185,6 +1185,64 @@ def refinedweb_line_removed(
     return mainly_upper | numeric_only | counter | one_word
 
 
+def _rw_validate(
+    max_upper_frac: float,
+    max_removed_frac: float,
+    counter_words: "tuple[str, ...]",
+) -> None:
+    if not 0 < max_upper_frac <= 1:
+        raise ValueError("max_upper_frac must be in (0, 1]")
+    if not 0 <= max_removed_frac <= 1:
+        raise ValueError("max_removed_frac must be in [0, 1]")
+    for w in counter_words:
+        if not w or w != w.lower() or not w.isalpha():
+            raise ValueError(
+                f"counter words must be non-empty lowercase alphabetic: {w!r}"
+            )
+
+
+def refinedweb_kept_lines(
+    c: Column,
+    max_upper_frac: float = RW_MAX_UPPER_FRAC,
+    counter_words: "tuple[str, ...]" = RW_COUNTER_WORDS,
+) -> Column:
+    """``array<string>`` of the ORIGINAL ``\\n``-split lines of ``c``
+    that survive the RefinedWeb line rules (judged on the trimmed line;
+    blank lines are structure and stay).  The shared core of
+    :func:`refinedweb_lines_table` and the ``rw_clean`` stage of both
+    curation front-doors.  NULL text behaves as empty text."""
+    lines = F.split(F.coalesce(c, F.lit("")), "\n")
+
+    def removed(l: Column) -> Column:
+        t = F.regexp_replace(l, r"^\s+|\s+$", "")
+        return (F.length(t) > 0) & refinedweb_line_removed(
+            t, max_upper_frac, counter_words
+        )
+
+    return F.filter(lines, lambda l: ~removed(l))
+
+
+def refinedweb_page_keep(
+    text: Column, kept_text: Column, max_removed_frac: float = RW_MAX_REMOVED_FRAC
+) -> Column:
+    """RefinedWeb's document verdict given the ORIGINAL text and the
+    joined kept lines: keep iff removed lines account for at most
+    ``max_removed_frac`` of the document's characters.  Char counts
+    exclude newlines on both sides, so the comparison is the pure
+    integer ``removed * 1e6 <= round(frac * 1e6) * total`` — no float
+    division.  NULL-safe (NULL text = empty = kept)."""
+    txt = F.coalesce(text, F.lit(""))
+    n_chars = F.length(F.regexp_replace(txt, "\n", "")).cast("long")
+    # both counts = non-newline chars, so separators cancel exactly
+    n_kept = F.length(
+        F.regexp_replace(F.coalesce(kept_text, F.lit("")), "\n", "")
+    ).cast("long")
+    frac_micro = int(round(max_removed_frac * 1_000_000))
+    return (n_chars - n_kept) * F.lit(1_000_000).cast("long") <= (
+        F.lit(frac_micro).cast("long") * n_chars
+    )
+
+
 def refinedweb_lines_table(
     df: DataFrame,
     id_col: str,
@@ -1216,25 +1274,12 @@ def refinedweb_lines_table(
     codegen at any corpus size, exactly like :func:`c4_rules_table` and
     :func:`gopher_rules_table`.
     """
-    if not 0 < max_upper_frac <= 1:
-        raise ValueError("max_upper_frac must be in (0, 1]")
-    if not 0 <= max_removed_frac <= 1:
-        raise ValueError("max_removed_frac must be in [0, 1]")
-    for w in counter_words:
-        if not w or w != w.lower() or not w.isalpha():
-            raise ValueError(
-                f"counter words must be non-empty lowercase alphabetic: {w!r}"
-            )
+    _rw_validate(max_upper_frac, max_removed_frac, counter_words)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(txt, "\n")
-
-    def removed(l: Column) -> Column:
-        t = F.regexp_replace(l, r"^\s+|\s+$", "")
-        return (F.length(t) > 0) & refinedweb_line_removed(
-            t, max_upper_frac, counter_words
-        )
-
-    kept = F.filter(lines, lambda l: ~removed(l))
+    kept = refinedweb_kept_lines(
+        F.col(text_col), max_upper_frac, counter_words
+    )
     n_chars = _sum_lengths(lines)
     n_chars_kept = _sum_lengths(kept)
     n_removed_chars = (n_chars - n_chars_kept).alias("n_chars_removed")

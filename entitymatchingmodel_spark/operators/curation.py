@@ -35,6 +35,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _rw_stage(
+    s: DataFrame,
+    text_col: str,
+    max_upper_frac: "float | None",
+    max_removed_frac: "float | None",
+) -> DataFrame:
+    """The RefinedWeb line-correction stage, shared verbatim by
+    curate_batch and curate_stream (both call it on their running
+    frame): rewrite the page to its surviving lines, drop pages whose
+    removed lines exceed the character budget.  Stateless HOF/regex
+    expressions only — append-safe on a stream, map-only in batch."""
+    from entitymatchingmodel_spark.functions.text import (
+        RW_COUNTER_WORDS,
+        RW_MAX_REMOVED_FRAC,
+        RW_MAX_UPPER_FRAC,
+        _rw_validate,
+        refinedweb_kept_lines,
+        refinedweb_page_keep,
+    )
+
+    upper = RW_MAX_UPPER_FRAC if max_upper_frac is None else max_upper_frac
+    removed = (
+        RW_MAX_REMOVED_FRAC if max_removed_frac is None else max_removed_frac
+    )
+    _rw_validate(upper, removed, RW_COUNTER_WORDS)
+    kept = F.array_join(refinedweb_kept_lines(F.col(text_col), upper), "\n")
+    return (
+        s.withColumn("_rw_kept", kept)
+        .filter(refinedweb_page_keep(F.col(text_col), F.col("_rw_kept"),
+                                     removed))
+        .withColumn(text_col, F.col("_rw_kept"))
+        .drop("_rw_kept")
+    )
+
+
 def curate_batch(
     df: DataFrame,
     id_col: str,
@@ -51,6 +86,9 @@ def curate_batch(
     c4_clean: bool = False,
     c4_min_words_per_line: int = 5,
     c4_min_sentences: int = 5,
+    rw_clean: bool = False,
+    rw_max_upper_frac: "float | None" = None,
+    rw_max_removed_frac: "float | None" = None,
 ) -> DataFrame:
     """Curate a batch corpus with the SAME stages and config vocabulary
     as :func:`streaming.curate.curate_stream` — see the module docstring
@@ -67,6 +105,13 @@ def curate_batch(
        its retained lines and pages failing the lorem-ipsum /
        curly-brace / min-sentence rules are dropped
        (:func:`functions.text.c4_retained_lines` / ``c4_page_keep``).
+    3b. **RefinedWeb line corrections** (``rw_clean=True``): drop
+       uppercase-dominated / numeric-only / counter / one-word lines
+       and REWRITE the page to the survivors; drop the page when the
+       removed lines exceed ``rw_max_removed_frac`` of its characters
+       (:func:`functions.text.refinedweb_kept_lines` /
+       ``refinedweb_page_keep`` — integer micro-unit thresholds).
+       Composes with ``c4_clean`` (C4 first, its published order).
     4. **Badwords** (``blocklist``): drop pages with any blocked-token
        occurrence (the :func:`functions.text.blocked_terms_table`
        literal shape, inlined — map-only codegen isin probe).
@@ -149,6 +194,10 @@ def curate_batch(
             .withColumn(text_col, F.col("_c4_kept"))
             .drop("_c4_kept")
         )
+    if rw_clean:
+        s = _rw_stage(s, text_col, rw_max_upper_frac, rw_max_removed_frac)
+    elif rw_max_upper_frac is not None or rw_max_removed_frac is not None:
+        raise ValueError("rw_max_* thresholds require rw_clean=True")
     if blocklist:
         from entitymatchingmodel_spark.functions.tokenize import word_tokens
 

@@ -44,6 +44,9 @@ def curate_stream(
     c4_clean: bool = False,
     c4_min_words_per_line: int = 5,
     c4_min_sentences: int = 5,
+    rw_clean: bool = False,
+    rw_max_upper_frac: "float | None" = None,
+    rw_max_removed_frac: "float | None" = None,
 ) -> DataFrame:
     """Quality filter -> watermark-bounded exact dedup -> language filter
     over a streaming document frame; with ``url_col`` set, a URL-dedup
@@ -86,6 +89,16 @@ def curate_stream(
     expressions, so the stage is append-safe and downstream stages
     (blocklist, LM, DSIR, content dedup) see the CLEANED text, which is
     C4's published composition.
+
+    With ``rw_clean=True``, the RefinedWeb line-wise corrections
+    (:func:`functions.text.refinedweb_kept_lines` /
+    :func:`functions.text.refinedweb_page_keep`, Penedo et al. 2023
+    §G.2) run right after the C4 stage (or in its place): drop
+    uppercase-dominated / numeric-only / counter / one-word lines,
+    rewrite the page to the survivors, and drop the page when the
+    removed lines exceed ``rw_max_removed_frac`` of its characters —
+    stateless HOF/regex expressions (append-safe), shared verbatim with
+    the batch front-door (``operators.curation._rw_stage``).
 
     With ``dsir_ratios`` (a fitted
     :func:`functions.selection.dsir_bucket_logratios` table) and
@@ -163,6 +176,12 @@ def curate_stream(
             .withColumn(text_col, F.col("_c4_kept"))
             .drop("_c4_kept")
         )
+    if rw_clean:
+        from entitymatchingmodel_spark.operators.curation import _rw_stage
+
+        s = _rw_stage(s, text_col, rw_max_upper_frac, rw_max_removed_frac)
+    elif rw_max_upper_frac is not None or rw_max_removed_frac is not None:
+        raise ValueError("rw_max_* thresholds require rw_clean=True")
     if blocklist:
         from entitymatchingmodel_spark.functions.tokenize import word_tokens
 

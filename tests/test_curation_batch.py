@@ -152,3 +152,79 @@ def test_curate_batch_validation(spark):
         curate_batch(df, "doc_id", "text", min_dsir=0.0)
     with pytest.raises(ValueError, match="lowercase"):
         curate_batch(df, "doc_id", "text", blocklist=("Spam",))
+
+
+def test_curate_rw_stage_batch_and_stream(spark, tmp_path):
+    """The r10 RefinedWeb line-correction stage: rewrites pages to their
+    surviving lines, drops pages over the removed-chars budget, and the
+    batch and streaming front-doors agree on the surviving content."""
+    import os as _os
+
+    from entitymatchingmodel_spark.functions.text import (
+        refinedweb_lines_table,
+    )
+    from entitymatchingmodel_spark.operators.curation import curate_batch
+    from entitymatchingmodel_spark.streaming import curate_stream
+
+    # 20 good lines (~1100 chars): the one removed 43-char shout is ~4%
+    # of the page — inside the 5% budget (8 lines put it at ~9%: dropped)
+    body = "\n".join(GOOD % i for i in range(20))
+    rows = [
+        # one shouty line removed, small fraction of the page -> kept,
+        # text rewritten
+        (1, body + "\nTHIS LINE IS ALL CAPS AND VERY LOUD INDEED.",
+         T(2024, 1, 1, 0, 0)),
+        # counters dominate a short page -> dropped by the 5% budget
+        (2, GOOD % 0 + "\n3 likes\n7 comments\n12 shares\n99 views\n4 votes"
+            + "\n17 replies\n8 reposts\n23 followers\n1 retweet\n5 upvotes",
+         T(2024, 1, 1, 0, 1)),
+        # clean page -> kept untouched
+        (3, body, T(2024, 1, 1, 0, 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    batch = curate_batch(
+        df, "doc_id", "text", langs=(), min_quality=0.0, rw_clean=True
+    )
+    got = {r["doc_id"]: r["text"] for r in batch.collect()}
+    # doc 1's rewrite equals doc 3's body, so the (always-on) content
+    # dedup collapses them to the min-id representative; doc 2 fell to
+    # the removed-chars budget
+    assert set(got) == {1}
+    assert got[1] == body
+    # the stage agrees with the standalone table's keep/cleaned_text
+    table = {r["doc_id"]: r for r in
+             refinedweb_lines_table(df, "doc_id", "text").collect()}
+    assert table[2]["keep"] is False
+    assert table[1]["cleaned_text"] == body
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    out = curate_stream(stream, "text", "ts", langs=(), min_quality=0.0,
+                        rw_clean=True)
+    srows = []
+    q = (out.writeStream
+         .foreachBatch(lambda b, i: srows.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert ({r["content_hash"] for r in batch.collect()}
+            == {r["content_hash"] for r in srows})
+
+
+def test_curate_rw_stage_validation(spark):
+    from entitymatchingmodel_spark.operators.curation import curate_batch
+
+    df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="rw_clean"):
+        curate_batch(df, "doc_id", "text", rw_max_removed_frac=0.1)
+    with pytest.raises(ValueError, match="max_upper_frac"):
+        curate_batch(df, "doc_id", "text", rw_clean=True,
+                     rw_max_upper_frac=2.0)
