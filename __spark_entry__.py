@@ -899,47 +899,50 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ASCII-only planted phrases for the lang-id contract (the synthetic corpus
 # text is language-agnostic, so each doc gets a deterministic language tag
-# appended — the same plant-then-detect pattern as pii_scrub).
-_LANG_PHRASES = [
-    "the quick brown fox and the dog went to the market in the morning",   # en
-    "der schnelle fuchs und die hunde gingen durch den wald und die wiesen",  # de
-    "le renard rapide et les chiens paresseux sont dans la maison que nous avons",  # fr
-    "el zorro rapido y los perros estan en la casa que tenemos del campo",  # es
-    "la volpe veloce che corre nella casa della citta con il cane di padrone",  # it
-    # r7: one phrase per new profile so the contract row witnesses all 13
-    # languages (accent-free ascii — the normalizer maps accents to spaces)
-    "de snelle vos van een boer springt over de luie hond en het schaap van de stad",  # nl
-    "a raposa marrom rapida salta sobre o cao preguicoso e corre para o rio",  # pt
-    "den snabba raven hoppar over den lata hunden och springer till skogen",  # sv
-    "den hurtige raev hopper over den dovne hund og lober til skoven for at finde mad",  # da
-    "szybki lis skacze przez leniwego psa i biegnie do lasu ktorego nie znamy",  # pl
-    "hizli tilki tembel kopegin uzerinden atlar ve ormana dogru kosar bir daha",  # tr
-    "vulpea rapida sare peste cainele lenes si alearga spre padurea pe care o stim",  # ro
-    "nopea kettu hyppaa laiskan koiran yli ja juoksee metsaan jota emme ole nahneet",  # fi
-    # r7 second tranche (id/cs/hu)
-    "rubah cepat yang melompat dan berlari dengan anjing untuk pergi ke hutan yang tidak kita kenal",  # id
-    "rychla liska skace pres lineho psa a bezi do lesa ktery pro nas neni znamy a je pod kopcem",  # cs
-    "az okos roka atugrik a lusta kutya felett es nem szalad az erdobe hogy egy nap meg lassuk",  # hu
-    # r8 tranche (no/vi/ca/sk/hr — accent-free ascii residue, as above)
-    "den raske reven og hunden ble ikke som andre og lober fra skogen til vannet av en grunn som han har",  # no
-    "con cao nhanh nhay qua con cho luoi va chay vao trong rung cua chung ta khong ai biet duoc ngay nay",  # vi
-    "la guineu rapida salta per sobre dels gossos mandrosos i corre cap al bosc que tenim amb els amics",  # ca
-    "ako rychla liska pre nas skace cez psa do lesa ktory sa vola stary a nie je znamy v tych miestach ktore mame",  # sk
-    "brza lisica skace preko lijenog psa koji se ne da i bit ce da ima sto na putu ali se ne zna je li to sve",  # hr
-    # r9 tranche (sl/et/lv/lt/sw — profiles landed earlier this round;
-    # phrases added so every profile is driver-witnessed again) + r9
-    # second tranche (af/tl/ga/eu).  Each phrase's argmax verified by the
-    # python mirror against the FULL 30-profile set before commit.
-    "hitra lisica tudi skoci kot pes in tako je da se pri tem ne ve kaj tudi pri nas tako kot je v gozdu",  # sl
-    "kiire rebane on kui koer oma metsas ja nad olid seal ise kui vanad puud on selle koha peal ja jooksevad",  # et
-    "atra lapsa un suns ir tas kas par mezu vai talak iet un tiem draugiem ir sava briviba un tas ir viss",  # lv
-    "greita lape ir suo yra kad kaip tai bet miskas yra toliau ir geriau matomas kad tai yra tiesa",  # lt
-    "mbweha mwepesi na mbwa wa kijiji ni kwa sababu ya kukimbia katika msitu na njia za watu ni za zamani",  # sw
-    "die vinnige jakkals en die hond wat oor die heuwels gaan want ons het baie dinge gesien en hulle wat saam maar verder stap",  # af
-    "ang mabilis na soro at ang aso na ito ay para sa kanya dahil hindi niya alam ang lahat ng mga bagay dito",  # tl
-    "agus an sionnach tapa agus an madra ach sin mar a deir siad chun faoi agus bhi gach rud go maith ann",  # ga
-    "azeri azkarra eta txakurra bat zen eta dira baina ez zuen egin nahi izan dute eta beste bat egin zen",  # eu
+# appended — the same plant-then-detect pattern as pii_scrub).  One
+# (lang, phrase) pair per profile, IN PROFILE-ADDITION ORDER; the pairing
+# is pinned by tests/test_text_functions.py, which asserts every phrase's
+# scorer argmax equals its language over the FULL profile set — the audit
+# that caught the r8 sk-profile addition silently flipping the pt
+# phrase's argmax to sk (r10 fixed the pt phrase; the row stayed EXACT
+# throughout because the oracle computes the same argmax, but pt went
+# unwitnessed for two rounds).
+_LANG_PHRASE_PAIRS: "list[tuple[str, str]]" = [
+    ("en", "the quick brown fox and the dog went to the market in the morning"),
+    ("de", "der schnelle fuchs und die hunde gingen durch den wald und die wiesen"),
+    ("fr", "le renard rapide et les chiens paresseux sont dans la maison que nous avons"),
+    ("es", "el zorro rapido y los perros estan en la casa que tenemos del campo"),
+    ("it", "la volpe veloce che corre nella casa della citta con il cane di padrone"),
+    ("nl", "de snelle vos van een boer springt over de luie hond en het schaap van de stad"),
+    ("pt", "a raposa que vai com o cao para o campo da aldeia e do rio com a decoracao que ficaram a ver"),
+    ("sv", "den snabba raven hoppar over den lata hunden och springer till skogen"),
+    ("da", "den hurtige raev hopper over den dovne hund og lober til skoven for at finde mad"),
+    ("pl", "szybki lis skacze przez leniwego psa i biegnie do lasu ktorego nie znamy"),
+    ("tr", "hizli tilki tembel kopegin uzerinden atlar ve ormana dogru kosar bir daha"),
+    ("ro", "vulpea rapida sare peste cainele lenes si alearga spre padurea pe care o stim"),
+    ("fi", "nopea kettu hyppaa laiskan koiran yli ja juoksee metsaan jota emme ole nahneet"),
+    ("id", "rubah cepat yang melompat dan berlari dengan anjing untuk pergi ke hutan yang tidak kita kenal"),
+    ("cs", "rychla liska skace pres lineho psa a bezi do lesa ktery pro nas neni znamy a je pod kopcem"),
+    ("hu", "az okos roka atugrik a lusta kutya felett es nem szalad az erdobe hogy egy nap meg lassuk"),
+    ("no", "den raske reven og hunden ble ikke som andre og lober fra skogen til vannet av en grunn som han har"),
+    ("vi", "con cao nhanh nhay qua con cho luoi va chay vao trong rung cua chung ta khong ai biet duoc ngay nay"),
+    ("ca", "la guineu rapida salta per sobre dels gossos mandrosos i corre cap al bosc que tenim amb els amics"),
+    ("sk", "ako rychla liska pre nas skace cez psa do lesa ktory sa vola stary a nie je znamy v tych miestach ktore mame"),
+    ("hr", "brza lisica skace preko lijenog psa koji se ne da i bit ce da ima sto na putu ali se ne zna je li to sve"),
+    ("sl", "hitra lisica tudi skoci kot pes in tako je da se pri tem ne ve kaj tudi pri nas tako kot je v gozdu"),
+    ("et", "kiire rebane on kui koer oma metsas ja nad olid seal ise kui vanad puud on selle koha peal ja jooksevad"),
+    ("lv", "atra lapsa un suns ir tas kas par mezu vai talak iet un tiem draugiem ir sava briviba un tas ir viss"),
+    ("lt", "greita lape ir suo yra kad kaip tai bet miskas yra toliau ir geriau matomas kad tai yra tiesa"),
+    ("sw", "mbweha mwepesi na mbwa wa kijiji ni kwa sababu ya kukimbia katika msitu na njia za watu ni za zamani"),
+    ("af", "die vinnige jakkals en die hond wat oor die heuwels gaan want ons het baie dinge gesien en hulle wat saam maar verder stap"),
+    ("tl", "ang mabilis na soro at ang aso na ito ay para sa kanya dahil hindi niya alam ang lahat ng mga bagay dito"),
+    ("ga", "agus an sionnach tapa agus an madra ach sin mar a deir siad chun faoi agus bhi gach rud go maith ann"),
+    ("eu", "azeri azkarra eta txakurra bat zen eta dira baina ez zuen egin nahi izan dute eta beste bat egin zen"),
+    ("sq", "dhelpra e shpejte dhe qeni qe nga nje shtepi per te gjithe eshte shume mire dhe te tjere"),
+    ("cy", "mae y cadno cyflym yn mynd gyda y ci wedi bod ar y bryniau a mae pob dydd yn dda iawn"),
+    ("mt", "il volpi malajr u il kelb li huwa ta dan il post fil gnien li hija tal belt u minn hemm"),
 ]
+_LANG_PHRASES = [p for _, p in _LANG_PHRASE_PAIRS]
 
 
 def _lang_phrase_case_sql() -> str:

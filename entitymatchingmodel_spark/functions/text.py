@@ -202,6 +202,21 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "eu": ("eta", "ta ", " et", "bat", " ba", "zen", "en ", " ze", "dir",
            "ira", "ra ", " di", "egi", "gin", "in ", " eg", "iza", "zan",
            "an ", " iz"),
+    # r10 tranche (same [a-z ]-residue rule: sq 'dhe/nje/per/eshte/qe/
+    # nga', cy 'yn/mae/wedi/bod/gyda/-ydd', mt 'li/ta/il/ghal/tal/fil/
+    # minn/hija').  Additions audited with the python mirror: NO existing
+    # plant phrase's argmax changed (tests/test_text_functions.py now
+    # pins every phrase's argmax == its language, the check that caught
+    # the r8 pt->sk phrase drift).
+    "sq": (" dh", "dhe", "he ", " nj", "nje", "je ", " pe", "per", "er ",
+           " es", "esh", "sht", "hte", "te ", " qe", "qe ", " ng", "nga",
+           "ga ", "shq"),
+    "cy": (" yn", "yn ", " ma", "mae", "ae ", " we", "wed", "edi", "di ",
+           " bo", "bod", "od ", " gy", "gyd", "yda", "ydd", "dd ", " dd",
+           "wch", "ch "),
+    "mt": (" li", "li ", " ta", "ta ", " il", "il ", " gh", "gha", "hal",
+           "tal", "al ", " fi", "fil", " mi", "min", "inn", "nn ", "hij",
+           "ija", "ja "),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

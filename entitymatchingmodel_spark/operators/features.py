@@ -894,6 +894,22 @@ LEGAL_FORM_TERMS = sorted(
         "fz llc", "sarl s", "comm v", "z s", "sp p",
         "tuw", "fzc", "qpsc", "saatio", "scarl", "scpa", "sicaf",
         "teo", "teoranta", "gcv", "ebvba",
+        # r10 tranche (public cleanco/GLEIF-style suffix forms): FI sole
+        # traders, LT small partnerships, SK full public/private forms,
+        # GR general partnerships, FR worker/collective-interest coops,
+        # CL/ES stock companies, PT single-member + holding SGPS full
+        # form, RU full transliterated forms, UK limited-by-shares long
+        # form, LU fund vehicles, HU public-benefit companies
+        "toiminimi", "mazoji bendrija",
+        "akciova spolocnost", "spolocnost s rucenim obmedzenym",
+        "omorrythmi etaireia",
+        "societe cooperative et participative",
+        "sociedad por acciones", "sociedade unipessoal lda",
+        "sociedade gestora de participacoes sociais",
+        "obshchestvo s ogranichennoi otvetstvennostyu",
+        "aktsionernoe obshchestvo", "publichnoe aktsionernoe obshchestvo",
+        "private company limited by shares",
+        "tmi", "enk", "scic", "sicar", "fcp", "kht",
     ],
     key=lambda t: (-len(t), t),  # longest-first -> regex alternation prefers
 )
@@ -1271,6 +1287,23 @@ TYPES_BY_LEF: dict[str, list[str]] = {
     "ebvba": ["private"],
     "sicaf": ["public"],
     "scpa": ["public"],
+    # r10 tranche (same public cleanco/GLEIF-style sources as the terms)
+    "toiminimi": ["private"], "tmi": ["private"], "enk": ["private"],
+    "mazoji bendrija": ["private"],
+    "akciova spolocnost": ["public"],
+    "spolocnost s rucenim obmedzenym": ["private"],
+    "omorrythmi etaireia": ["partnership"],
+    "societe cooperative et participative": ["cooperative"],
+    "scic": ["cooperative"],
+    "sociedad por acciones": ["corporation"],
+    "sociedade unipessoal lda": ["limited"],
+    "sociedade gestora de participacoes sociais": ["corporation"],
+    "obshchestvo s ogranichennoi otvetstvennostyu": ["private"],
+    "aktsionernoe obshchestvo": ["public"],
+    "publichnoe aktsionernoe obshchestvo": ["public"],
+    "private company limited by shares": ["limited"],
+    "kht": ["nonprofit"],
+    "sicar": ["public"], "fcp": ["public"],
 }
 
 

@@ -254,3 +254,41 @@ def test_blocked_terms_validation(spark):
         blocked_terms_table(df, "doc_id", "text", ["Bad"])
     with _pytest.raises(ValueError, match="empty"):
         blocked_terms_table(df, "doc_id", "text", [])
+
+
+def test_lang_phrases_witness_every_profile():
+    """Every (lang, phrase) pair in the contract plant must have its
+    scorer argmax equal to its language over the FULL profile set — the
+    audit that catches a new profile silently flipping an old phrase's
+    detection (the r8 sk profile did exactly that to the pt phrase; the
+    lang_id row stayed oracle-EXACT throughout, so only this pairing
+    check can see it).  Pure Python (the pinned scorer mirror), no
+    Spark."""
+    import importlib.util
+    import re
+
+    from entitymatchingmodel_spark.functions.text import (
+        CHAR_TRIGRAM_PROFILES,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_lang_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pairs = mod._LANG_PHRASE_PAIRS
+
+    # one pair per profile, no orphans either way
+    assert sorted(l for l, _ in pairs) == sorted(CHAR_TRIGRAM_PROFILES)
+
+    def argmax(text):
+        s = " " + re.sub(r"[^a-z]+", " ", text.lower()).strip() + " "
+        grams = [s[i:i + 3] for i in range(max(0, len(s) - 2))]
+        hits = {l: sum(g in set(p) for g in grams)
+                for l, p in CHAR_TRIGRAM_PROFILES.items()}
+        best = max(hits.values())
+        return "und" if best == 0 else min(
+            l for l, h in hits.items() if h == best)
+
+    bad = [(l, argmax(p)) for l, p in pairs if argmax(p) != l]
+    assert not bad, f"phrases no longer witness their profile: {bad}"
