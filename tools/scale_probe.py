@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from entitymatchingmodel_spark.session import get_spark
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+_POS_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _POS_ARGS[0] if _POS_ARGS else "/root/testdata/sf0.1"
 FACTORS = [1, 4, 10]
 
 
