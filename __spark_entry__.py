@@ -705,6 +705,7 @@ _PQ_M = 4          # subspaces (64-dim embeddings -> 16-dim subvectors)
 _PQ_K = 16         # codes per subspace
 _PQ_TOPK = 5
 _PQ_NQ = 5         # query batch: the NQ smallest vec_ids
+_IPQR_SHORTLIST = 15  # refine: ADC shortlist = 3x the final k
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,6 +760,36 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding", k=_PQ_TOPK,
         nlist=_IPQ_NLIST, nprobe=_IPQ_NPROBE, m=_PQ_M, pq_k=_PQ_K,
         codebooks=cb, score_decimals=6,
+    )
+
+
+def q_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (r10, the FAISS IndexRefine pattern —
+    operators/pq.py refine_topk): the IVF-PQ composition ranks a 3x
+    shortlist from codes, then ONLY shortlisted rows are re-scored with
+    the exact unit cosine from their raw vectors — recovers the recall
+    ADC quantization loses without ever scanning raw vectors
+    corpus-wide.  Shortlist+query vectors broadcast; micro-unit exact
+    scores — EXACT oracle (the full shortlist SQL reused as a
+    subquery)."""
+    from entitymatchingmodel_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_codebooks_from_ids,
+        refine_topk,
+    )
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    cb = pq_codebooks_from_ids(
+        emb, "vec_id", "embedding", _PQ_M, _PQ_K, normalize=True
+    )
+    shortlist = ivf_pq_topk(
+        queries, emb, "vec_id", "embedding", k=_IPQR_SHORTLIST,
+        nlist=_IPQ_NLIST, nprobe=_IPQ_NPROBE, m=_PQ_M, pq_k=_PQ_K,
+        codebooks=cb, score_decimals=6,
+    )
+    return refine_topk(
+        shortlist, queries, emb, "vec_id", "embedding", k=_PQ_TOPK
     )
 
 
@@ -2522,8 +2553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness file holds at most 50 rows per round, so queries
     are listed most-in-need-of-a-check first.
 
-    r10 window (first 50): (1) the two rows NEW in r10
-    (refinedweb_lines, incremental_dedup); (2) the rows whose CODE or
+    r10 window (first 50): (1) the three rows NEW in r10
+    (refinedweb_lines, incremental_dedup, ivf_pq_refined); (2) the rows
+    whose CODE or
     ORACLE changed in r10 — c4_rules / curate_batch (the c4_utils
     ellipsis-exclusion fix + a planted ellipsis line exercising it),
     pareto_select (the micro-unit threshold quantization), and
@@ -2539,11 +2571,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     earns the slot), then the LM/mixture/supervised-feature/cossim/
     kmeans families whose last green row is r08.
 
-    Tail (57 = 107 - 50): six r8-green oracle-checkable rows whose
-    files r10 did not touch (tpch_q1_pricing, events_windowed,
-    events_sessions, events_rollup, media_metadata, media_features —
-    all re-verified EXACT by this round's local sf0.01 check_oracle
-    run, see BENCH_NOTES r10; they lead the r11 rotation); the four
+    Tail (58 = 108 - 50): seven r8-green oracle-checkable rows
+    (url_normalize — web.py untouched in r10, displaced by
+    ivf_pq_refined — plus tpch_q1_pricing, events_windowed,
+    events_sessions, events_rollup, media_metadata, media_features,
+    whose files r10 did not touch; all re-verified EXACT by this
+    round's local sf0.01 check_oracle 107/107 sweep, see BENCH_NOTES
+    r10; they lead the r11 rotation); the four
     rows-only-by-design queries (noised_names, supervised_* — seeded
     RNG / ML scores, no SQL oracle wherever they sit); and the 47
     r9-window rows whose latest green row is r09 (c4_rules /
@@ -2552,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10 window: new rows, changed rows, then the r8-green tail ---
         "refinedweb_lines": q_refinedweb_lines,
         "incremental_dedup": q_incremental_dedup,
+        "ivf_pq_refined": q_ivf_pq_refined,
         "c4_rules": q_c4_rules,
         "curate_batch": q_curate_batch,
         "pareto_select": q_pareto_select,
@@ -2594,7 +2629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_match": q_best_match,
         "threshold_curves": q_threshold_curves,
         "auc": q_auc,
-        "url_normalize": q_url_normalize,
         "kmeans_stream_assign": q_kmeans_stream_assign,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -2602,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         # --- tail: r8-green untouched-file rows (lead the r11 rotation) +
         # rows-only-by-design ---
+        "url_normalize": q_url_normalize,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
@@ -5106,7 +5141,10 @@ _ORACLE["pq_topk"] = f"""
 # composed with the pq_topk oracle's codebook/encode/ADC CTEs, both on
 # UNIT vectors; candidate set = probed buckets, scores = integer
 # micro-unit sums (order-free)
-_ORACLE["ivf_pq_topk"] = f"""
+# Parameterized over the final top-k so the refined row can reuse the
+# WHOLE composition as its shortlist subquery ({{k}} survives the
+# f-string as a .format placeholder).
+_IVF_PQ_SQL_TMPL = f"""
     WITH eu AS (SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                 FROM embeddings),
@@ -5165,7 +5203,36 @@ _ORACLE["ivf_pq_topk"] = f"""
                                     ORDER BY s_micro DESC, nn_id ASC) AS rank
           FROM sc)
     SELECT qid, nn_id, score, CAST(rank AS INT) AS rank
-    FROM r WHERE rank <= {_PQ_TOPK}
+    FROM r WHERE rank <= {{k}}
+"""
+_ORACLE["ivf_pq_topk"] = _IVF_PQ_SQL_TMPL.format(k=_PQ_TOPK)
+
+# ivf_pq_refined: the full IVF-PQ composition above produces a 3x
+# shortlist, then ONLY the shortlisted (qid, nn_id) pairs are re-scored
+# with the EXACT unit cosine (list_dot_product over the same unit
+# vectors, micro-rounded — the same ordering rule the Spark refine
+# uses), final top-k per query.
+_ORACLE["ivf_pq_refined"] = f"""
+    WITH cand AS ({_IVF_PQ_SQL_TMPL.format(k=_IPQR_SHORTLIST)}
+    ),
+    eu2 AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+    un2 AS (SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vu
+            FROM eu2 WHERE list_dot_product(v, v) > 0),
+    ex AS (SELECT c.qid, c.nn_id,
+                  CAST(round(list_dot_product(q.vu, d.vu) * 1e6) AS BIGINT)
+                      AS e_micro
+           FROM cand c
+           JOIN un2 q ON q.vec_id = c.qid
+           JOIN un2 d ON d.vec_id = c.nn_id),
+    rr AS (SELECT qid, nn_id, round(e_micro/1e6, 6) AS score,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY e_micro DESC, nn_id ASC) AS rank
+           FROM ex)
+    SELECT qid, nn_id, score, CAST(rank AS INT) AS rank
+    FROM rr WHERE rank <= {_PQ_TOPK}
 """
 
 

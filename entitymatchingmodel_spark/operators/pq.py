@@ -580,3 +580,90 @@ class PQModel:
 
     def unpersist(self) -> None:
         self.codebooks.unpersist()
+
+
+def refine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    qid_col: str = "qid",
+    cand_col: str = "nn_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact cosine re-rank of an ANN candidate shortlist — the standard
+    two-stage retrieval tail (FAISS's ``IndexRefine``): a compressed
+    index (:func:`ivf_pq_topk` / :func:`pq_topk` / ``ann.ivf_topk``)
+    ranks a SHORTLIST cheaply from codes or buckets, then only the
+    shortlisted rows are re-scored EXACTLY from their raw vectors.  ADC
+    scores carry quantization error that reorders near-ties; rescoring a
+    3-5x shortlist recovers most of exact search's recall@k while still
+    never scanning raw vectors corpus-wide.
+
+    Output: ``(qid, nn_id, score, rank)`` — exact unit-cosine scores
+    rounded to 6dp, ties broken by ascending id; rows whose query or
+    candidate vector is missing or zero-norm drop (no evidence).
+
+    Plan shape: the shortlist (bounded by ``max_queries * shortlist_k``,
+    guarded) joins its query vectors and is BROADCAST against the corpus
+    equi-join that fetches candidate raw vectors — one scan of the
+    corpus, no shuffle of it; the rescore is one dot product per
+    shortlist row and the final top-k is a window over <= shortlist_k
+    rows per query.  Ranking compares integer micro-units, so it is
+    aggregation-order-free and oracle-exact, the :func:`pq_topk`
+    posture.
+    """
+    from entitymatchingmodel_spark.operators.ann import _l2_normalize
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    missing = {qid_col, cand_col} - set(candidates.columns)
+    if missing:
+        raise ValueError(
+            f"candidates is missing column(s) {sorted(missing)}; "
+            f"got {candidates.columns}"
+        )
+    n_q = (
+        candidates.select(qid_col).distinct().limit(max_queries + 1).count()
+    )
+    if n_q > max_queries:
+        raise ValueError(
+            f"candidate shortlist spans more than max_queries={max_queries} "
+            "queries; the shortlist+query-vector frame is broadcast — "
+            "chunk the query set (or raise max_queries if it still fits)"
+        )
+    cand = candidates.select(
+        F.col(qid_col).alias("_rq"), F.col(cand_col).alias("_rc")
+    ).dropDuplicates(["_rq", "_rc"])
+    qun = _l2_normalize(
+        queries.select(F.col(id_col).alias("_rq"), F.col(vec_col).alias("_qv")),
+        "_qv",
+    ).filter(F.col("_qv").isNotNull())
+    cun = _l2_normalize(
+        corpus.select(F.col(id_col).alias("_rc"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).filter(F.col("_cv").isNotNull())
+    scored = (
+        F.broadcast(cand.join(qun, "_rq"))
+        .join(cun, "_rc")
+        .select(
+            "_rq",
+            "_rc",
+            F.round(_dot(F.col("_qv"), F.col("_cv")) * MICRO)
+            .cast("long")
+            .alias("_e_micro"),
+        )
+    )
+    w = Window.partitionBy("_rq").orderBy(F.desc("_e_micro"), F.asc("_rc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_rq").alias("qid"),
+            F.col("_rc").alias("nn_id"),
+            F.round(F.col("_e_micro") / MICRO, 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
