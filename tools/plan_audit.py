@@ -59,9 +59,14 @@ def main() -> int:
                 # broadcast — linear scan, k dots per row)
                 # (ivf_pq_topk reuses the IVF centroid assignment verbatim;
                 # its PQ stages are hash joins)
+                # (ivf_pq_refined = ivf_pq_topk shortlist + an exact
+                # rescore tail of pure equi-joins: its plan carries
+                # exactly the base row's 2 BroadcastNestedLoops — the
+                # bounded centroid assignments — and nothing new;
+                # verified by BNLJ-count parity against ivf_pq_topk)
                 if name in ("naive_pairs", "ivf_topk", "ivf_index_topk",
                             "kmeans_clusters", "cluster_balanced_sample",
-                            "ivf_pq_topk"):
+                            "ivf_pq_topk", "ivf_pq_refined"):
                     flags.append("bounded cross-join (documented)")
                 else:
                     flags.append("NESTED-LOOP <-- FAIL")
