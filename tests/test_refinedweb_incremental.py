@@ -180,3 +180,41 @@ def test_incremental_dedup_snapshot_composition(spark):
     )
     c_novel = dedup_against_index(snap_c, "text", idx2)
     assert [r["id"] for r in c_novel.collect()] == [7]
+
+
+def test_refinedweb_rules_match_mirror_on_random_docs(spark):
+    """One batched Spark job over 150 adversarial random multi-line docs
+    must agree exactly with the Python mirror — same posture as the
+    lang-id scorer's randomized parity test (seeded, not a flake)."""
+    import random
+
+    from entitymatchingmodel_spark.functions.text import (
+        refinedweb_lines_table,
+    )
+
+    rng = random.Random(4242)
+    alphabet = "abcDEFgHIJkl MNOpqr 0123456789 .,:%/-\t"
+    planted = ["3 likes", "42 comments", "SHOUTY CAPS LINE", "loading",
+               "17", "12 345.67", "ok fine", "  ", ""]
+    cases = []
+    for i in range(150):
+        n_lines = rng.randint(0, 8)
+        lines = []
+        for _ in range(n_lines):
+            if rng.random() < 0.4:
+                lines.append(rng.choice(planted))
+            else:
+                ln = rng.randint(0, 30)
+                lines.append("".join(rng.choice(alphabet) for _ in range(ln)))
+        cases.append((i, "\n".join(lines) if lines else rng.choice(["", None])))
+
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_lines_removed"], r["n_chars"],
+            r["n_chars_removed"], r["keep"], r["cleaned_text"],
+        )
+        for r in refinedweb_lines_table(df, "doc_id", "text").collect()
+    }
+    for i, t in cases:
+        assert got[i] == _py_rw(t), (i, t, got[i], _py_rw(t))
