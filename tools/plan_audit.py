@@ -7,20 +7,55 @@ CartesianProduct anywhere is reported as a FAIL — at 100 TB those are
 quadratic; every join in this engine is expected to be an equi-join (hash/
 sort-merge/broadcast-hash).
 
-Usage: python tools/plan_audit.py [sf_dir]
-Exit code 1 if any query plans a nested loop / cartesian product.
+It then EXECUTES every query (noop write — full plan execution, nothing
+collected) with the JVM's stderr captured, and fails any query whose run
+logs a ``CodeGenerator ... Failed to compile`` ERROR: janino refusing a
+>64KB generated method silently drops the whole stage to interpreted
+row-at-a-time eval — results stay correct, so only this runtime canary
+(not plan shape, which still shows WholeStageCodegen) catches it.  That
+exact blind spot hid the r10 curation-front-door fallback.  Opt out with
+``--no-exec`` (plan-shape-only, the pre-r11 behavior).
+
+Usage: python tools/plan_audit.py [sf_dir] [--no-exec]
+Exit code 1 if any query plans a nested loop / cartesian product, errors,
+or logs a codegen compile failure during execution.
 """
 
 from __future__ import annotations
 
 import importlib.util
 import os
+import re
 import sys
+import tempfile
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.001"
+EXEC_CANARY = "--no-exec" not in sys.argv
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):
+        ONLY = set(_a[len("--only="):].split(","))
+
+_MARK = "### CANARY-QUERY "
+
+
+def _parse_canary_log(path: str) -> dict[str, int]:
+    """Per-query count of codegen compile failures: the capture file is
+    the JVM's stderr with `_MARK <name>` lines written (fd-level, so
+    ordering with log4j's console appender holds) before each query."""
+    fails: dict[str, int] = {}
+    current = None
+    for line in open(path, errors="replace"):
+        if line.startswith(_MARK):
+            current = line[len(_MARK):].strip()
+            fails.setdefault(current, 0)
+        elif "Failed to compile the generated Java code" in line:
+            fails[current or "<pre-query>"] = fails.get(current or "<pre-query>", 0) + 1
+    return fails
 
 
 def main() -> int:
@@ -37,14 +72,34 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    # The codegen canary needs the JVM's stderr (log4j console appender):
+    # redirect fd 2 to a file BEFORE the JVM launches so it inherits the
+    # descriptor — a post-launch sys.stderr swap misses the child process.
+    cap_path = None
+    if EXEC_CANARY:
+        cap = tempfile.NamedTemporaryFile(
+            "w", suffix=".canary.log", delete=False
+        )
+        cap_path = cap.name
+        os.dup2(cap.fileno(), 2)
+
     spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     bad = 0
     print(f"{'query':30s} {'exchanges':>9s} {'broadcasts':>10s}  flags")
     for name, fn in mod.queries().items():
+        if ONLY and name not in ONLY:
+            continue
         try:
+            if EXEC_CANARY:
+                os.write(2, f"{_MARK}{name}\n".encode())
             df = fn(spark, SF_DIR)
+            if EXEC_CANARY:
+                # full execution, zero collection — fires every stage's
+                # codegen compile (plan-shape inspection alone cannot see
+                # a janino fallback)
+                df.write.format("noop").mode("overwrite").save()
             plan = explain_str(df)
             flags = []
             if "BroadcastNestedLoop" in plan or "CartesianProduct" in plan:
@@ -75,6 +130,16 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - diagnostic tool
             print(f"{name:30s} ERROR: {str(e)[:90]}")
             bad += 1
+    if EXEC_CANARY and cap_path:
+        fails = _parse_canary_log(cap_path)
+        red = {q: n for q, n in fails.items() if n}
+        print(f"\ncodegen canary: {len(fails)} queries executed, "
+              f"{len(red)} with compile failures")
+        for q, n in sorted(red.items()):
+            print(f"  CODEGEN-FALLBACK <-- FAIL  {q}: {n} "
+                  "'Failed to compile' ERROR(s) — stage ran interpreted")
+            bad += 1
+        os.unlink(cap_path)
     print(f"\n{bad} problem(s)")
     return 1 if bad else 0
 
