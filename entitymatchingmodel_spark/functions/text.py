@@ -7,6 +7,8 @@ single-projection DataFrame op: zero Python boundaries, full codegen.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -337,6 +339,223 @@ def lang_id_chargram(c: Column) -> Column:
     (trigram profiles fire on inflected forms and boundary n-grams that a
     fixed stopword list misses)."""
     return lang_scores_chargram(c)["lang"]
+
+
+# ---------------------------------------------------------------------------
+# Data-driven shapes of the char-trigram scorer (r11).
+#
+# The literal `_score_from_norm` expression grows ~100 bytes of generated
+# Java PER PROFILE TRIGRAM (660 replace() calls at 33 languages), and
+# whole-stage codegen INLINES every fused operator into one method (a
+# partial SortAggregate's sort_addToSorter loop in batch, a stream stage's
+# processNext) with no way to split a single expression tree — so a
+# front-door that fuses the scorer with its other screens crosses janino's
+# hard 64KB-per-method limit and Spark silently drops the WHOLE stage to
+# interpreted row-at-a-time eval (ERROR CodeGenerator: ... Code grows
+# beyond 64 KB; caught by tools/plan_audit.py's codegen canary).  The two
+# shapes below keep generated-code size CONSTANT in dictionary size, so
+# profile growth (fastText-lid ships 176 languages) can never re-trigger
+# the fallback:
+#
+# * :func:`lang_scores_kernel` — an Arrow-batched numpy kernel: ONE pass
+#   per document (O(len) vs the replace-counter's O(len x n_trigrams) —
+#   660x less character work at 33 languages), profiles live in a base-28
+#   trigram-code lookup table built once per executor.  A stateless
+#   projection, so it is append-safe on streams, and it plans as its own
+#   ArrowEvalPython node — the surrounding JVM stages codegen cleanly.
+# * :func:`lang_id_join_table` — the pure-JVM batch shape: explode trigram
+#   positions, broadcast-join the (gram, lang, prio) profile table, two
+#   bounded aggregates, left-join back.  The profile table is DATA in the
+#   plan's references, not generated code.  Needs aggregation => batch
+#   only.
+#
+# All three shapes are pinned exactly equal in tests: same normalizer,
+# same all-positions counting (equal to the literal shape's non-overlapping
+# replace() counts because no profile trigram self-overlaps — asserted at
+# import above), same alphabetical tie-break, same 'und' zero-hit rule.
+# ---------------------------------------------------------------------------
+
+_LANGS_SORTED = tuple(sorted(CHAR_TRIGRAM_PROFILES))
+_KERNEL_TABLES = None
+# python mirror of _chargram_norm's "[^a-z]+" -> " " collapse (identical
+# semantics in Java and Python regex: ASCII class, no case folding)
+_KERNEL_NORM_RE = re.compile(r"[^a-z]+")
+
+
+def _kernel_tables():
+    """Lazy per-process numpy tables for :func:`lang_scores_kernel`:
+    ``lut`` maps a base-28 trigram code -> compact gram id (-1 when the
+    gram is in no profile; code 27 marks the inter-document separator, so
+    any window crossing a document boundary resolves to -1), and
+    ``member[gram id]`` is the 0/1 membership row over the sorted language
+    list (a trigram may belong to several profiles)."""
+    global _KERNEL_TABLES
+    if _KERNEL_TABLES is None:
+        import numpy as np
+
+        grams = sorted({t for p in CHAR_TRIGRAM_PROFILES.values() for t in p})
+
+        def enc(t: str) -> int:
+            v = 0
+            for ch in t:
+                v = v * 28 + (26 if ch == " " else ord(ch) - 97)
+            return v
+
+        lut = np.full(28**3, -1, dtype=np.int32)
+        member = np.zeros((len(grams), len(_LANGS_SORTED)), dtype=np.int32)
+        gram_idx = {g: i for i, g in enumerate(grams)}
+        for g in grams:
+            lut[enc(g)] = gram_idx[g]
+        for li, lang in enumerate(_LANGS_SORTED):
+            for t in CHAR_TRIGRAM_PROFILES[lang]:
+                member[gram_idx[t], li] = 1
+        # byte -> base-28 digit: a-z -> 0..25, space -> 26, anything else
+        # (only the \x00 separator can appear post-normalize) -> 27
+        tr = np.full(256, 27, dtype=np.int32)
+        tr[32] = 26
+        tr[97:123] = np.arange(26)
+        _KERNEL_TABLES = (lut, member, tr)
+    return _KERNEL_TABLES
+
+
+def _kernel_score_batch(texts):
+    """Score one Arrow batch: returns (lang, hits, n_trigrams) arrays.
+    Wholly vectorized — documents are joined with a \\x00 separator (whose
+    base-28 digit 27 poisons every cross-boundary window) so trigram
+    coding, profile lookup and per-(doc, gram) counting are single numpy
+    passes over the batch, followed by one (docs x grams) @ (grams x langs)
+    count matmul and an argmax whose first-max-wins matches the literal
+    shape's alphabetical tie-break."""
+    import numpy as np
+
+    lut, member, tr = _kernel_tables()
+    norms = [
+        " " + _KERNEL_NORM_RE.sub(" ", (t or "").lower()).strip(" ") + " "
+        for t in texts
+    ]
+    n = len(norms)
+    lens = np.fromiter((len(s) for s in norms), dtype=np.int64, count=n)
+    n_tri = np.maximum(lens - 2, 0).astype("int32")
+    langs_arr = np.array(_LANGS_SORTED)
+    if n == 0:
+        z = np.empty(0, dtype="int32")
+        return np.empty(0, dtype=object), z, z
+    blob = "\x00".join(norms)
+    v = tr[np.frombuffer(blob.encode("ascii"), dtype=np.uint8)]
+    hits_mat = np.zeros((n, member.shape[0]), dtype=np.int64)
+    if len(v) >= 3:
+        codes = v[:-2] * 784 + v[1:-1] * 28 + v[2:]
+        gi = lut[codes]
+        mask = gi >= 0
+        if mask.any():
+            # window start position -> owning document (separators own no
+            # windows: any window touching one has gi == -1 and is masked)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+            doc_of = (
+                np.searchsorted(starts, np.nonzero(mask)[0], side="right") - 1
+            )
+            flat = np.bincount(
+                doc_of * member.shape[0] + gi[mask],
+                minlength=n * member.shape[0],
+            )
+            hits_mat = flat.reshape(n, member.shape[0])
+    per_lang = hits_mat @ member
+    best = per_lang.argmax(axis=1)
+    mx = per_lang.max(axis=1)
+    lang = np.where(mx > 0, langs_arr[best], "und")
+    return lang, mx.astype("int32"), n_tri
+
+
+def lang_scores_kernel(c: Column) -> Column:
+    """Struct ``(lang, hits, n_trigrams)`` from the Arrow-batched numpy
+    kernel — exactly :func:`lang_scores_chargram`'s semantics with
+    generated-code size independent of the profile dictionary (see the
+    section comment above).  The Python-side normalizer mirrors
+    :func:`_chargram_norm` (lower -> collapse non-[a-z] runs to single
+    spaces -> strip -> pad); ``[^a-z]+`` behaves identically in Java and
+    Python regex, and both engines' lowercasing agrees on the Latin
+    repertoire the [a-z]-residue profiles can see."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lang:string,hits:int,n_trigrams:int>")
+    def _score(texts):  # pd.Series -> pd.DataFrame
+        import pandas as pd
+
+        lang, hits, n_tri = _kernel_score_batch(texts.tolist())
+        return pd.DataFrame(
+            {"lang": lang, "hits": hits, "n_trigrams": n_tri}
+        )
+
+    # The kernel IS deterministic; the flag only tells Catalyst not to
+    # substitute it through Project/Filter boundaries — without it, a
+    # filter on the scored `lang` pushes below the projection and the
+    # batch is shipped through TWO ArrowEvalPython nodes (one for the
+    # predicate, one for the output column), doubling the Python round
+    # trips on the hottest front-door path.  Evaluate-once is also the
+    # conservative choice for a Python-backed expression.
+    return _score.asNondeterministic()(c)
+
+
+def lang_id_kernel(c: Column) -> Column:
+    """Language code from the Arrow-batched kernel ('und' if no hits) —
+    pinned exactly equal to :func:`lang_id_chargram`."""
+    return lang_scores_kernel(c)["lang"]
+
+
+def lang_profile_table(spark) -> DataFrame:
+    """The char-trigram profiles as a DataFrame ``(gram, lang, prio)`` —
+    the broadcast build side of :func:`lang_id_join_table`.  ``prio`` is
+    the negated alphabetical index, so ``max(struct(hits, prio, lang))``
+    reproduces the literal shape's alphabetically-first tie-break."""
+    rows = [
+        (t, lang, -i)
+        for i, lang in enumerate(_LANGS_SORTED)
+        for t in CHAR_TRIGRAM_PROFILES[lang]
+    ]
+    return spark.createDataFrame(rows, "gram string, lang string, prio int")
+
+
+def lang_id_join_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang, hits, n_trigrams) per document via the DATA-DRIVEN
+    broadcast-join shape — pinned exactly equal to :func:`lang_id_table`
+    (the literal-expression shape), with plan size independent of the
+    profile dictionary: every overlapping trigram position is exploded,
+    equi-joined against the broadcast ``(gram, lang, prio)`` profile table
+    (matched positions only survive), counted per (id, lang), and the
+    argmax is one more bounded aggregate; documents with no matching
+    position are restored 'und' by the final left join.  Batch only (two
+    aggregates); streams use :func:`lang_scores_kernel`."""
+    profiles = lang_profile_table(df.sparkSession)
+    base = df.select(
+        F.col(id_col), _chargram_norm(F.col(text_col)).alias("_n")
+    ).withColumn(
+        "_nt", F.greatest(F.length("_n") - 2, F.lit(0)).cast("int")
+    )
+    # sequence(1, len-2) would DESCEND for len < 3 (Spark defaults to step
+    # -1 when start > stop) — guard short docs to an empty position list
+    positions = F.when(
+        F.length("_n") >= 3, F.sequence(F.lit(1), F.length("_n") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col), F.explode(positions).alias("_p"), F.col("_n")
+    ).select(
+        F.col(id_col), F.col("_n").substr(F.col("_p"), F.lit(3)).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang", "prio")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.max(F.struct(F.col("hits"), F.col("prio"), F.col("lang"))).alias("_t")
+    )
+    return base.join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_t.lang"), F.lit("und")).alias("lang"),
+        F.coalesce(F.col("_t.hits"), F.lit(0)).cast("int").alias("hits"),
+        F.col("_nt").alias("n_trigrams"),
+    )
 
 
 def lang_id(c: Column) -> Column:

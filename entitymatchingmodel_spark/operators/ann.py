@@ -43,6 +43,7 @@ def cosine_topk(
     vec_col: str,
     k: int = 10,
     score_decimals: int | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbours: (qid, nn_id, score, rank).
 
@@ -52,7 +53,8 @@ def cosine_topk(
     the final window (score desc, nn_id asc) — partial top-k composes exactly,
     so the shuffle carries ≤ k·n_batches rows per query instead of |corpus|.
     The corpus is scanned once, partition-parallel; valid at any corpus size
-    while the query batch is broadcastable.  (A pure-expression formulation
+    while the query batch is broadcastable — ``max_queries`` fail-fasts the
+    driver collect when it would not be.  (A pure-expression formulation
     with ``zip_with``/``aggregate`` dots is ~10x slower: higher-order array
     functions evaluate interpreted, per element.)  Zero-norm vectors score
     NaN and are excluded.
@@ -60,6 +62,18 @@ def cosine_topk(
     import numpy as np
 
     spark = corpus.sparkSession
+    # the query matrix is collected to the driver and broadcast — fail
+    # fast on an unbounded query side (e.g. swapped queries/corpus
+    # arguments) instead of collecting it, the refine_topk /
+    # embedding_near_pairs / score_rowwise family idiom
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"queries has more than max_queries={max_queries} rows; the "
+            "query matrix is driver-collected and broadcast — chunk the "
+            "query set, swap the (queries, corpus) arguments if reversed, "
+            "or use the IVF-bucketed path (ivf_topk / "
+            "dedup.embedding_near_pairs_bucketed) for large-x-large search"
+        )
     qpdf = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
         .toPandas()

@@ -592,6 +592,7 @@ def refine_topk(
     qid_col: str = "qid",
     cand_col: str = "nn_id",
     max_queries: int = 10_000,
+    max_shortlist_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine re-rank of an ANN candidate shortlist — the standard
     two-stage retrieval tail (FAISS's ``IndexRefine``): a compressed
@@ -633,6 +634,20 @@ def refine_topk(
             f"candidate shortlist spans more than max_queries={max_queries} "
             "queries; the shortlist+query-vector frame is broadcast — "
             "chunk the query set (or raise max_queries if it still fits)"
+        )
+    # the broadcast is max_queries x rows-per-query, each row carrying a
+    # full query vector — bound BOTH factors (a large-k caller would pass
+    # the distinct-query guard yet still broadcast an oversized frame);
+    # default budget: 100 shortlist rows per allowed query
+    row_cap = (
+        max_queries * 100 if max_shortlist_rows is None else max_shortlist_rows
+    )
+    if candidates.limit(row_cap + 1).count() > row_cap:
+        raise ValueError(
+            f"candidate shortlist exceeds {row_cap} rows "
+            "(max_shortlist_rows; default max_queries*100); the shortlist+"
+            "query-vector frame is broadcast — re-rank in query chunks, "
+            "trim the per-query shortlist, or raise max_shortlist_rows"
         )
     cand = candidates.select(
         F.col(qid_col).alias("_rq"), F.col(cand_col).alias("_rc")

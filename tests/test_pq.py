@@ -261,6 +261,13 @@ def test_refine_topk_validation(spark, vectors):
     with pytest.raises(ValueError, match="max_queries"):
         refine_topk(many, vectors, vectors, "vec_id", "embedding", k=1,
                     max_queries=2)
+    # r11: TOTAL shortlist rows are bounded too — few queries with a huge
+    # per-query shortlist passed the distinct-qid guard yet still
+    # broadcast max_queries x shortlist_k query-vector-carrying rows
+    wide = spark.range(40).selectExpr("1 AS qid", "id AS nn_id")
+    with pytest.raises(ValueError, match="max_shortlist_rows"):
+        refine_topk(wide, vectors, vectors, "vec_id", "embedding", k=1,
+                    max_queries=5, max_shortlist_rows=30)
 
 
 def test_refine_recovers_recall_lost_to_adc(spark):

@@ -212,6 +212,76 @@ def test_lang_id_table_matches_column_api(spark):
     assert got == want and len(got) == docs.count()
 
 
+def test_lang_scorer_data_driven_shapes_match_literal(spark):
+    """The broadcast-join shape (lang_id_join_table) and the Arrow numpy
+    kernel (lang_scores_kernel) must be BYTE-EQUAL to the literal
+    expression shape (lang_id_table) on real corpus rows plus the edge
+    cases (NULL, empty, sub-trigram, space-only, accents, no-hit runs) —
+    all three share one DuckDB oracle through the driver, so any drift
+    here is a driver mismatch."""
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id_join_table,
+        lang_id_table,
+        lang_scores_kernel,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(9000001, None), (9000002, ""), (9000003, "ab"), (9000004, "   "),
+         (9000005, "ÉÀÇ --- 1234 !!!"), (9000006, "x" * 2000),
+         (9000007, "the quick brown fox and the lazy dog"),
+         (9000008, "der herr der ringe ist ein gutes buch")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(edge)
+    want = {r["doc_id"]: (r["lang"], r["hits"], r["n_trigrams"])
+            for r in lang_id_table(df, "doc_id", "text").collect()}
+    joined = {r["doc_id"]: (r["lang"], r["hits"], r["n_trigrams"])
+              for r in lang_id_join_table(df, "doc_id", "text").collect()}
+    kernel = {r["doc_id"]: tuple(r["s"]) for r in
+              df.select("doc_id", lang_scores_kernel(F.col("text")).alias("s")).collect()}
+    assert joined == want
+    assert kernel == want
+    assert len(want) == df.count()
+
+
+def test_lang_scorer_shapes_match_on_randomized_strings(spark):
+    """The randomized-adversarial parity sweep of
+    test_lang_scores_chargram_matches_python_reference, re-run against
+    the two r11 data-driven shapes: 150 seeded random strings (salted
+    with profile fragments so hits occur) must score identically through
+    the join shape and the kernel."""
+    import random
+
+    from entitymatchingmodel_spark.functions.text import (
+        lang_id_join_table,
+        lang_id_table,
+        lang_scores_kernel,
+    )
+
+    rng = random.Random(431)
+    alphabet = "abcdefghijklmnopqrstuvwxyz  .,;-0189éÄß"
+    frags = ["the", "der", "que", "van", "cao", "zio", "ing", "sch", " de"]
+    cases = []
+    for i in range(150):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        if i % 3 == 0:
+            for _ in range(rng.randint(1, 4)):
+                p = rng.randint(0, len(s))
+                s = s[:p] + rng.choice(frags) + s[p:]
+        cases.append((i, s))
+    df = spark.createDataFrame(cases, "id long, text string")
+    want = {r["id"]: (r["lang"], r["hits"], r["n_trigrams"])
+            for r in lang_id_table(df, "id", "text").collect()}
+    joined = {r["id"]: (r["lang"], r["hits"], r["n_trigrams"])
+              for r in lang_id_join_table(df, "id", "text").collect()}
+    kernel = {r["id"]: tuple(r["s"]) for r in
+              df.select("id", lang_scores_kernel(F.col("text")).alias("s")).collect()}
+    assert joined == want
+    assert kernel == want
+
+
 def test_blocked_terms_literal_hand_computed(spark):
     from entitymatchingmodel_spark.functions.text import blocked_terms_table
 
