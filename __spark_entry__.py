@@ -2592,52 +2592,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness file holds at most 50 rows per round, so queries
     are listed most-in-need-of-a-check first.
 
-    r10 window (first 50): (1) the three rows NEW in r10
-    (refinedweb_lines, incremental_dedup, ivf_pq_refined); (2) the rows
-    whose CODE or
-    ORACLE changed in r10 — c4_rules / curate_batch (the c4_utils
-    ellipsis-exclusion fix + a planted ellipsis line exercising it),
-    pareto_select (the micro-unit threshold quantization), and
-    quality_clf_scores (the per-row _gram_array featurizer fix; still
-    rows-only by design, taking the first-window slot promised at the
-    r9 rotation); (3) the r8-green tail rotated back in, churn-adjacent
-    first — the text.py consumers (lang_id, gopher_quality,
-    corpus_stats, chunk_docs, top_terms, streaming_curation) share the
-    file with the ellipsis fix and the new RefinedWeb rules, the
-    dedup.py consumers (dedup_drop, dedup_passages, dup_clusters,
-    simhash*, minhash_signatures) share the file with the new
-    incremental-dedup operators (both diffs additive, but adjacency
-    earns the slot), then the LM/mixture/supervised-feature/cossim/
-    kmeans families whose last green row is r08.
+    r11 window (first 50): (1) the two rows NEW in r11 (lang_id_joined,
+    lang_id_kernel — the data-driven trigram scorer shapes, both pinned
+    to lang_id's oracle); (2) the rows whose CODE changed in r11 —
+    curate_batch and streaming_curation (scorer rewiring: kernel default
+    scored post-dedup, the janino-64KB fix), lang_id (text.py hosts the
+    new scorer shapes; the literal expression is untouched but shares
+    the file), ann_cosine_topk (the max_queries collect guard) and
+    ivf_pq_refined (refine_topk's max_shortlist_rows guard); (3) the
+    seven r8-green rows promised the r11 lead at the r10 rotation
+    (url_normalize, tpch_q1_pricing, events_windowed, events_sessions,
+    events_rollup, media_metadata, media_features) — with these green
+    the oracle-checkable residue older than r9 is ZERO; (4) r9-green
+    rows, churn-adjacent first (text.py consumers gopher_repetition /
+    gopher_keep / blocklist_filter / repetition_stats / text_stats /
+    doc_fingerprint; pq.py consumers pq_topk / ivf_pq_topk), then the
+    two unattributed r10 bench movers under probe (semantic_dedup,
+    streaming_time_join — see BENCH_NOTES r11), then the remaining
+    r9-green rows in standing order up to the 50-row budget.
 
-    Tail (58 = 108 - 50): seven r8-green oracle-checkable rows
-    (url_normalize — web.py untouched in r10, displaced by
-    ivf_pq_refined — plus tpch_q1_pricing, events_windowed,
-    events_sessions, events_rollup, media_metadata, media_features,
-    whose files r10 did not touch; all re-verified EXACT by this
-    round's local sf0.01 check_oracle 107/107 sweep, see BENCH_NOTES
-    r10; they lead the r11 rotation); the four
-    rows-only-by-design queries (noised_names, supervised_* — seeded
-    RNG / ML scores, no SQL oracle wherever they sit); and the 47
-    r9-window rows whose latest green row is r09 (c4_rules /
-    curate_batch / pareto_select moved forward out of this group)."""
+    Tail (60 = 110 - 50): the ten r9-green rows the budget cannot hold
+    (preprocess_names, tfidf_vocab, media_frames, audio_stats,
+    temperature_mix_domain, resample_domain, url_dedup, reg_domain,
+    dsir_scores, dsir_resample — they lead the r12 rotation); the five
+    rows-only-by-design queries (noised_names, supervised_*,
+    quality_clf_scores — seeded RNG / ML scores, no SQL oracle wherever
+    they sit); and the 45 rows green in the r10 window whose files r11
+    did not change behaviorally."""
     return {
-        # --- r10 window: new rows, changed rows, then the r8-green tail ---
-        "refinedweb_lines": q_refinedweb_lines,
-        "incremental_dedup": q_incremental_dedup,
-        "ivf_pq_refined": q_ivf_pq_refined,
-        "c4_rules": q_c4_rules,
-        "curate_batch": q_curate_batch,
-        "pareto_select": q_pareto_select,
-        "quality_clf_scores": q_quality_clf_scores,
-        "lang_id": q_lang_id,
+        # --- r11 window: new rows, r11-touched rows, the promised
+        # r8-green seven, then r9-green churn-adjacent fill ---
         "lang_id_joined": q_lang_id_joined,
         "lang_id_kernel": q_lang_id_kernel,
+        "curate_batch": q_curate_batch,
+        "streaming_curation": q_streaming_curation,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_pq_refined": q_ivf_pq_refined,
+        "url_normalize": q_url_normalize,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "gopher_repetition": q_gopher_repetition,
+        "gopher_keep": q_gopher_keep,
+        "blocklist_filter": q_blocklist_filter,
+        "repetition_stats": q_repetition_stats,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "streaming_time_join": q_streaming_time_join,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "country_match": q_country_match,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "line_dedup": q_line_dedup,
+        "dup_spans": q_dup_spans,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_near_pairs": q_embed_near_pairs,
+        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
+        "dup_clusters_star": q_dup_clusters_star,
+        "contamination": q_contamination,
+        "streaming_sessions": q_streaming_sessions,
+        "pack_sequences": q_pack_sequences,
+        "events_interval_join_left": q_events_interval_join_left,
+        "events_interval_join": q_events_interval_join,
+        "events_asof": q_events_asof,
+        "events_asof_forward": q_events_asof_forward,
+        "events_sliding": q_events_sliding,
+        "events_json": q_events_json,
+        "cossim_broadcast_topk": q_cossim_broadcast_topk,
+        "pii_scrub": q_pii_scrub,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "exact_quantiles": q_exact_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
+        # --- tail: r9-green rows past the 50-row budget (lead the r12
+        # rotation) ---
+        "preprocess_names": q_preprocess_names,
+        "tfidf_vocab": q_tfidf_vocab,
+        "media_frames": q_media_frames,
+        "audio_stats": q_audio_stats,
+        "temperature_mix_domain": q_temperature_mix_domain,
+        "resample_domain": q_resample_domain,
+        "url_dedup": q_url_dedup,
+        "reg_domain": q_reg_domain,
+        "dsir_scores": q_dsir_scores,
+        "dsir_resample": q_dsir_resample,
+        # --- tail: rows-only-by-design ---
+        "noised_names": q_noised_names,
+        "supervised_scores": q_supervised_scores,
+        "supervised_score_only": q_supervised_score_only,
+        "supervised_quality": q_supervised_quality,
+        "quality_clf_scores": q_quality_clf_scores,
+        # --- tail: r10-green rows (files unchanged or additively
+        # extended since their green row) ---
+        "refinedweb_lines": q_refinedweb_lines,
+        "incremental_dedup": q_incremental_dedup,
+        "c4_rules": q_c4_rules,
+        "pareto_select": q_pareto_select,
         "gopher_quality": q_gopher_quality,
         "corpus_stats": q_corpus_stats,
         "chunk_docs": q_chunk_docs,
         "top_terms": q_top_terms,
-        "streaming_curation": q_streaming_curation,
         "dedup_drop": q_dedup_drop,
         "dedup_passages": q_dedup_passages,
         "dup_clusters": q_dup_clusters,
@@ -2675,68 +2737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "ivf_topk": q_ivf_topk,
         "ivf_index_topk": q_ivf_index_topk,
-        # --- tail: r8-green untouched-file rows (lead the r11 rotation) +
-        # rows-only-by-design ---
-        "url_normalize": q_url_normalize,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "events_windowed": q_events_windowed,
-        "events_sessions": q_events_sessions,
-        "events_rollup": q_events_rollup,
-        "media_metadata": q_media_metadata,
-        "media_features": q_media_features,
-        "noised_names": q_noised_names,
-        "supervised_scores": q_supervised_scores,
-        "supervised_score_only": q_supervised_score_only,
-        "supervised_quality": q_supervised_quality,
-        # --- tail: r9-green rows (checked last round, files unchanged or
-        # additively extended since) ---
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "repetition_stats": q_repetition_stats,
-        "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "country_match": q_country_match,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "line_dedup": q_line_dedup,
-        "dup_spans": q_dup_spans,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embed_near_pairs": q_embed_near_pairs,
-        "embed_near_pairs_bucketed": q_embed_near_pairs_bucketed,
-        "dup_clusters_star": q_dup_clusters_star,
-        "contamination": q_contamination,
-        "streaming_sessions": q_streaming_sessions,
-        "streaming_time_join": q_streaming_time_join,
-        "pack_sequences": q_pack_sequences,
-        "events_interval_join_left": q_events_interval_join_left,
-        "events_interval_join": q_events_interval_join,
-        "events_asof": q_events_asof,
-        "events_asof_forward": q_events_asof_forward,
-        "events_sliding": q_events_sliding,
-        "events_json": q_events_json,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "cossim_broadcast_topk": q_cossim_broadcast_topk,
-        "pii_scrub": q_pii_scrub,
-        "tpch_q6_forecast": q_tpch_q6_forecast,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "exact_quantiles": q_exact_quantiles,
-        "grouped_quantiles": q_grouped_quantiles,
-        "preprocess_names": q_preprocess_names,
-        "tfidf_vocab": q_tfidf_vocab,
-        "media_frames": q_media_frames,
-        "audio_stats": q_audio_stats,
-        "temperature_mix_domain": q_temperature_mix_domain,
-        "resample_domain": q_resample_domain,
-        "url_dedup": q_url_dedup,
-        "gopher_repetition": q_gopher_repetition,
-        "gopher_keep": q_gopher_keep,
-        "reg_domain": q_reg_domain,
-        "blocklist_filter": q_blocklist_filter,
-        "dsir_scores": q_dsir_scores,
-        "dsir_resample": q_dsir_resample,
-        "pq_topk": q_pq_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 

@@ -271,6 +271,48 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_bucket_names")
 
 
+def test_incremental_dedup_bucketed_index_no_exchange(spark):
+    """The operator docstring's promise (dedup.py dedup_against_index):
+    with the content index persisted BUCKETED on content_hash, the
+    index side of the LEFT ANTI join plans NO exchange — only the new
+    snapshot shuffles (1 exchange), where a plain-parquet index shuffles
+    both sides (2).  This is the write_bucketed -> read -> anti-join
+    cycle incremental dedup runs snapshot-over-snapshot at scale."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_index,
+    )
+    from entitymatchingmodel_spark.plans import exchange_count, explain_str
+    from entitymatchingmodel_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    seen_plain = build_content_index(
+        docs.where(F.col("doc_id") % 3 == 0), "text"
+    )
+    write_bucketed(seen_plain, "t_content_index", "content_hash", 8)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen_bucketed = read_bucketed(spark, "t_content_index")
+        fresh_b = dedup_against_index(docs, "text", seen_bucketed)
+        fresh_p = dedup_against_index(docs, "text", seen_plain)
+        nb, np_ = exchange_count(fresh_b), exchange_count(fresh_p)
+        assert nb == 1, explain_str(fresh_b)[:1500]
+        assert np_ == 2, f"plain index should shuffle both sides, saw {np_}"
+        assert ({r["doc_id"] for r in fresh_b.collect()}
+                == {r["doc_id"] for r in fresh_p.collect()})
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS t_content_index")
+
+
 def test_tpch_q6_scan_pushdown(spark):
     """Q6-shape: every predicate reaches the parquet scan and the scan
     reads only the 4 referenced columns — at 100 TB the scan cost IS the
