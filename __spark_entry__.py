@@ -557,6 +557,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("doc_id", "lang", "source")
 
 
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (r11, operators/dedup.py
+    build_bloom_index + dedup_against_bloom): the admitted-slice content
+    index is compressed by ONE map-side-combined bit_or aggregation into
+    a <=16 KiB bitmap (2^17 bits here), shipped as an array<long>
+    literal; the snapshot's definitely-new majority then passes a pure
+    map-stage probe (element_at + bitwiseAND per hash, zero joins) and
+    only the probable-duplicate sliver reaches the exact LEFT ANTI
+    confirm join — the 100-TB shape where the full snapshot never
+    shuffles.  False positives are eliminated by the confirm join, so
+    the output is pinned to the SAME oracle as `incremental_dedup`."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_bloom_index,
+        build_content_index,
+        dedup_against_bloom,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    seen = build_content_index(docs.where(F.col("doc_id") % 3 == 0), "text")
+    bloom = build_bloom_index(seen, num_bits=1 << 17, num_hashes=5)
+    fresh = dedup_against_bloom(docs, "text", seen, bloom=bloom)
+    return fresh.select("doc_id", "lang", "source")
+
+
 def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality classifier (r9, operators/quality_clf.py —
     the GPT-3/LLaMA discriminative curation filter): hashed uni+bi-gram
@@ -2624,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-green seven, then r9-green churn-adjacent fill ---
         "lang_id_joined": q_lang_id_joined,
         "lang_id_kernel": q_lang_id_kernel,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "curate_batch": q_curate_batch,
         "streaming_curation": q_streaming_curation,
         "lang_id": q_lang_id,
@@ -5283,4 +5308,7 @@ def oracle_sql() -> dict[str, str]:
     # Arrow numpy kernel) are pinned equal by sharing ONE oracle
     out["lang_id_joined"] = out["lang_id"]
     out["lang_id_kernel"] = out["lang_id"]
+    # the bloom prefilter is exact by construction (confirm anti-join
+    # eliminates false positives): same oracle as the plain anti-join
+    out["bloom_incremental_dedup"] = out["incremental_dedup"]
     return out

@@ -240,8 +240,169 @@ def dedup_against_index(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dedup
+# Bloom-prefiltered incremental dedup
 # ---------------------------------------------------------------------------
+
+_BLOOM_MAX_BITS = 1 << 27  # 16 MiB bitmap ceiling for the driver-built literal
+_BLOOM_SEED_2 = "emm-bloom-h2"  # second-hash salt (double hashing)
+
+
+def _signed64(v: int) -> int:
+    """Two's-complement view of an unsigned 64-bit value (JVM longs are
+    signed; py4j rejects literals above Long.MAX_VALUE)."""
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The ``num_hashes`` bit positions of ``key`` under double hashing
+    (pos_j = (h1 + j*h2) mod m, Kirsch-Mitzenmacher): two independent
+    xxhash64 draws (the second salted), each masked to 31 bits so the
+    position arithmetic can never overflow a signed long even under the
+    ANSI-mode default.  Build and probe MUST share this function — a
+    formula drift would manufacture false NEGATIVES, which (unlike false
+    positives, absorbed by the exact confirm join) would silently admit
+    duplicates."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(1 << 31))
+    h2 = F.pmod(F.xxhash64(key, F.lit(_BLOOM_SEED_2)), F.lit(1 << 31))
+    return [
+        F.pmod(h1 + F.lit(j) * h2, F.lit(num_bits)) for j in range(num_hashes)
+    ]
+
+
+def _bloom_validate(num_bits: int, num_hashes: int) -> None:
+    if num_bits <= 0 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    if num_bits > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"num_bits={num_bits} exceeds the {_BLOOM_MAX_BITS} bitmap ceiling "
+            "(16 MiB driver-built literal); for indexes too large for an "
+            "in-plan bitmap use dedup_against_index on the bucketed index"
+        )
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+
+
+def build_bloom_index(
+    index: DataFrame, num_bits: int = 1 << 20, num_hashes: int = 5
+) -> DataFrame:
+    """``(word_idx int, bits long, num_bits long, num_hashes int)`` — a
+    Bloom filter over a :func:`build_content_index` frame, as a SPARSE
+    bitmap table of 64-bit words (only words with at least one set bit
+    appear; at most ``num_bits/64`` rows regardless of index size).
+
+    100-TB shape: ONE map-side-combined ``bit_or`` aggregation over the
+    index compresses billions of 16-byte fingerprints into a <=16 MiB
+    bitmap that :func:`dedup_against_bloom` turns into a pure map-stage
+    prefilter for the next snapshot — the full-index anti-join then only
+    ever sees the (tiny) probable-duplicate sliver.  Persist this table
+    alongside the content index and rebuild it after appends (bit_or is
+    idempotent, so re-aggregating index ∪ new_hashes is a cheap refresh).
+
+    Sizing: with k hashes and n keys, fpp ≈ (1 - e^{-kn/m})^k; the
+    default m=2^20, k=5 holds ~1% up to n≈10^5 — raise ``num_bits``
+    toward the 2^27 ceiling for larger indexes, beyond which
+    :func:`dedup_against_index` is the right tool.  The parameters are
+    embedded as constant columns so a probe can never run with a
+    mismatched geometry (which would create false negatives)."""
+    _bloom_validate(num_bits, num_hashes)
+    if "content_hash" not in index.columns:
+        raise ValueError(
+            f"index must have a content_hash column, got {index.columns}"
+        )
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col("content_hash"), num_bits, num_hashes))
+    ).alias("pos")
+    return (
+        index.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .select(
+            "word_idx",
+            "bits",
+            F.lit(num_bits).cast("long").alias("num_bits"),
+            F.lit(num_hashes).cast("int").alias("num_hashes"),
+        )
+    )
+
+
+def dedup_against_bloom(
+    df: DataFrame,
+    text_col: str,
+    index: DataFrame,
+    bloom: DataFrame | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACTLY :func:`dedup_against_index`, with a Bloom prefilter so the
+    definitely-new majority of a snapshot never reaches the anti-join.
+
+    Two branches over the snapshot (persist ``df`` if a second scan is
+    expensive; two parquet scans are usually far cheaper than shuffling
+    the full snapshot against the index):
+
+    - bloom-MISS rows are *provably* absent from the index — they pass
+      straight through a map-only stage (bitmap literal probe, zero
+      joins, zero shuffle);
+    - bloom-HIT rows (true duplicates + the fpp sliver) go through the
+      exact LEFT ANTI join of :func:`dedup_against_index`, so false
+      positives are always eliminated and the output is hash-exact.
+
+    The bitmap is collected on the driver — bounded by ``num_bits/64``
+    words (<=16 MiB at the validated ceiling) INDEPENDENT of index size
+    — and shipped as one array<long> literal, so the probe is a single
+    whole-stage-codegen projection (``element_at`` + bitwiseAND per
+    hash).  Probe geometry is read from the bloom frame's embedded
+    parameter columns, never from this function's arguments, so a
+    mismatched build can't silently create false negatives."""
+    if "content_hash" not in index.columns:
+        raise ValueError(
+            f"index must have a content_hash column, got {index.columns}"
+        )
+    if "_emm_ch" in df.columns:
+        raise ValueError("df already has a _emm_ch column; rename it")
+    if bloom is None:
+        bloom = build_bloom_index(index, num_bits, num_hashes)
+    missing = {"word_idx", "bits", "num_bits", "num_hashes"} - set(bloom.columns)
+    if missing:
+        raise ValueError(
+            f"bloom is missing columns {sorted(missing)}; build it with "
+            "build_bloom_index"
+        )
+    head = bloom.select("num_bits", "num_hashes").limit(1).collect()
+    if head:
+        num_bits, num_hashes = int(head[0][0]), int(head[0][1])
+    _bloom_validate(num_bits, num_hashes)
+    # Bounded driver collect: <= num_bits/64 rows by construction (the
+    # validation above caps it at 2^21 words / 16 MiB).
+    words = bloom.select("word_idx", "bits").collect()
+    bitmap = [0] * (num_bits // 64)
+    for w_idx, bits in words:
+        bitmap[w_idx] = bits
+    bm = F.lit(bitmap)
+
+    # shiftleft() takes only a literal shift, so single-bit masks come from
+    # a 64-word literal indexed by the in-word bit position instead.
+    masks = F.lit([_signed64(1 << b) for b in range(64)])
+
+    keyed = df.withColumn("_emm_ch", F.md5(F.trim(F.lower(F.col(text_col)))))
+    hit = F.lit(True)
+    for pos in _bloom_positions(F.col("_emm_ch"), num_bits, num_hashes):
+        word = F.element_at(bm, F.shiftright(pos, 6).cast("int") + F.lit(1))
+        mask = F.element_at(masks, F.pmod(pos, F.lit(64)).cast("int") + F.lit(1))
+        hit = hit & (word.bitwiseAND(mask) != 0)
+
+    definitely_new = keyed.where(~hit)
+    probable = keyed.where(hit)
+    confirmed_new = probable.join(
+        index.select(F.col("content_hash").alias("_emm_ch")),
+        "_emm_ch",
+        "left_anti",
+    )
+    return definitely_new.unionByName(confirmed_new).drop("_emm_ch")
 
 def minhash_signatures(
     df: DataFrame,

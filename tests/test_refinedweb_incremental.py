@@ -218,3 +218,150 @@ def test_refinedweb_rules_match_mirror_on_random_docs(spark):
     }
     for i, t in cases:
         assert got[i] == _py_rw(t), (i, t, got[i], _py_rw(t))
+
+
+# ---------------------------------------------------------------------------
+# build_bloom_index + dedup_against_bloom
+# ---------------------------------------------------------------------------
+
+def _bloom_fixture(spark):
+    old = spark.createDataFrame(
+        [(i, f"admitted doc {i}") for i in range(40)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"admitted doc {i}") for i in range(0, 40, 2)]   # dups
+        + [(200 + i, f"novel doc {i}") for i in range(30)]          # novel
+        + [(300, None)],                                            # null text
+        "doc_id long, text string",
+    )
+    return old, new
+
+
+def test_bloom_dedup_matches_exact_anti_join(spark):
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_bloom_index,
+        build_content_index,
+        dedup_against_bloom,
+        dedup_against_index,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = build_content_index(old, "text")
+    want = sorted(r["doc_id"]
+                  for r in dedup_against_index(new, "text", idx).collect())
+    out = dedup_against_bloom(new, "text", idx)
+    assert out.columns == new.columns
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+
+
+def test_bloom_dedup_exact_under_forced_false_positives(spark):
+    """A 64-bit bloom with 7 hashes saturates — nearly every probe is a
+    'probable duplicate' — yet the confirm anti-join keeps the output
+    identical to the exact operator (false positives cost work, never
+    correctness)."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_bloom_index,
+        build_content_index,
+        dedup_against_bloom,
+        dedup_against_index,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = build_content_index(old, "text")
+    want = sorted(r["doc_id"]
+                  for r in dedup_against_index(new, "text", idx).collect())
+    bloom = build_bloom_index(idx, num_bits=64, num_hashes=7)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(new, "text", idx, bloom=bloom).collect()
+    )
+    assert got == want
+
+
+def test_bloom_geometry_comes_from_the_bloom_frame(spark):
+    """Probe geometry is read from the bloom frame's embedded parameter
+    columns — mismatched caller arguments cannot create false negatives."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_bloom_index,
+        build_content_index,
+        dedup_against_bloom,
+        dedup_against_index,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = build_content_index(old, "text")
+    want = sorted(r["doc_id"]
+                  for r in dedup_against_index(new, "text", idx).collect())
+    bloom = build_bloom_index(idx, num_bits=128, num_hashes=3)
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(
+            new, "text", idx, bloom=bloom, num_bits=1 << 20, num_hashes=5
+        ).collect()
+    )
+    assert got == want
+
+
+def test_bloom_empty_index_keeps_everything(spark):
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_bloom,
+    )
+
+    _, new = _bloom_fixture(spark)
+    empty = build_content_index(new.where(F.lit(False)), "text")
+    assert dedup_against_bloom(new, "text", empty).count() == new.count()
+
+
+def test_bloom_validation(spark):
+    import pytest
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        _BLOOM_MAX_BITS,
+        build_bloom_index,
+        build_content_index,
+        dedup_against_bloom,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = build_content_index(old, "text")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_index(idx, num_bits=100)
+    with pytest.raises(ValueError, match="ceiling"):
+        build_bloom_index(idx, num_bits=_BLOOM_MAX_BITS * 2)
+    with pytest.raises(ValueError, match="num_hashes"):
+        build_bloom_index(idx, num_hashes=0)
+    with pytest.raises(ValueError, match="content_hash"):
+        build_bloom_index(idx.withColumnRenamed("content_hash", "h"))
+    with pytest.raises(ValueError, match="_emm_ch"):
+        dedup_against_bloom(
+            new.withColumn("_emm_ch", new["doc_id"].cast("string")),
+            "text", idx,
+        )
+    with pytest.raises(ValueError, match="build_bloom_index"):
+        dedup_against_bloom(new, "text", idx, bloom=idx)
+
+
+def test_bloom_miss_branch_is_map_only(spark):
+    """The definitely-new branch of the union must be a pure map stage:
+    the only Exchange(s) in the whole plan belong to the probable-sliver
+    anti-join, and the bloom prefilter itself adds none."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_content_index,
+        dedup_against_bloom,
+        dedup_against_index,
+    )
+
+    from entitymatchingmodel_spark.plans import explain_str
+
+    old, new = _bloom_fixture(spark)
+    idx = build_content_index(old, "text")
+    bloom_plan = explain_str(dedup_against_bloom(new, "text", idx))
+    exact_plan = explain_str(dedup_against_index(new, "text", idx))
+    assert bloom_plan.count("Exchange") <= exact_plan.count("Exchange"), bloom_plan
+    # the bitmap probe itself must plan as a literal projection: no join or
+    # exchange may mention the bloom's word table
+    assert "word_idx" not in bloom_plan, bloom_plan
