@@ -581,6 +581,26 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("doc_id", "lang", "source")
 
 
+def q_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reputation-based selection (r11, functions/selection.py
+    group_reputation + reputation_filter — the RefinedWeb/Dolma
+    bad-domain posture): per-source quality evidence as an integer
+    micro-unit sum (ONE map-side-combined aggregate, #groups output
+    rows, order-free and engine-exact), then a LEFT SEMI join keeps
+    docs whose source's mean quality clears the threshold via the
+    division-free integer comparison sum_micro >= thresh * n.  Score =
+    the oracle-shared quality_score formula, so the whole row is
+    hash-exact."""
+    from entitymatchingmodel_spark.functions.selection import reputation_filter
+    from entitymatchingmodel_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    out = reputation_filter(docs, "source", "q", min_mean=0.822, min_docs=5)
+    return out.select("doc_id", "source")
+
+
 def q_quality_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality classifier (r9, operators/quality_clf.py —
     the GPT-3/LLaMA discriminative curation filter): hashed uni+bi-gram
@@ -2649,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_joined": q_lang_id_joined,
         "lang_id_kernel": q_lang_id_kernel,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "reputation_filter": q_reputation_filter,
         "curate_batch": q_curate_batch,
         "streaming_curation": q_streaming_curation,
         "lang_id": q_lang_id,
@@ -4886,6 +4907,26 @@ _ORACLE["pareto_select"] = f"""
     WHERE CAST(round(quality_prob * 1e6) AS BIGINT)
           > CAST(round((1.0 - (power(1.0 - uh, -1.0 / {_PARETO_ALPHA}) - 1.0))
                        * 1e6) AS BIGINT)
+"""
+
+# reputation_filter: the pareto_select quality fragment -> integer
+# micro-unit group sums -> the division-free threshold comparison
+_ORACLE["reputation_filter"] = """
+    WITH tok AS (SELECT doc_id, source, text,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents),
+    q AS (SELECT doc_id, source,
+                 CAST(round(round(
+                   (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+                   * (CASE WHEN list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(toks) BETWEEN 2 AND 12
+                           THEN 1.0 ELSE 0.5 END)
+                   * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / CAST(greatest(length(text), 1) AS DOUBLE)), 6) * 1e6) AS BIGINT) AS micro
+          FROM tok),
+    g AS (SELECT source FROM q GROUP BY source
+          HAVING count(*) >= 5 AND sum(micro) >= 822000 * count(*))
+    SELECT q.doc_id, q.source FROM q JOIN g USING (source)
 """
 
 # shared C4 oracle fragments (used by curate_batch AND c4_rules below)

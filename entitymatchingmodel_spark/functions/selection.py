@@ -419,3 +419,90 @@ def dsir_resample(
         .limit(k)
         .drop("_gumbel_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group reputation (per-domain / per-source quality rollup and filter)
+# ---------------------------------------------------------------------------
+
+_REPUTATION_QUANT = 1_000_000  # micro-units: integer group sums, order-free
+
+
+def group_reputation(
+    df: DataFrame, group_col: str, score_col: str
+) -> DataFrame:
+    """``(group_col, grp_score_micro long, grp_docs long)`` — per-group
+    quality evidence for reputation-based selection (the RefinedWeb /
+    Dolma "bad domain" posture: a page inherits its host's track record).
+
+    Scores are quantized to integer micro-units BEFORE the sum, so the
+    group statistic is a sum of longs — bit-identical under any
+    partitioning / AQE re-plan and engine-exact against a SQL oracle
+    (the pareto_select idiom) — where a double sum would drift with
+    accumulation order.  Mean = grp_score_micro / 1e6 / grp_docs when a
+    float view is needed; threshold decisions should stay in integers
+    (see :func:`reputation_filter`).
+
+    ONE map-side-combined aggregate: output cardinality = #groups
+    (domains/sources), never corpus scale.  NULL scores count toward
+    ``grp_docs`` but contribute 0 evidence (sum ignores NULL); NULL
+    groups aggregate under the NULL key and are dropped by
+    :func:`reputation_filter`'s join, matching SQL GROUP BY/JOIN
+    semantics.
+    """
+    micro = F.round(F.col(score_col) * _REPUTATION_QUANT).cast("long")
+    return df.groupBy(group_col).agg(
+        F.sum(micro).alias("grp_score_micro"),
+        F.count(F.lit(1)).alias("grp_docs"),
+    )
+
+
+def reputation_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    min_mean: float,
+    min_docs: int = 1,
+    reputation: DataFrame | None = None,
+) -> DataFrame:
+    """Rows of ``df`` whose group's MEAN score clears ``min_mean`` (and
+    whose group holds at least ``min_docs`` rows) — schema passes
+    through untouched.
+
+    The threshold decision is the exact integer comparison
+
+        grp_score_micro >= round(min_mean * 1e6) * grp_docs
+
+    (mean >= min_mean cleared of the division), so a group sitting
+    precisely on the boundary is decided identically by every engine
+    and run.  Pass a precomputed ``reputation`` frame (from
+    :func:`group_reputation`, e.g. built on a previous snapshot) to
+    score the current batch against historical evidence; by default the
+    reputation is computed from ``df`` itself.
+
+    Scale shape: the reputation side is #groups rows — broadcast-sized
+    for real domain cardinalities, and AQE downgrades gracefully when
+    not — joined back LEFT SEMI so no columns widen and a viral domain
+    skews nothing (the skew side carries only the join key).  Rows with
+    a NULL group are dropped, like SQL inner-join semantics.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    rep = reputation
+    if rep is None:
+        rep = group_reputation(df, group_col, score_col)
+    missing = {group_col, "grp_score_micro", "grp_docs"} - set(rep.columns)
+    if missing:
+        raise ValueError(
+            f"reputation frame is missing columns {sorted(missing)}; "
+            "build it with group_reputation"
+        )
+    thresh = int(round(min_mean * _REPUTATION_QUANT))
+    good = rep.where(
+        (F.col("grp_docs") >= F.lit(min_docs))
+        & (F.col("grp_score_micro") >= F.lit(thresh) * F.col("grp_docs"))
+    )
+    # USING-style joins hoist the key column first; restore input order
+    return df.join(good.select(group_col), group_col, "left_semi").select(
+        *df.columns
+    )

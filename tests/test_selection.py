@@ -216,3 +216,98 @@ def test_rowwise_rejects_oversized_ratio_table(spark):
     )
     with pytest.raises(ValueError, match="more than n_buckets"):
         dsir_scores_rowwise(df, big, "text", n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# group_reputation + reputation_filter
+# ---------------------------------------------------------------------------
+
+def _rep_fixture(spark):
+    # good: mean 0.8 (n=3); edge: mean exactly 0.5 (n=2); bad: mean 0.2
+    # (n=2); tiny: mean 1.0 but n=1; nullg: NULL group
+    rows = [
+        (1, "good", 0.9), (2, "good", 0.8), (3, "good", 0.7),
+        (4, "edge", 0.6), (5, "edge", 0.4),
+        (6, "bad", 0.3), (7, "bad", 0.1),
+        (8, "tiny", 1.0),
+        (9, None, 1.0),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, grp string, score double")
+
+
+def test_group_reputation_integer_micro_sums(spark):
+    from entitymatchingmodel_spark.functions.selection import group_reputation
+
+    rep = {r["grp"]: (r["grp_score_micro"], r["grp_docs"])
+           for r in group_reputation(_rep_fixture(spark), "grp", "score").collect()}
+    assert rep["good"] == (2_400_000, 3)
+    assert rep["edge"] == (1_000_000, 2)
+    assert rep["bad"] == (400_000, 2)
+    assert rep["tiny"] == (1_000_000, 1)
+    assert rep[None] == (1_000_000, 1)
+
+
+def test_reputation_filter_threshold_and_min_docs(spark):
+    from entitymatchingmodel_spark.functions.selection import reputation_filter
+
+    df = _rep_fixture(spark)
+    # boundary group "edge" (mean exactly 0.5) must be KEPT (>=), tiny
+    # (n=1 < min_docs) and the NULL group must be dropped
+    got = sorted(r["doc_id"] for r in
+                 reputation_filter(df, "grp", "score", 0.5, min_docs=2).collect())
+    assert got == [1, 2, 3, 4, 5]
+    # schema passes through untouched
+    assert reputation_filter(df, "grp", "score", 0.5, min_docs=2).columns == df.columns
+    # raising the bar drops the edge group
+    got = sorted(r["doc_id"] for r in
+                 reputation_filter(df, "grp", "score", 0.500001, min_docs=2).collect())
+    assert got == [1, 2, 3]
+    # min_docs=1 admits the tiny group
+    got = sorted(r["doc_id"] for r in
+                 reputation_filter(df, "grp", "score", 0.5, min_docs=1).collect())
+    assert got == [1, 2, 3, 4, 5, 8]
+
+
+def test_reputation_filter_historical_evidence(spark):
+    """Score the current batch against a reputation built on a PAST
+    snapshot — the incremental posture (domains keep their record)."""
+    from entitymatchingmodel_spark.functions.selection import (
+        group_reputation,
+        reputation_filter,
+    )
+
+    history = _rep_fixture(spark)
+    rep = group_reputation(history, "grp", "score")
+    batch = spark.createDataFrame(
+        [(100, "good", 0.0), (101, "bad", 1.0), (102, "new", 0.9)],
+        "doc_id long, grp string, score double",
+    )
+    # decisions come from HISTORY: good passes despite a 0.0 batch score,
+    # bad fails despite a 1.0, unknown group "new" has no record -> drop
+    got = sorted(r["doc_id"] for r in
+                 reputation_filter(batch, "grp", "score", 0.5,
+                                   reputation=rep).collect())
+    assert got == [100]
+
+
+def test_reputation_filter_null_scores_count_docs_not_evidence(spark):
+    from entitymatchingmodel_spark.functions.selection import group_reputation
+
+    df = spark.createDataFrame(
+        [(1, "g", 0.9), (2, "g", None)], "doc_id long, grp string, score double"
+    )
+    rep = group_reputation(df, "grp", "score").collect()[0]
+    assert (rep["grp_score_micro"], rep["grp_docs"]) == (900_000, 2)
+
+
+def test_reputation_filter_validation(spark):
+    import pytest
+
+    from entitymatchingmodel_spark.functions.selection import reputation_filter
+
+    df = _rep_fixture(spark)
+    with pytest.raises(ValueError, match="min_docs"):
+        reputation_filter(df, "grp", "score", 0.5, min_docs=0)
+    with pytest.raises(ValueError, match="group_reputation"):
+        reputation_filter(df, "grp", "score", 0.5,
+                          reputation=df.select("grp"))
