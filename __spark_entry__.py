@@ -1016,6 +1016,17 @@ _LANG_PHRASE_PAIRS: "list[tuple[str, str]]" = [
     ("sq", "dhelpra e shpejte dhe qeni qe nga nje shtepi per te gjithe eshte shume mire dhe te tjere"),
     ("cy", "mae y cadno cyflym yn mynd gyda y ci wedi bod ar y bryniau a mae pob dydd yn dda iawn"),
     ("mt", "il volpi malajr u il kelb li huwa ta dan il post fil gnien li hija tal belt u minn hemm"),
+    # r11 tranche — witnesses for the 9 new profiles (raw-argmax audited
+    # 42/42 by tests/test_text_functions.py's pairing pin)
+    ("is", "hinn refur og hundur eru ekki eins og hinir sem hann hefur sed her og hun er med essi inni hvad sem eir segja"),
+    ("lb", "de fuuss an den hond gin net esou vun der plaz mee hien huet ech mat em fir dass en do ass an ier mee gin"),
+    ("la", "vulpes celeris et canis in silvam currunt cum omnibus amicis quorum tempora sunt antiqua et quibus iam erat atque tantum"),
+    ("eo", "la rapida vulpo kaj la hundo kiu ankau kuras en la arbaron kaj cio estas bona por tiu ulo kaj por cia ajn homo"),
+    ("mi", "ka oma te pokiha tere me te kuri ki te ngahere kei nga tangata o tenei whenua ratou ko nga mea katoa e mai ana"),
+    ("so", "dawacada dhaqsaha leh iyo eyga ayaa soo orday waa inuu kale yahay oo dadka kale waa kuwa aan la aqoon soo"),
+    ("yo", "kolokolo ti o yara ati aja ni won sare lo si inu igbo fun gbogbo awon eniyan ti won wa ni ile pe oka"),
+    ("zu", "impungushe esheshayo kanye nenja zigijima ehlathini futhi abantu bathi ukuthi lokhu kuhle ngoba uma bekhona futhi"),
+    ("mg", "ny amboahaolo haingana sy ny alika dia mihazakazaka any anaty ala fa ny olona izay tamin izany dia tsy mahalala"),
 ]
 _LANG_PHRASES = [p for _, p in _LANG_PHRASE_PAIRS]
 

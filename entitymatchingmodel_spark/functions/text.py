@@ -219,6 +219,46 @@ CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
     "mt": (" li", "li ", " ta", "ta ", " il", "il ", " gh", "gha", "hal",
            "tal", "al ", " fi", "fil", " mi", "min", "inn", "nn ", "hij",
            "ija", "ja "),
+    # r11 tranche (same [a-z ]-residue rule), grown under the r11
+    # data-driven scorer shapes (kernel/join keep generated-code size
+    # constant; the literal shape is re-checked by plan_audit's codegen
+    # canary after every growth): is 'ekki/hann/hun/hvad/eru/sem/-inn/
+    # essi' accent-free residue, lb 'vun/mat/fir/ass/ginn/huet/esou/ech/
+    # net/mee', la '-ibus/-orum/-um/-tur/cum/qui/sunt/iam/-ius/-tis',
+    # eo 'kaj/kiu/ankau/-ojn/-ajn/-ulo/-os/cio/cia', mi 'whaka-/nga/kei/
+    # tenei/ratou/tangata/ki/mai', so 'waa/iyo/ayaa/uu/soo/inuu/dhan/
+    # kale/-ka/aan', yo 'ati/awon/gbogbo/fun/inu/ile/pe/ni/ti/si',
+    # zu 'futhi/ukuthi/kanye/ngoba/abantu/-ntu/lokhu/khona/uma',
+    # mg 'amin/any/ny/izany/izay/dia/olona/tamin/fa/tsy/sy'.  Additions
+    # audited with the python mirror: NO existing plant phrase's raw
+    # argmax changed (42/42 green in tests/test_text_functions.py).
+    "is": (" ek", "ekk", "kki", "ki ", "han", "ann", "hun", " hv", "hva",
+           "eir", " ei", "eru", "ru ", "sem", "em ", "inn", "nni", "ess",
+           "ssi", "si "),
+    "lb": ("vun", " vu", "un ", "mat", "fir", " fi", "ass", "ss ", "gin",
+           " gi", "hue", "uet", "eso", "sou", "ou ", "ech", " ec", "net",
+           "ier", "mee"),
+    "la": ("ibu", "bus", "oru", "rum", "um ", "tur", "atu", "cum", " cu",
+           "qui", "sun", "unt", "iam", "am ", "ius", "us ", "tis", "is ",
+           "tem", "ant"),
+    "eo": ("kaj", "aj ", "kiu", "iu ", "ank", "nka", "kau", "au ", "ojn",
+           "jn ", "oj ", "ajn", "ulo", "lo ", "os ", "ajo", "cio", "io ",
+           "cia", "ia "),
+    "mi": ("wha", " wh", "nga", "ga ", "kei", " ke", "ei ", "ten", "eni",
+           "nei", "rat", "tou", "ou ", "tan", "ang", "ki ", " ki", "mai",
+           "ai ", "oki"),
+    "so": ("waa", "aa ", " wa", "iyo", " iy", "yo ", " ay", "yaa", "uu ",
+           " uu", "soo", "oo ", "inu", "nuu", "dha", "ha ", "kal", "ale",
+           "lka", "aan"),
+    "yo": ("ati", " aw", "awo", "won", "gbo", "ogb", "gba", "ba ", "fun",
+           "un ", "nu ", "ile", "le ", "pe ", " pe", "ni ", " ni", "ti ",
+           "si ", "oka"),
+    "zu": ("fut", "uth", "thi", " uk", "kut", "kan", "nye", "ye ", "ngo",
+           "gob", "oba", " ab", "ban", "ntu", "tu ", "okh", "khu", "hon",
+           "ona", "uma"),
+    "mg": ("ami", "min", "any", "ny ", " ny", "iza", "zan", "zay", "ay ",
+           "dia", "ia ", " ol", "lon", "tam", "fa ", " fa", "tsy", "sy ",
+           " sy", "ho "),
 }
 # The replace()-based occurrence counter below requires that no profile
 # trigram can overlap ITSELF (period 1: "aaa"; period 2: t[0]==t[2], e.g.

@@ -365,3 +365,46 @@ def test_bloom_miss_branch_is_map_only(spark):
     # the bitmap probe itself must plan as a literal projection: no join or
     # exchange may mention the bloom's word table
     assert "word_idx" not in bloom_plan, bloom_plan
+
+
+def test_bloom_dedup_on_a_stream(spark, tmp_path):
+    """Incremental dedup IS a streaming concern (new snapshots arrive as
+    micro-batches): the bloom probe is a stateless map and the confirm
+    join is a stream-static LEFT ANTI, both legal in append mode — the
+    streamed output must equal the batch operator on the same data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_bloom_index,
+        build_content_index,
+        dedup_against_bloom,
+    )
+
+    old, new = _bloom_fixture(spark)
+    idx = build_content_index(old, "text")
+    bloom = build_bloom_index(idx, num_bits=1 << 10, num_hashes=5)
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(new, "text", idx, bloom=bloom).collect()
+    )
+
+    src = str(tmp_path / "bloom_src")
+    os.makedirs(src)
+    new.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = dedup_against_bloom(stream, "text", idx, bloom=bloom)
+    assert out.isStreaming
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, i: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert sorted(r["doc_id"] for r in got) == want
