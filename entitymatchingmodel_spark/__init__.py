@@ -25,6 +25,8 @@ from entitymatchingmodel_spark.functions.selection import (
     dsir_bucket_logratios,
     dsir_resample,
     dsir_scores,
+    group_reputation,
+    reputation_filter,
 )
 from entitymatchingmodel_spark.operators.clustering import (
     cluster_balanced_sample,
@@ -36,7 +38,9 @@ from entitymatchingmodel_spark.operators.quality_clf import (
     pareto_keep,
 )
 from entitymatchingmodel_spark.operators.dedup import (
+    build_bloom_index,
     build_content_index,
+    dedup_against_bloom,
     dedup_against_index,
     fuzzy_dedup,
     semantic_dedup,
@@ -45,7 +49,11 @@ from entitymatchingmodel_spark.functions.text import refinedweb_lines_table
 from entitymatchingmodel_spark.operators.pq import PQModel, ivf_pq_topk
 from entitymatchingmodel_spark.operators.events import scoped_conf
 from entitymatchingmodel_spark.persistence import load_model, save_model
-from entitymatchingmodel_spark.pipeline import SparkEntityMatching
+from entitymatchingmodel_spark.pipeline import (
+    SparkEntityMatching,
+    register_blocking_func,
+    register_sni_mapping_func,
+)
 from entitymatchingmodel_spark.session import get_spark
 
 __all__ = [
@@ -77,5 +85,13 @@ __all__ = [
     "build_content_index",
     "dedup_against_index",
     "refinedweb_lines_table",
+    # r11: bloom-prefiltered incremental dedup, reputation-based
+    # selection, and the persist-by-name registries for user callables
+    "build_bloom_index",
+    "dedup_against_bloom",
+    "group_reputation",
+    "reputation_filter",
+    "register_blocking_func",
+    "register_sni_mapping_func",
 ]
 __version__ = "0.10.0"

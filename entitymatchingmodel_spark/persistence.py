@@ -23,7 +23,43 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from entitymatchingmodel_spark.pipeline import _BLOCKING, SparkEntityMatching
+from entitymatchingmodel_spark.pipeline import (
+    _BLOCKING,
+    _SNI_MAPPING,
+    _resolve,
+    SparkEntityMatching,
+)
+
+
+def _registered_name(registry: dict, fn) -> str | None:
+    """The stable name a callable was registered under, or None."""
+    for k, v in registry.items():
+        if k is not None and v is fn:
+            return k
+    return None
+
+
+def _spec_with_names(spec: dict) -> dict:
+    """A copy of an indexer spec with any registered callables replaced
+    by their stable names (persist-by-name contract); raises on
+    unregistered callables — a pickled closure is neither auditable nor
+    stable across environments."""
+    out = dict(spec)
+    for key, registry, reg_fn in (
+        ("blocking_func", _BLOCKING, "register_blocking_func"),
+        ("mapping_func", _SNI_MAPPING, "register_sni_mapping_func"),
+    ):
+        v = out.get(key)
+        if callable(v):
+            name = _registered_name(registry, v)
+            if name is None:
+                raise ValueError(
+                    f"cannot persist an UNREGISTERED callable {key}; give "
+                    f"it a stable name with pipeline.{reg_fn}(name, fn) "
+                    "and it will persist and load by that name"
+                )
+            out[key] = name
+    return out
 
 
 def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
@@ -74,19 +110,25 @@ def save_model(em: SparkEntityMatching, path: str,
         raise ValueError("model is not fitted; call fit() first")
     spark = em.gt_.sparkSession
 
-    serializable_p = {
-        k: v for k, v in em.p.items() if isinstance(v, (str, int, float, bool, list, dict, type(None)))
-    }
+    p = dict(em.p)
+    if isinstance(p.get("indexers"), list):
+        p["indexers"] = [
+            _spec_with_names(s) if isinstance(s, dict) else s
+            for s in p["indexers"]
+        ]
+    serializable_p = {}
+    for k, v in p.items():
+        try:
+            json.dumps(v)
+        except TypeError:
+            continue
+        serializable_p[k] = v
     indexers_meta = []
     for (iname, model), spec in zip(em.indexer_models_.items(), em.indexer_specs):
         kind = spec.get("type", "cosine_similarity")
-        bf = spec.get("blocking_func")
-        if callable(bf):
-            raise ValueError(
-                "cannot persist a custom callable blocking_func; register it "
-                "by name in pipeline._BLOCKING and pass the name in the spec"
-            )
-        indexers_meta.append({"name": iname, "kind": kind, "spec": spec})
+        indexers_meta.append(
+            {"name": iname, "kind": kind, "spec": _spec_with_names(spec)}
+        )
 
     _write_json(
         spark,
@@ -142,11 +184,17 @@ def save_model(em: SparkEntityMatching, path: str,
             else:
                 model.gt_weights.write.mode("overwrite").parquet(f"{base}/gt_weights")
         else:  # SNI
+            mapping_name = None
             if getattr(model, "mapping_func", None) is not None:
-                raise ValueError(
-                    "cannot persist a custom callable mapping_func; apply the "
-                    "mapping as a preprocessing step instead"
-                )
+                mapping_name = _registered_name(_SNI_MAPPING, model.mapping_func)
+                if mapping_name is None:
+                    raise ValueError(
+                        "cannot persist an UNREGISTERED callable "
+                        "mapping_func; give it a stable name with "
+                        "pipeline.register_sni_mapping_func(name, fn) and "
+                        "it will persist and load by that name (or apply "
+                        "the mapping as a preprocessing step instead)"
+                    )
             _write_json(
                 spark,
                 f"{base}/meta.json",
@@ -154,6 +202,8 @@ def save_model(em: SparkEntityMatching, path: str,
                     "kind": "sni",
                     "w": model.w,
                     "input_col": model.input_col,
+                    "mapping": mapping_name,
+                    "orig_input_col": getattr(model, "orig_input_col", None),
                 },
             )
             model.gt_keyed.write.mode("overwrite").parquet(f"{base}/gt_keyed")
@@ -280,7 +330,9 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
                 gt_weights=gt_weights,
                 k=m["k"],
                 lower_bound=m["lower_bound"],
-                blocking_func=_BLOCKING[m.get("blocking")],
+                blocking_func=_resolve(
+                    _BLOCKING, "blocking_func", m.get("blocking")
+                ),
                 input_col=m["input_col"],
                 score_decimals=m.get("score_decimals"),
                 strategy=m.get("strategy", "inverted"),
@@ -292,6 +344,10 @@ def load_model(spark: SparkSession, path: str) -> SparkEntityMatching:
                 gt_keyed=spark.read.parquet(f"{base}/gt_keyed").persist(),
                 window_length=m["w"],
                 input_col=m["input_col"],
+                mapping_func=_resolve(
+                    _SNI_MAPPING, "mapping_func", m.get("mapping")
+                ),
+                orig_input_col=m.get("orig_input_col"),
             )
         else:
             raise ValueError(f"unknown indexer kind {m['kind']!r}")

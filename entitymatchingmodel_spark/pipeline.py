@@ -39,6 +39,57 @@ DEFAULT_INDEXERS = [
 ]
 
 _BLOCKING = {"first_char": first_char_block, None: None}
+_SNI_MAPPING: dict = {None: None}
+
+
+def _register(registry: dict, what: str, name: str, fn) -> None:
+    if not isinstance(name, str) or not name:
+        raise ValueError(f"{what} name must be a non-empty string, got {name!r}")
+    if not callable(fn):
+        raise ValueError(f"{what} {name!r} must be callable, got {type(fn)}")
+    if name in registry and registry[name] is not fn:
+        raise ValueError(
+            f"{what} name {name!r} is already registered to a different "
+            "function; pick another name"
+        )
+    registry[name] = fn
+
+
+def register_blocking_func(name: str, fn) -> None:
+    """Register a user blocking function (Column -> Column) under a stable
+    name, so indexer specs can reference it as a string — or pass the
+    callable directly — and fitted models PERSIST AND LOAD it by name.
+
+    Persistence refuses raw unregistered callables by design: a pickled
+    closure is neither auditable nor stable across environments (the
+    reference joblib-pickles arbitrary user objects,
+    spark_custom_reader_writer.py:70-140 — convenient, but a model file
+    that executes whatever was pickled into it).  The name IS the
+    contract: re-register the same name before :func:`~entitymatching
+    model_spark.persistence.load_model` in a new session, and loading
+    fails fast with the missing name otherwise.  Registering the same
+    (name, fn) pair twice is a no-op; rebinding a name raises.
+    """
+    _register(_BLOCKING, "blocking_func", name, fn)
+
+
+def register_sni_mapping_func(name: str, fn) -> None:
+    """Register a user SNI sort-key mapping (Column -> Column, e.g.
+    ``F.reverse``/soundex) under a stable name — same persist-by-name
+    contract as :func:`register_blocking_func`."""
+    _register(_SNI_MAPPING, "mapping_func", name, fn)
+
+
+def _resolve(registry: dict, what: str, value):
+    if isinstance(value, str):
+        try:
+            return registry[value]
+        except KeyError:
+            raise ValueError(
+                f"unknown {what} {value!r}; register it first with "
+                f"register_{'blocking_func' if what == 'blocking_func' else 'sni_mapping_func'}({value!r}, fn)"
+            ) from None
+    return value
 
 
 def _build_indexer(spec):
@@ -46,9 +97,7 @@ def _build_indexer(spec):
         return spec
     kind = spec.get("type", "cosine_similarity")
     if kind == "cosine_similarity":
-        bf = spec.get("blocking_func")
-        if isinstance(bf, str):
-            bf = _BLOCKING[bf]
+        bf = _resolve(_BLOCKING, "blocking_func", spec.get("blocking_func"))
         return CosSimIndexer(
             tokenizer=spec.get("tokenizer", "words"),
             ngram=spec.get("ngram", 1),
@@ -64,6 +113,9 @@ def _build_indexer(spec):
         return SNIIndexer(
             window_length=spec.get("window_length", 3),
             topn_per_name=spec.get("topn_per_name", 10),
+            mapping_func=_resolve(
+                _SNI_MAPPING, "mapping_func", spec.get("mapping_func")
+            ),
         )
     if kind == "naive":
         from entitymatchingmodel_spark.operators.naive_indexer import NaiveIndexer

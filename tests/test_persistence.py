@@ -225,3 +225,94 @@ def test_bucketed_weights_managed_table_collision_refuses_drop(
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# registered custom callables round-trip by name (r11)
+# ---------------------------------------------------------------------------
+
+def test_registered_blocking_func_roundtrips_by_name(spark, tmp_path):
+    """A user blocking callable registered under a stable name persists
+    as that name and loads back to the same function — the registry
+    escape hatch for the documented no-pickled-closures policy."""
+    from entitymatchingmodel_spark.pipeline import register_blocking_func
+
+    def two_chars(c):
+        return F.substring(c, 1, 2)
+
+    register_blocking_func("first_two_chars", two_chars)
+    # idempotent re-registration is a no-op; rebinding raises
+    register_blocking_func("first_two_chars", two_chars)
+    with pytest.raises(ValueError, match="already registered"):
+        register_blocking_func("first_two_chars", lambda c: c)
+
+    gt = spark.createDataFrame(
+        [(1, "Apple Inc."), (2, "Amazon Ltd"), (3, "Microsoft Corp.")],
+        "id long, name string",
+    )
+    em = SparkEntityMatching(
+        indexers=[{"type": "cosine_similarity", "num_candidates": 3,
+                   "cos_sim_lower_bound": 0.05,
+                   "blocking_func": two_chars}]   # the CALLABLE, not the name
+    )
+    em.fit(gt)
+    path = str(tmp_path / "em_blk")
+    save_model(em, path)
+
+    names = spark.createDataFrame(
+        [(101, "apple inc"), (102, "amazon limited")], "id long, name string"
+    )
+    reloaded = load_model(spark, path)
+    assert reloaded.indexer_models_[
+        next(iter(reloaded.indexer_models_))
+    ].blocking_func is two_chars
+    pd.testing.assert_frame_equal(
+        _canon(em.transform(names)), _canon(reloaded.transform(names))
+    )
+
+
+def test_registered_sni_mapping_roundtrips_by_name(spark, tmp_path):
+    from entitymatchingmodel_spark.pipeline import register_sni_mapping_func
+
+    def rev(c):
+        return F.reverse(c)
+
+    register_sni_mapping_func("reversed_name", rev)
+    gt = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "id long, name string",
+    )
+    em = SparkEntityMatching(
+        indexers=[{"type": "sni", "window_length": 3,
+                   "mapping_func": "reversed_name"}]   # by NAME in the spec
+    )
+    em.fit(gt)
+    path = str(tmp_path / "em_sni_map")
+    save_model(em, path)
+    reloaded = load_model(spark, path)
+    m = reloaded.indexer_models_[next(iter(reloaded.indexer_models_))]
+    assert m.mapping_func is rev and m.orig_input_col == "preprocessed"
+
+    names = spark.createDataFrame([(11, "alpha"), (12, "gama")], "id long, name string")
+    pd.testing.assert_frame_equal(
+        _canon(em.transform(names)), _canon(reloaded.transform(names))
+    )
+
+
+def test_unregistered_callables_still_fail_fast(spark, tmp_path):
+    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
+
+    gt = spark.createDataFrame([(1, "Acme BV"), (2, "Beta AG")], "id long, name string")
+    em = SparkEntityMatching(
+        indexers=[{"type": "sni", "window_length": 3,
+                   "mapping_func": lambda c: F.reverse(c)}]
+    )
+    em.fit(gt)
+    with pytest.raises(ValueError, match="register_sni_mapping_func"):
+        save_model(em, str(tmp_path / "em_bad"))
+    # unknown NAME in a spec fails at build time with a pointer
+    with pytest.raises(ValueError, match="register_blocking_func"):
+        SparkEntityMatching(
+            indexers=[{"type": "cosine_similarity",
+                       "blocking_func": "never_registered"}]
+        ).fit(gt)
