@@ -2647,9 +2647,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness file holds at most 50 rows per round, so queries
     are listed most-in-need-of-a-check first.
 
-    r11 window (first 50): (1) the two rows NEW in r11 (lang_id_joined,
+    r11 window (first 50): (1) the four rows NEW in r11 (lang_id_joined,
     lang_id_kernel — the data-driven trigram scorer shapes, both pinned
-    to lang_id's oracle); (2) the rows whose CODE changed in r11 —
+    to lang_id's oracle; bloom_incremental_dedup — the Bloom-prefiltered
+    exact dedup pinned to incremental_dedup's oracle; reputation_filter
+    — per-source quality rollup selection); (2) the rows whose CODE
+    changed in r11 —
     curate_batch and streaming_curation (scorer rewiring: kernel default
     scored post-dedup, the janino-64KB fix), lang_id (text.py hosts the
     new scorer shapes; the literal expression is untouched but shares
@@ -2666,10 +2669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_time_join — see BENCH_NOTES r11), then the remaining
     r9-green rows in standing order up to the 50-row budget.
 
-    Tail (60 = 110 - 50): the ten r9-green rows the budget cannot hold
-    (preprocess_names, tfidf_vocab, media_frames, audio_stats,
-    temperature_mix_domain, resample_domain, url_dedup, reg_domain,
-    dsir_scores, dsir_resample — they lead the r12 rotation); the five
+    Tail (62 = 112 - 50): the twelve r9-green rows the budget cannot
+    hold (exact_quantiles and grouped_quantiles, displaced from the head
+    by the two later r11 rows, plus preprocess_names, tfidf_vocab,
+    media_frames, audio_stats, temperature_mix_domain, resample_domain,
+    url_dedup, reg_domain, dsir_scores, dsir_resample — they lead the
+    r12 rotation); the five
     rows-only-by-design queries (noised_names, supervised_*,
     quality_clf_scores — seeded RNG / ML scores, no SQL oracle wherever
     they sit); and the 45 rows green in the r10 window whose files r11
