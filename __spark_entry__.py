@@ -581,6 +581,28 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.select("doc_id", "lang", "source")
 
 
+def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup against a persisted LSH band index (r11,
+    operators/dedup.py build_band_index + dedup_against_band_index —
+    the fuzzy sibling of `incremental_dedup`, same snapshot-over-
+    snapshot posture): the admitted slice's DISTINCT MinHash band
+    buckets (~300 bytes/doc) are the persisted state; a new snapshot
+    drops every doc sharing at least one band bucket (the RefinedWeb
+    drop-on-collision rule).  One signature pass + two hash-keyed
+    joins, no pairwise stage; MinHash geometry is read from the index's
+    embedded parameter columns.  EXACT oracle via the shared
+    _SQL_MINHASH fragment."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_band_index,
+        dedup_against_band_index,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    idx = build_band_index(docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text")
+    fresh = dedup_against_band_index(docs, "doc_id", "text", idx)
+    return fresh.select("doc_id", "lang", "source")
+
+
 def q_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reputation-based selection (r11, functions/selection.py
     group_reputation + reputation_filter — the RefinedWeb/Dolma
@@ -2686,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_kernel": q_lang_id_kernel,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "reputation_filter": q_reputation_filter,
+        "near_dedup_incremental": q_near_dedup_incremental,
         "curate_batch": q_curate_batch,
         "streaming_curation": q_streaming_curation,
         "lang_id": q_lang_id,
@@ -3222,6 +3245,21 @@ _ORACLE = {
     "minhash_signatures": f"""
         WITH {_SQL_MINHASH}
         SELECT doc_id, hash_idx, minhash FROM minh
+    """,
+    # near_dedup_incremental: the admitted slice's distinct band buckets,
+    # drop-on-collision for the full snapshot — same minhash/band
+    # fragments as minhash_lsh_pairs; no-shingle docs have no minh rows
+    # (kept), matching the engine's md5('')-band exclusion
+    "near_dedup_incremental": f"""
+        WITH {_SQL_MINHASH},
+        bkeys AS (SELECT doc_id, hash_idx // 4 AS band,
+                         md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS bkey
+                  FROM minh GROUP BY doc_id, band),
+        idx AS (SELECT DISTINCT band, bkey FROM bkeys WHERE doc_id % 3 = 0),
+        hits AS (SELECT DISTINCT b.doc_id FROM bkeys b
+                 JOIN idx ON b.band = idx.band AND b.bkey = idx.bkey)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
     """,
     "minhash_lsh_pairs": f"""
         WITH {_SQL_MINHASH},

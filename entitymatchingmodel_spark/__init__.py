@@ -38,8 +38,10 @@ from entitymatchingmodel_spark.operators.quality_clf import (
     pareto_keep,
 )
 from entitymatchingmodel_spark.operators.dedup import (
+    build_band_index,
     build_bloom_index,
     build_content_index,
+    dedup_against_band_index,
     dedup_against_bloom,
     dedup_against_index,
     fuzzy_dedup,
@@ -89,6 +91,8 @@ __all__ = [
     # selection, and the persist-by-name registries for user callables
     "build_bloom_index",
     "dedup_against_bloom",
+    "build_band_index",
+    "dedup_against_band_index",
     "group_reputation",
     "reputation_filter",
     "register_blocking_func",

@@ -377,7 +377,16 @@ def lang_id_chargram(c: Column) -> Column:
     """Language code by char-trigram profile scoring ('und' if no hits) —
     the scale/robustness upgrade over the stopword :func:`lang_id`
     (trigram profiles fire on inflected forms and boundary n-grams that a
-    fixed stopword list misses)."""
+    fixed stopword list misses).
+
+    COMPOSITION WARNING (r11, measured): this literal shape's expression
+    tree serializes to ~2.5 MiB at 42 profiles, and a deep pipeline
+    lineage that groups/joins/filters on the resulting column multiplies
+    it into task binaries of tens of MiB (49.7 MiB observed at 8 stages
+    — enough to OOM an 8 GiB driver).  Use it for single projections;
+    for anything composed downstream, use :func:`lang_id_kernel` or
+    :func:`lang_id_join_table` — pinned byte-equal, with plan size
+    CONSTANT in the dictionary."""
     return lang_scores_chargram(c)["lang"]
 
 

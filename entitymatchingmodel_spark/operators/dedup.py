@@ -448,6 +448,44 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """``(id, sig, band, bkey)`` — one row per (doc, LSH band), bkey =
+    md5 of the band's signature slice.  SHARED by the in-corpus pair
+    join and the snapshot-over-snapshot band index so the two can never
+    drift formulas (a drift would silently change which docs collide).
+
+    explode_outer, not explode: the band array is fixed-length (never
+    empty), and inner explode makes Spark infer a size>0 filter whose
+    pushdown re-inlines the whole signature expression into a second
+    full evaluation per row (InferFiltersFromGenerate + pushdown).
+    All-null signatures (no-shingle docs) are excluded via a constant
+    comparison on the cheap band key (``concat_ws`` of all-null rows is
+    ''), never via a filter on the signature expression itself — such a
+    filter gets predicate-pushdown-inlined below the projection and
+    re-evaluates all hashes per row."""
+    return (
+        sigs.select(
+            "id",
+            "sig",
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                            ).alias("bkey"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .filter(F.col("bkey") != F.md5(F.lit("")))
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     bands: int = 8,
@@ -477,31 +515,7 @@ def minhash_lsh_pairs(
         sigs = sigs.persist()
         if persist_handles is not None:
             persist_handles.append(sigs)
-    # explode_outer, not explode: the band array is fixed-length (never
-    # empty), and inner explode makes Spark infer a size>0 filter whose
-    # pushdown re-inlines the whole signature expression into a second
-    # full evaluation per row (InferFiltersFromGenerate + pushdown).
-    banded = (
-        sigs.select(
-            "id",
-            "sig",
-            F.explode_outer(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.md5(
-                                F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
-                            ).alias("bkey"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-        .filter(F.col("bkey") != F.md5(F.lit("")))
-    )
+    banded = _band_keys(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -530,6 +544,106 @@ def minhash_lsh_pairs(
         # (num_hashes < bands*rows fails loudly at the band build: Spark 4
         # ANSI element_at raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT.)
         (match_cnt / F.size("sig_a").cast("double")).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dedup against a persisted LSH band index
+# ---------------------------------------------------------------------------
+
+_BAND_INDEX_PARAMS = ("mh_num_hashes", "mh_shingle_n", "mh_bands", "mh_rows_per_band")
+
+
+def build_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """``(band int, bkey string, mh_* params)`` — the DISTINCT MinHash-LSH
+    band buckets of an already-admitted corpus: the persisted state of
+    incremental NEAR-dedup, the fuzzy sibling of
+    :func:`build_content_index` (same CommonCrawl snapshot-over-snapshot
+    posture — a re-crawled page usually differs by boilerplate, not
+    content, so exact hashes miss it; an LSH band collision catches it).
+
+    One signature pass + a distinct on (band, bkey): output cardinality
+    is at most ``bands`` rows per admitted doc and SHRINKS under
+    duplication (duplicate docs share buckets) — 8 band rows ≈ 300 bytes
+    per doc of persisted state.  Append new snapshots' buckets as they
+    are admitted, exactly like the content index.  The MinHash geometry
+    rides along as constant columns so a probe can never run with a
+    mismatched signature formula (which would silently stop collisions
+    from firing).
+    """
+    if num_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must equal bands*rows_per_band "
+            f"({bands}*{rows_per_band})"
+        )
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return (
+        _band_keys(sigs, bands, rows_per_band)
+        .select("band", "bkey")
+        .distinct()
+        .select(
+            "band",
+            "bkey",
+            F.lit(num_hashes).cast("int").alias("mh_num_hashes"),
+            F.lit(shingle_n).cast("int").alias("mh_shingle_n"),
+            F.lit(bands).cast("int").alias("mh_bands"),
+            F.lit(rows_per_band).cast("int").alias("mh_rows_per_band"),
+        )
+    )
+
+
+def dedup_against_band_index(
+    df: DataFrame, id_col: str, text_col: str, index: DataFrame
+) -> DataFrame:
+    """Rows of ``df`` that share NO LSH band bucket with ``index`` (a
+    :func:`build_band_index` frame) — the RefinedWeb/Dolma
+    drop-on-collision posture for snapshot-over-snapshot near-dedup.
+    Schema passes through untouched.
+
+    Scale shape: one signature pass over the snapshot, an equi-join on
+    (band, bkey) that touches only colliding buckets (LEFT SEMI, then a
+    distinct on the colliding ids), and a LEFT ANTI rejoin on the id —
+    no pairwise stage anywhere, and the index side carries ~300 bytes
+    per admitted doc.  Both joins key on hashes (uniform, skew-free).
+    The MinHash geometry comes from the index's embedded parameter
+    columns, never from caller arguments.  Docs with no shingles (empty
+    text) have no band keys, collide with nothing, and are KEPT —
+    matching the exact twin's NULL-hash semantics.  In-batch near-dups
+    are untouched: compose with :func:`fuzzy_dedup` for within-snapshot
+    cleanup, exactly like the exact path composes with
+    :func:`drop_exact_duplicates`.
+    """
+    missing = {"band", "bkey", *_BAND_INDEX_PARAMS} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"index is missing columns {sorted(missing)}; build it with "
+            "build_band_index"
+        )
+    if "_emm_band_hit" in df.columns:
+        raise ValueError("df already has a _emm_band_hit column; rename it")
+    head = index.select(*_BAND_INDEX_PARAMS).limit(1).collect()
+    if not head:
+        return df
+    num_hashes, shingle_n, bands, rows_per_band = (int(v) for v in head[0])
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    colliding = (
+        _band_keys(sigs, bands, rows_per_band)
+        .join(index.select("band", "bkey"), ["band", "bkey"], "left_semi")
+        .select(F.col("id").alias("_emm_band_hit"))
+        .distinct()
+    )
+    return df.join(
+        colliding,
+        F.col(id_col) == F.col("_emm_band_hit"),
+        "left_anti",
     )
 
 

@@ -408,3 +408,81 @@ def test_bloom_dedup_on_a_stream(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r["doc_id"] for r in got) == want
+
+
+# ---------------------------------------------------------------------------
+# build_band_index + dedup_against_band_index (incremental NEAR-dedup)
+# ---------------------------------------------------------------------------
+
+def _band_fixture(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls softly on the quiet village roofs tonight")
+    old = spark.createDataFrame(
+        [(i, f"{base} chapter {i} begins here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, f"{base} chapter 3 begins here")]      # exact re-serve
+        + [(101, f"{base} chapter 3 begins now")]     # near-dup (1 word off)
+        + [(102 + i,
+            f"completely different {i} text about spaceships and gardens "
+            f"growing wild under two moons with settlers {i} debating")
+           for i in range(5)]                          # novel
+        + [(200, ""), (201, None)],                    # no shingles
+        "doc_id long, text string",
+    )
+    return old, new
+
+
+def test_band_index_drops_exact_and_near_reserves(spark):
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_band_index,
+        dedup_against_band_index,
+    )
+
+    old, new = _band_fixture(spark)
+    idx = build_band_index(old, "doc_id", "text")
+    assert set(idx.columns) == {"band", "bkey", "mh_num_hashes",
+                                "mh_shingle_n", "mh_bands", "mh_rows_per_band"}
+    out = dedup_against_band_index(new, "doc_id", "text", idx)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # the exact re-serve AND the near-dup collide; novel + shingle-less kept
+    assert 100 not in kept and 101 not in kept
+    assert set(range(102, 107)) <= set(kept)
+    assert 200 in kept and 201 in kept
+    assert out.columns == new.columns
+
+
+def test_band_index_geometry_is_self_described(spark):
+    """A probe against an index built with a non-default geometry must
+    use the INDEX's geometry (caller passes nothing) — collisions keep
+    firing."""
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_band_index,
+        dedup_against_band_index,
+    )
+
+    old, new = _band_fixture(spark)
+    idx = build_band_index(old, "doc_id", "text",
+                           num_hashes=24, shingle_n=2, bands=6, rows_per_band=4)
+    kept = sorted(r["doc_id"] for r in
+                  dedup_against_band_index(new, "doc_id", "text", idx).collect())
+    assert 100 not in kept and 101 not in kept
+
+
+def test_band_index_validation_and_empty_index(spark):
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_band_index,
+        dedup_against_band_index,
+    )
+    from pyspark.sql import functions as F
+
+    old, new = _band_fixture(spark)
+    with pytest.raises(ValueError, match="bands[*]rows_per_band"):
+        build_band_index(old, "doc_id", "text", num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="build_band_index"):
+        dedup_against_band_index(new, "doc_id", "text", old)
+    idx = build_band_index(old, "doc_id", "text")
+    assert dedup_against_band_index(
+        new, "doc_id", "text", idx.where(F.lit(False))
+    ).count() == new.count()
