@@ -567,7 +567,13 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the probable-duplicate sliver reaches the exact LEFT ANTI
     confirm join — the 100-TB shape where the full snapshot never
     shuffles.  False positives are eliminated by the confirm join, so
-    the output is pinned to the SAME oracle as `incremental_dedup`."""
+    the output is pinned to the SAME oracle as `incremental_dedup`.
+
+    r11 OPTIMIZATION: the in-plan content index is localCheckpoint-ed —
+    it sits under BOTH the bloom build's driver collect and the exact
+    confirm join, so the unmaterialized frame paid the slice scan + md5
+    distinct twice (a production caller reads the index from its
+    persisted bucketed table, where this is moot)."""
     from entitymatchingmodel_spark.operators.dedup import (
         build_bloom_index,
         build_content_index,
@@ -575,7 +581,9 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    seen = build_content_index(docs.where(F.col("doc_id") % 3 == 0), "text")
+    seen = build_content_index(
+        docs.where(F.col("doc_id") % 3 == 0), "text"
+    ).localCheckpoint()
     bloom = build_bloom_index(seen, num_bits=1 << 17, num_hashes=5)
     fresh = dedup_against_bloom(docs, "text", seen, bloom=bloom)
     return fresh.select("doc_id", "lang", "source")
@@ -588,18 +596,33 @@ def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot posture): the admitted slice's DISTINCT MinHash band
     buckets (~300 bytes/doc) are the persisted state; a new snapshot
     drops every doc sharing at least one band bucket (the RefinedWeb
-    drop-on-collision rule).  One signature pass + two hash-keyed
+    drop-on-collision rule).  ONE signature pass + two hash-keyed
     joins, no pairwise stage; MinHash geometry is read from the index's
     embedded parameter columns.  EXACT oracle via the shared
-    _SQL_MINHASH fragment."""
+    _SQL_MINHASH fragment.
+
+    r11 OPTIMIZATION (guide §1.2/§2.3): the signature aggregation is the
+    dominant stage and the admitted slice is a SUBSET of the probed
+    snapshot, so the snapshot's signatures are computed once (persisted)
+    and both call sites slice from them via the operators' shared-sigs
+    parameter — before, the index side and the probe side each ran a
+    full signature pass (plus a third for the geometry head-collect):
+    ~1.7 corpus-signature-equivalents down to 1."""
     from entitymatchingmodel_spark.operators.dedup import (
         build_band_index,
         dedup_against_band_index,
+        minhash_signatures,
     )
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    idx = build_band_index(docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text")
-    fresh = dedup_against_band_index(docs, "doc_id", "text", idx)
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=32, shingle_n=3
+    ).persist()
+    idx = build_band_index(
+        docs.where(F.col("doc_id") % 3 == 0), "doc_id", "text",
+        sigs=sigs.where(F.col("id") % 3 == 0),
+    )
+    fresh = dedup_against_band_index(docs, "doc_id", "text", idx, sigs=sigs)
     return fresh.select("doc_id", "lang", "source")
 
 
@@ -1091,10 +1114,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase chosen by doc_id % len(_LANG_PHRASES) — one phrase per
     profiled language, so every profile is driver-witnessed; the scorer
     must be engine-deterministic (hits + n_trigrams oracle-checked, not
-    just the argmax label)."""
+    just the argmax label).
+
+    r11 OPTIMIZATION: scored through the Arrow kernel shape
+    (scorer="kernel" — guide §4.2: one vectorized O(len) pass per batch
+    vs the literal expression's 840 per-row replace() scans at 42
+    profiles; 8.2s -> ~0.5s at sf0.1, byte-identical output).  The
+    literal expression shape keeps its three-shape parity pin in
+    tests/test_text_functions.py and stays available via
+    lang_id_table(..., scorer="literal")."""
     from entitymatchingmodel_spark.functions.text import lang_id_table
 
-    return lang_id_table(_lang_planted(spark, sf_dir), "doc_id", "text")
+    return lang_id_table(
+        _lang_planted(spark, sf_dir), "doc_id", "text", scorer="kernel"
+    )
 
 
 def q_lang_id_joined(spark: SparkSession, sf_dir: str) -> DataFrame:

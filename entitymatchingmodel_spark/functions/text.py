@@ -354,13 +354,43 @@ def _score_from_norm(norm: Column) -> Column:
     )
 
 
-def lang_id_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang, hits, n_trigrams) per document — the batch-table shape
-    of the char-trigram scorer: the normalized string is projected as a
-    REAL column first, so the ~140 replace() counts run as flat
-    whole-stage-codegen expressions over a column reference (no HOF
-    interpreter; measured ~30% faster than the Column-API let-binding at
-    sf0.1, identical output)."""
+def lang_id_table(
+    df: DataFrame, id_col: str, text_col: str, scorer: str = "literal"
+) -> DataFrame:
+    """(id, lang, hits, n_trigrams) per document.
+
+    ``scorer`` picks the shape (all shapes are pinned exactly equal in
+    tests/test_text_functions.py — same normalizer, same counting, same
+    tie-break):
+
+    * ``"literal"``: the whole-stage-codegen expression shape — the
+      normalized string is projected as a REAL column first, so the
+      replace() counts run as flat codegen expressions over a column
+      reference (no HOF interpreter; measured ~30% faster than the
+      Column-API let-binding at sf0.1).  Generated-code size AND per-row
+      cost grow with the profile dictionary (O(len x n_trigrams) char
+      work — 840 replace() scans per row at 42 profiles), so this shape
+      lost its front-door role as the dictionary grew; it remains the
+      zero-dependency pure-JVM witness.
+    * ``"kernel"``: the Arrow-batched numpy kernel
+      (:func:`lang_scores_kernel`) — ONE O(len) coding pass per document,
+      profile lookups in a per-executor table, cost and plan size
+      constant in dictionary size.  ~15x faster than the literal shape at
+      42 profiles/sf0.1 (r11 measurement) and the curation front-doors'
+      default.
+    """
+    if scorer not in ("literal", "kernel"):
+        raise ValueError(
+            f"scorer must be 'literal' or 'kernel'; got {scorer!r}"
+        )
+    if scorer == "kernel":
+        s = lang_scores_kernel(F.col(text_col))
+        return df.select(
+            F.col(id_col),
+            s["lang"].alias("lang"),
+            s["hits"].alias("hits"),
+            s["n_trigrams"].alias("n_trigrams"),
+        )
     normed = df.select(
         F.col(id_col), _chargram_norm(F.col(text_col)).alias("_n")
     )
@@ -923,17 +953,26 @@ def gopher_repetition_table(
     # every n-gram fraction (top AND dup) comes from ONE exploded stream:
     # each n-gram array is built exactly once per row (interpreted HOF
     # passes were the dominant per-row cost), and the stream carries
-    # (n, md5-60bit(gram), word_chars) — NEVER the gram string.  Shuffling
+    # (n, xxhash64(gram), word_chars) — NEVER the gram string.  Shuffling
     # raw n-gram strings measured SUPERLINEAR at 10x corpus (the 9-stream
     # string shuffle spills); the hashed stream is a fixed 20 bytes/gram.
+    # r11: the internal gram hash is native xxhash64 (one codegen'd
+    # 64-bit hash) instead of md5->hex->substring->conv — the hash only
+    # keys the in-plan grouping, never the output or the oracle (which
+    # groups exact strings), so swapping it is result-identical while
+    # dropping a 32-char string allocation + base conversion per gram;
+    # the doc-level _cc no longer rides the exploded stream either (it
+    # re-derives from `base` after the rejoin — same expression, same
+    # values), shaving 8 bytes/gram plus two first() aggregates off the
+    # count shuffle (guide §2.3: shuffle fewer bytes).
     # The output only needs each winner's (count, word_chars) pair — the
     # published fraction is count*chars/cc and ties beyond (count desc,
     # chars desc) cannot change it — so the top winner is a max(struct)
     # aggregate, not a window, and both families pivot in ONE groupBy(id).
     # dup chars: sum over distinct grams of (count-1)*word_chars ==
-    # sum_all - sum_distinct of the per-row formulation.  A 60-bit md5
+    # sum_all - sum_distinct of the per-row formulation.  A 64-bit
     # collision inside one (doc, n) group would merge two counts
-    # (P ~ grams^2/2^61 per doc — negligible, and the oracle's exact
+    # (P ~ grams^2/2^65 per doc — negligible, and the oracle's exact
     # string grouping would flag it as a mismatch).
     def _tagged(n: int):
         return F.coalesce(
@@ -941,9 +980,7 @@ def gopher_repetition_table(
                 _word_ngrams(words, n),
                 lambda g: F.struct(
                     F.lit(n).alias("n"),
-                    F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
-                    .cast("long")
-                    .alias("h"),
+                    F.xxhash64(g).alias("h"),
                     (F.length(g) - (n - 1)).alias("l"),
                 ),
             ),
@@ -953,22 +990,19 @@ def gopher_repetition_table(
     all_ns = (*_TOP_NGRAM_NS, *_DUP_NGRAM_NS)
     ex = df.select(
         F.col(id_col),
-        char_count.alias("_cc"),
         F.explode(F.flatten(F.array(*[_tagged(n) for n in all_ns]))).alias("_t"),
     ).select(
-        id_col, "_cc",
+        id_col,
         F.col("_t.n").alias("_n"), F.col("_t.h").alias("_h"),
         F.col("_t.l").alias("_l"),
     )
     cnt = ex.groupBy(id_col, "_n", "_h").agg(
         F.count("*").alias("_c"), F.first("_l").alias("_l"),
-        F.first("_cc").alias("_cc"),
     )
     # only actually-repeated n-grams matter for BOTH families (a count-1
     # n-gram is not repetition; it also contributes 0 dup chars)
     rep = cnt.filter(F.col("_c") >= 2)
     stats = rep.groupBy(id_col).agg(
-        F.first("_cc").alias("_scc"),
         *[
             F.max(
                 F.when(
@@ -984,28 +1018,28 @@ def gopher_repetition_table(
             for n in _DUP_NGRAM_NS
         ],
     )
-    stats = stats.select(
-        id_col,
-        *[
+    out = base.join(stats, id_col, "left")
+    out = out.withColumns(
+        {
             # isNotNull guard: least() SKIPS nulls, so a missing winner
-            # would otherwise collapse least(1.0, NULL) to 1.0
-            F.when(
+            # would otherwise collapse least(1.0, NULL) to 1.0.  _cc here
+            # is base's doc char count — the same expression the stream
+            # used to carry per gram.
+            f"_top{n}": F.when(
                 F.col(f"_w{n}").isNotNull(),
                 F.round(
                     F.least(
                         F.lit(1.0),
                         F.col(f"_w{n}._c")
                         * F.col(f"_w{n}._l")
-                        / F.col("_scc").cast("double"),
+                        / F.col("_cc").cast("double"),
                     ),
                     6,
                 ),
-            ).alias(f"_top{n}")
+            )
             for n in _TOP_NGRAM_NS
-        ],
-        *[F.col(f"_dup{n}") for n in _DUP_NGRAM_NS],
+        }
     )
-    out = base.join(stats, id_col, "left")
     cc_bad = F.col("_cc").isNull() | (F.col("_cc") <= 0)
     final_cols = {
         name: F.col(name)

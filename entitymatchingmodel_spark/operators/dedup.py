@@ -372,15 +372,18 @@ def dedup_against_bloom(
             f"bloom is missing columns {sorted(missing)}; build it with "
             "build_bloom_index"
         )
-    head = bloom.select("num_bits", "num_hashes").limit(1).collect()
-    if head:
-        num_bits, num_hashes = int(head[0][0]), int(head[0][1])
+    # ONE bounded driver collect for geometry AND words (<= num_bits/64
+    # rows by construction; the validation below caps it at 2^21 words /
+    # 16 MiB).  r11: this was two separate collects (a limit(1) for the
+    # params, then the words) — against an in-plan bloom frame each
+    # collect re-executed the whole index aggregation, doubling the
+    # index-side work (guide §1.2: don't compute things twice).
+    words = bloom.select("word_idx", "bits", "num_bits", "num_hashes").collect()
+    if words:
+        num_bits, num_hashes = int(words[0][2]), int(words[0][3])
     _bloom_validate(num_bits, num_hashes)
-    # Bounded driver collect: <= num_bits/64 rows by construction (the
-    # validation above caps it at 2^21 words / 16 MiB).
-    words = bloom.select("word_idx", "bits").collect()
     bitmap = [0] * (num_bits // 64)
-    for w_idx, bits in words:
+    for w_idx, bits, _, _ in words:
         bitmap[w_idx] = bits
     bm = F.lit(bitmap)
 
@@ -562,6 +565,7 @@ def build_band_index(
     shingle_n: int = 3,
     bands: int = 8,
     rows_per_band: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """``(band int, bkey string, mh_* params)`` — the DISTINCT MinHash-LSH
     band buckets of an already-admitted corpus: the persisted state of
@@ -578,13 +582,24 @@ def build_band_index(
     rides along as constant columns so a probe can never run with a
     mismatched signature formula (which would silently stop collisions
     from firing).
+
+    ``sigs`` (optional, r11 optimization): a precomputed ``(id, sig)``
+    frame for EXACTLY ``df``'s rows under EXACTLY these
+    ``num_hashes``/``shingle_n`` parameters — the shared-signature-scan
+    shape for a caller that both builds an index and probes in one job
+    (the signature aggregation is the dominant cost at every scale;
+    computing it once over the superset and filtering beats two full
+    passes — guide §2.3 "aggregate before you shuffle" applied across
+    call sites).  The caller owns the parity contract; the default
+    recomputes from ``df``.
     """
     if num_hashes != bands * rows_per_band:
         raise ValueError(
             f"num_hashes ({num_hashes}) must equal bands*rows_per_band "
             f"({bands}*{rows_per_band})"
         )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     return (
         _band_keys(sigs, bands, rows_per_band)
         .select("band", "bkey")
@@ -601,7 +616,11 @@ def build_band_index(
 
 
 def dedup_against_band_index(
-    df: DataFrame, id_col: str, text_col: str, index: DataFrame
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index: DataFrame,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``df`` that share NO LSH band bucket with ``index`` (a
     :func:`build_band_index` frame) — the RefinedWeb/Dolma
@@ -620,6 +639,13 @@ def dedup_against_band_index(
     are untouched: compose with :func:`fuzzy_dedup` for within-snapshot
     cleanup, exactly like the exact path composes with
     :func:`drop_exact_duplicates`.
+
+    ``sigs`` (optional, r11 optimization): a precomputed ``(id, sig)``
+    frame for EXACTLY ``df``'s rows under the index's embedded MinHash
+    geometry — pass it when the same job already computed the snapshot's
+    signatures (e.g. it built the index from a slice of this snapshot),
+    so the dominant signature aggregation runs once, not per call site
+    (same contract as :func:`build_band_index`'s ``sigs``).
     """
     missing = {"band", "bkey", *_BAND_INDEX_PARAMS} - set(index.columns)
     if missing:
@@ -633,7 +659,8 @@ def dedup_against_band_index(
     if not head:
         return df
     num_hashes, shingle_n, bands, rows_per_band = (int(v) for v in head[0])
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     colliding = (
         _band_keys(sigs, bands, rows_per_band)
         .join(index.select("band", "bkey"), ["band", "bkey"], "left_semi")

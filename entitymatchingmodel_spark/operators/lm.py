@@ -130,7 +130,14 @@ class BigramLM:
             .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
         )
         c12 = rb.groupBy("w1", "w2").agg(F.count("*").alias("_c12")).persist()
-        c1 = rb.groupBy("w1").agg(F.count("*").alias("_c1")).persist()
+        # c(w1) = sum over w2 of c(w1, w2) EXACTLY (integer sums), so the
+        # context counts roll up from the bigram table instead of paying a
+        # second full tokenize+explode pass over the reference corpus
+        # (r11 optimization, guide §2.3 aggregate-before-you-shuffle: the
+        # input here is the vocabulary-bounded count table, not the
+        # corpus).  The persisted c12 also makes this rollup read cached
+        # data on every future action.
+        c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1")).persist()
         if persist_handles is not None:
             persist_handles.extend([c12, c1])
         # vocabulary of the reference (all tokens, incl. sentence-final

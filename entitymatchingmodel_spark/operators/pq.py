@@ -626,6 +626,23 @@ def refine_topk(
             f"candidates is missing column(s) {sorted(missing)}; "
             f"got {candidates.columns}"
         )
+    # Materialize the (projected) shortlist ONCE before anything reads it
+    # (r11 optimization, guide §1.2/§5): this function consumes
+    # `candidates` three times — the two guard counts below plus the
+    # rescore join — and the shortlist is typically the OUTPUT OF A FULL
+    # ANN PIPELINE (ivf_pq_topk), so each extra evaluation re-ran
+    # centroid build + corpus encode + ADC end to end (measured: the
+    # ivf_pq_refined contract row executed its shortlist DAG 3x — 8.3s;
+    # 3.7s with this single localCheckpoint, identical rows).  Projecting
+    # to the two key columns first keeps the materialized footprint
+    # minimal; the frame is shortlist-sized (bounded by the guards right
+    # below — a mis-sized caller materializes at most its own oversized
+    # shortlist to executor-local storage before the ValueError fires,
+    # never to the driver).
+    candidates = candidates.select(
+        F.col(qid_col).alias("_rq"), F.col(cand_col).alias("_rc")
+    ).localCheckpoint()
+    qid_col, cand_col = "_rq", "_rc"
     n_q = (
         candidates.select(qid_col).distinct().limit(max_queries + 1).count()
     )
@@ -649,9 +666,7 @@ def refine_topk(
             "query-vector frame is broadcast — re-rank in query chunks, "
             "trim the per-query shortlist, or raise max_shortlist_rows"
         )
-    cand = candidates.select(
-        F.col(qid_col).alias("_rq"), F.col(cand_col).alias("_rc")
-    ).dropDuplicates(["_rq", "_rc"])
+    cand = candidates.dropDuplicates(["_rq", "_rc"])
     qun = _l2_normalize(
         queries.select(F.col(id_col).alias("_rq"), F.col(vec_col).alias("_qv")),
         "_qv",

@@ -486,3 +486,34 @@ def test_band_index_validation_and_empty_index(spark):
     assert dedup_against_band_index(
         new, "doc_id", "text", idx.where(F.lit(False))
     ).count() == new.count()
+
+
+def test_band_index_shared_sigs_matches_recompute(spark):
+    """The r11 shared-signature-scan shape (one minhash pass, sliced for
+    the index side, reused on the probe side) must be ROW-IDENTICAL to
+    the default recompute-per-call-site shape."""
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.operators.dedup import (
+        build_band_index,
+        dedup_against_band_index,
+        minhash_signatures,
+    )
+
+    old, new = _band_fixture(spark)
+    both = old.unionByName(new)
+    sigs = minhash_signatures(both, "doc_id", "text", 32, 3)
+    old_ids = {r["doc_id"] for r in old.collect()}
+    idx_shared = build_band_index(
+        old, "doc_id", "text",
+        sigs=sigs.where(F.col("id").isin(*old_ids)),
+    )
+    out_shared = dedup_against_band_index(
+        new, "doc_id", "text", idx_shared,
+        sigs=sigs.where(~F.col("id").isin(*old_ids)),
+    )
+    idx_plain = build_band_index(old, "doc_id", "text")
+    out_plain = dedup_against_band_index(new, "doc_id", "text", idx_plain)
+    assert sorted(map(tuple, out_shared.collect())) == sorted(
+        map(tuple, out_plain.collect())
+    )

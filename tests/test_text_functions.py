@@ -362,3 +362,35 @@ def test_lang_phrases_witness_every_profile():
 
     bad = [(l, argmax(p)) for l, p in pairs if argmax(p) != l]
     assert not bad, f"phrases no longer witness their profile: {bad}"
+
+
+def test_lang_id_table_kernel_scorer_matches_literal(spark):
+    """lang_id_table(scorer='kernel') (the r11 fast path the lang_id
+    contract row uses) must be row-identical to the literal expression
+    shape, and an unknown scorer must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entitymatchingmodel_spark.functions.text import lang_id_table
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(90001, None), (90002, ""), (90003, "12345 !!!")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    lit_rows = {
+        r["doc_id"]: (r["lang"], r["hits"], r["n_trigrams"])
+        for r in lang_id_table(docs, "doc_id", "text").collect()
+    }
+    ker_rows = {
+        r["doc_id"]: (r["lang"], r["hits"], r["n_trigrams"])
+        for r in lang_id_table(docs, "doc_id", "text", scorer="kernel").collect()
+    }
+    assert lit_rows == ker_rows
+    with pytest.raises(ValueError, match="scorer"):
+        lang_id_table(docs, "doc_id", "text", scorer="gpu")
