@@ -1389,15 +1389,28 @@ def duplicate_clusters(
         .persist()
     )
     n_nodes = ids.count()
-    labels = _iter_checkpoint(
-        ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl")),
-        reliable_checkpoint,
-    )
     converged = False
-    with _loop_shuffle_partitions(labels.sparkSession, n_nodes):
+    with _loop_shuffle_partitions(edges.sparkSession, n_nodes):
+        # Narrow both loop inputs to the loop's partitioning ONCE (r11,
+        # guide §2.4): the edge cache and the initial label frame carry
+        # the session-width partitioning (32+ partitions locally), so
+        # every round's join otherwise re-scans wide caches with
+        # near-empty tasks; the edge side is additionally repartitioned
+        # by its JOIN KEY (dst) and checkpointed — LogicalRDD preserves
+        # the partitioning, so the per-round join reuses it instead of
+        # re-exchanging the edges every round.
+        edges_n = _iter_checkpoint(
+            edges.repartition("dst"), reliable_checkpoint
+        )
+        edges.unpersist()
+        labels = _iter_checkpoint(
+            ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("lbl"))
+            .repartition("src"),
+            reliable_checkpoint,
+        )
         for _ in range(max_iterations):
             neigh = (
-                edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+                edges_n.join(labels.withColumnRenamed("src", "dst"), "dst")
                 .groupBy("src")
                 .agg(F.min("lbl").alias("nlbl"))
             )
@@ -1419,7 +1432,6 @@ def duplicate_clusters(
             if changed == 0:
                 converged = True
                 break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} rounds "
@@ -1496,7 +1508,18 @@ def duplicate_clusters_star(
     n_sym = sym.count()
     converged = False
     with _loop_shuffle_partitions(sym.sparkSession, n_sym):
-        edges = _iter_checkpoint(small_star(large_star(sym)), reliable_checkpoint)
+        # Narrow the session-width edge cache to the loop's partitioning
+        # ONCE before the first round (r11, guide §2.4):
+        # ``small_star(large_star(e))`` references ``e``'s subtree FOUR
+        # times (o, m-of-o, and both union branches of the join — Spark
+        # reuses identical exchanges, not arbitrary subtrees), so the
+        # first round otherwise re-scans the wide persisted cache through
+        # several duplicated session-width map stages — measured 3.75s ->
+        # 1.15s for round 0 at sf0.1 (256 edges, 32 -> 2 partitions);
+        # later rounds already read narrow checkpoints.
+        sym_n = _iter_checkpoint(sym.repartition("u"), reliable_checkpoint)
+        sym.unpersist()
+        edges = _iter_checkpoint(small_star(large_star(sym_n)), reliable_checkpoint)
         n_edges = edges.count()
         for _ in range(max_iterations):
             new_edges = _iter_checkpoint(
@@ -1525,7 +1548,6 @@ def duplicate_clusters_star(
             F.coalesce("lbl", "u").alias("cluster_id"),
         )
     )
-    sym.unpersist()
     return out
 
 
