@@ -1382,9 +1382,24 @@ def duplicate_clusters(
     :func:`duplicate_clusters_star` — same output contract, O(log n)
     rounds.
     """
+    # symmetrize with ONE evaluation of the pair DAG (r11, guide §1.2): a
+    # union of two selects references the (often expensive — LSH
+    # self-join / bucketed ANN) pairs subtree twice per materialization;
+    # the 2-struct explode emits both directions from a single pass.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .distinct()
         .persist()
     )
@@ -1463,9 +1478,19 @@ def duplicate_clusters_star(
     plan truncation Catalyst analysis blows up exponentially — persist()
     caches data but not the logical plan.
     """
+    # one-pass symmetrize via the 2-struct explode — see
+    # duplicate_clusters (a union of two selects evaluates the pair DAG
+    # twice per materialization)
     sym = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+                    F.struct(F.col("id_b").alias("u"), F.col("id_a").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()

@@ -371,6 +371,7 @@ def perplexity_bands(
     group_col: str,
     lo_q: float = 1 / 3,
     hi_q: float = 2 / 3,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail bucketing: score every document with the
     (clean-reference-trained) LM, compute each group's EXACT perplexity
@@ -386,6 +387,12 @@ def perplexity_bands(
     BROADCAST of the n_groups-row threshold table back onto the scored
     corpus.  Thresholds are SELECTED perplexity values (type-1), so the
     band compare is bit-exact across engines.
+
+    ``persist_handles`` (module-wide convention, r11): when provided, the
+    scored per-doc frame is persisted and the handle appended — the frame
+    sits under BOTH the quantile-threshold subtree and the final band
+    join, so an unpersisted composition evaluates the full LM scoring
+    (explode + two count joins + per-doc rollup) twice per execution.
     """
     if not (0.0 <= lo_q < hi_q <= 1.0):
         # strict <: equal quantiles would surface as grouped_quantiles'
@@ -396,6 +403,9 @@ def perplexity_bands(
     scored = model.score(docs, id_col, text_col).join(
         docs.select(id_col, group_col), id_col
     )
+    if persist_handles is not None:
+        scored = scored.persist()
+        persist_handles.append(scored)
     qt = grouped_quantiles(scored, group_col, "perplexity", (lo_q, hi_q))
     th = qt.groupBy(group_col).agg(
         F.min(F.when(F.col("q") == float(lo_q), F.col("value"))).alias("_tlo"),
