@@ -359,10 +359,19 @@ def pq_codebooks_from_ids(
         .limit(k)
         .withColumn("_r", F.row_number().over(w))
     )
-    return _subvecs(seeds, "_r", "_v", m, dim // m).select(
-        "sub_id",
-        (F.col("_id") - 1).cast("int").alias("code"),
-        F.col("_sv").alias("centroid"),
+    # localCheckpoint (r11, the pq_fit posture — its learned codebooks are
+    # already checkpointed): the m*k-row table sits under the consumer's
+    # codebook-length check, the ADC distance table AND the encode assign —
+    # un-materialized, each of those re-ran this TakeOrdered over the full
+    # corpus (measured as ~half of ivf_pq_topk's construction actions).
+    return (
+        _subvecs(seeds, "_r", "_v", m, dim // m)
+        .select(
+            "sub_id",
+            (F.col("_id") - 1).cast("int").alias("code"),
+            F.col("_sv").alias("centroid"),
+        )
+        .localCheckpoint()
     )
 
 
@@ -419,13 +428,46 @@ def ivf_pq_topk(
             "a per-query distance table — chunk the query set (or raise "
             "max_queries if the m*k*batch table still fits in memory)"
         )
-    dim = _check_geometry(corpus, vec_col, m)
+    # fail fast on ragged / non-divisible / corpus-vs-query-mismatched
+    # dimensions: unchecked, the probe's zip_with dots go NULL and the
+    # window "probes" the first nprobe buckets of every query — garbage
+    # neighbours, no error (review finding); same check for a
+    # user-supplied codebook's centroid length.  Both sides are probed in
+    # ONE union job (r11): the per-side size aggregates each scan the fat
+    # vector column, and two separate bounded actions doubled that
+    # validation scan on every call.
+    side_rows = {
+        int(r["_side"]): r
+        for r in (
+            corpus.select(F.size(vec_col).alias("_s"), F.lit(0).alias("_side"))
+            .unionByName(
+                queries.select(
+                    F.size(vec_col).alias("_s"), F.lit(1).alias("_side")
+                )
+            )
+            .groupBy("_side")
+            .agg(F.max("_s").alias("d"), F.min("_s").alias("d0"))
+            .collect()
+        )
+    }
+
+    def _side_dim(side: int) -> int:
+        row = side_rows.get(side)
+        if row is None or row["d"] is None:
+            raise ValueError("no vectors to quantize")
+        if row["d"] != row["d0"]:
+            raise ValueError(
+                f"mixed vector dimensions ({row['d0']} and {row['d']}); "
+                "product quantization requires a uniform-dimension column"
+            )
+        d = int(row["d"])
+        if d % m != 0:
+            raise ValueError(f"dim={d} is not divisible by m={m} subspaces")
+        return d
+
+    dim = _side_dim(0)
     d_sub = dim // m
-    # fail fast on a dim-mismatched query batch: unchecked, the probe's
-    # zip_with dots go NULL and the window "probes" the first nprobe
-    # buckets of every query — garbage neighbours, no error (review
-    # finding); same check for a user-supplied codebook's centroid length
-    qdim = _check_geometry(queries, vec_col, m)
+    qdim = _side_dim(1)
     if qdim != dim:
         raise ValueError(
             f"query vectors are {qdim}-dimensional but the corpus is "
