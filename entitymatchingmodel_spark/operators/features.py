@@ -160,10 +160,11 @@ def _lcs_len(s1: str, s2: str) -> int:
     for k, ch in enumerate(s1):
         match[ch] = match.get(ch, 0) | (1 << k)
     v = mask
+    mg = match.get
     for ch in s2:
-        u = v & match.get(ch, 0)
+        u = v & mg(ch, 0)
         v = ((v + u) | (v - u)) & mask
-    return m - bin(v).count("1")
+    return m - v.bit_count()
 
 
 def _indel_ratio(s1: str, s2: str) -> float:
@@ -174,9 +175,11 @@ def _indel_ratio(s1: str, s2: str) -> float:
     return 200.0 * _lcs_len(s1, s2) / total
 
 
-def _partial_ratio_py(s1: str, s2: str) -> float:
-    """fuzz.partial_ratio: best indel ratio of the shorter string vs any
-    alignment window of the longer (windows may hang off either end)."""
+def _partial_ratio_bruteforce(s1: str, s2: str) -> float:
+    """Reference formulation of partial_ratio: best indel ratio of the
+    shorter string vs EVERY alignment window of the longer (windows may
+    hang off either end).  Kept as the parity witness for the pruned
+    implementation below (tests/test_fuzz_features.py)."""
     if len(s1) > len(s2):
         s1, s2 = s2, s1
     m, n = len(s1), len(s2)
@@ -186,6 +189,87 @@ def _partial_ratio_py(s1: str, s2: str) -> float:
     for off in range(1 - m, n):
         w = s2[max(0, off): off + m]
         r = _indel_ratio(s1, w)
+        if r > best:
+            best = r
+            if best == 100.0:
+                break
+    return best
+
+
+def _partial_ratio_py(s1: str, s2: str) -> float:
+    """fuzz.partial_ratio — same value as ``_partial_ratio_bruteforce`` for
+    every input (the result is a max over windows, so evaluation order and
+    skipped can't-win windows don't affect it), computed with two exact
+    prunes (r11, guide §1.2-step-2 per-task work):
+
+    - the s1 character bitmasks are built ONCE instead of per window
+      (the brute force re-derived them inside every ``_indel_ratio`` call);
+    - each window's ratio is bounded above by
+      ``200*min(m, |w|, multiset_common(s1, w))/(m+|w|)`` where the
+      multiset-intersection size is maintained incrementally as the window
+      slides (O(1) per offset); windows are evaluated in descending-bound
+      order and the scan stops when the bound can no longer exceed the
+      running best — LCS(s1, w) never exceeds any of those three caps, so
+      no skipped window could have raised the max.
+    """
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    m, n = len(s1), len(s2)
+    if m == 0:
+        return 100.0 if n == 0 else 0.0
+    # s1 masks + multiset counts, once
+    full = (1 << m) - 1
+    match: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for k, ch in enumerate(s1):
+        match[ch] = match.get(ch, 0) | (1 << k)
+        c1[ch] = c1.get(ch, 0) + 1
+    # one slide over all offsets: window for off is s2[max(0,off) : off+m);
+    # entering char index off+m-1 (when < n), leaving char index off-1
+    # (when >= 0).  Record (upper bound, lo, hi) per offset.
+    cw: dict[str, int] = {}
+    common = 0
+    cands: list[tuple[float, int, int]] = []
+    for off in range(1 - m, n):
+        if off == 1 - m:
+            ch = s2[0]
+            if cw.get(ch, 0) < c1.get(ch, 0):
+                common += 1
+            cw[ch] = cw.get(ch, 0) + 1
+        else:
+            ent = off + m - 1
+            if ent < n:
+                ch = s2[ent]
+                if cw.get(ch, 0) < c1.get(ch, 0):
+                    common += 1
+                cw[ch] = cw.get(ch, 0) + 1
+            if off - 1 >= 0:
+                ch = s2[off - 1]
+                cw[ch] -= 1
+                if cw[ch] < c1.get(ch, 0):
+                    common -= 1
+        lo, hi = max(0, off), min(n, off + m)
+        wl = hi - lo
+        cap = common if common < wl else wl
+        if cap > m:
+            cap = m
+        cands.append((200.0 * cap / (m + wl), lo, hi))
+    # descending-bound order (plain tuple sort; tie order among equal
+    # bounds is irrelevant — the result is a max)
+    cands.sort(reverse=True)
+    best = 0.0
+    mg = match.get
+    for bound, lo, hi in cands:
+        if bound <= best:
+            break
+        # exact same float expression as _indel_ratio(s1, w): the LCS uses
+        # the precomputed masks instead of rebuilding them per window.
+        v = full
+        for ch in s2[lo:hi]:
+            u = v & mg(ch, 0)
+            v = ((v + u) | (v - u)) & full
+        lcs = m - v.bit_count()
+        r = 200.0 * lcs / (m + (hi - lo))
         if r > best:
             best = r
             if best == 100.0:
@@ -208,15 +292,22 @@ def _token_strings(s1: str, s2: str):
     return sa, sb, sect, c1, c2
 
 
-def _wratio_py(s1: str, s2: str) -> float:
+def _wratio_py(
+    s1: str, s2: str, _end: float | None = None, _p: float | None = None
+) -> float:
     """fuzz.WRatio: weighted max of full / token-sort / token-set ratios,
     switching to partial variants for length-mismatched strings (public
-    fuzzywuzzy/rapidfuzz weighting: 0.95 token scale, 0.9/0.6 partial)."""
+    fuzzywuzzy/rapidfuzz weighting: 0.95 token scale, 0.9/0.6 partial).
+
+    ``_end`` / ``_p`` optionally hand in an already-computed
+    ``_indel_ratio(s1, s2)`` / ``_partial_ratio_py(s1, s2)`` — the batch
+    kernel computes both for its own output columns, so WRatio reuses the
+    identical floats instead of re-deriving them (r11, guide §1.2-step-2)."""
     if not s1 or not s2:
         return 0.0
     l1, l2 = len(s1), len(s2)
     lr = max(l1, l2) / min(l1, l2)
-    end = _indel_ratio(s1, s2)
+    end = _indel_ratio(s1, s2) if _end is None else _end
     sa, sb, sect, c1, c2 = _token_strings(s1, s2)
     if lr < 1.5:
         ts = _indel_ratio(sa, sb)
@@ -225,7 +316,7 @@ def _wratio_py(s1: str, s2: str) -> float:
         )
         return max(end, max(ts, tset) * 0.95)
     ps = 0.9 if lr < 8 else 0.6
-    p = _partial_ratio_py(s1, s2)
+    p = _partial_ratio_py(s1, s2) if _p is None else _p
     pts = _partial_ratio_py(sa, sb)
     ptset = max(
         _partial_ratio_py(sect, c1),
@@ -297,16 +388,24 @@ def fuzz_ratios_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     # the three ratios share no state otherwise.
     if _RAPIDFUZZ is not None:
         fz = _RAPIDFUZZ[0]
-        fns = (fz.ratio, fz.partial_ratio, fz.WRatio)
+
+        def compute(x: str, y: str) -> tuple[float, float, float]:
+            return (fz.ratio(x, y), fz.partial_ratio(x, y), fz.WRatio(x, y))
     else:
-        fns = (_indel_ratio, _partial_ratio_py, _wratio_py)
+
+        def compute(x: str, y: str) -> tuple[float, float, float]:
+            # ratio and partial_ratio are output columns anyway; WRatio
+            # reuses the same floats instead of re-deriving them.
+            e = _indel_ratio(x, y)
+            p = _partial_ratio_py(x, y)
+            return (e, p, _wratio_py(x, y, _end=e, _p=p))
     memo: dict[tuple[str, str], tuple[float, float, float]] = {}
     rows = []
     for x, y in zip(a.fillna(""), b.fillna("")):
         k = (x, y)
         r = memo.get(k)
         if r is None:
-            r = memo[k] = (fns[0](x, y), fns[1](x, y), fns[2](x, y))
+            r = memo[k] = compute(x, y)
         rows.append(r)
     return pd.DataFrame(rows, columns=["ratio", "partial_ratio", "wratio"])
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from entitymatchingmodel_spark.operators.features import (
     PAIR_FEATURES,
     _indel_ratio,
+    _partial_ratio_bruteforce,
     _partial_ratio_py,
     _wratio_py,
     pair_features,
@@ -34,6 +35,45 @@ from entitymatchingmodel_spark.operators.features import (
 )
 def test_reference_expectations(fn, a, b, expected):
     assert int(fn(a, b)) == expected
+
+
+def test_partial_ratio_pruned_matches_bruteforce():
+    """The r11 bound-pruned partial_ratio is EXACTLY the brute-force max
+    over every alignment window — byte-identical floats, all branches
+    (clipped edge windows, repeated chars, non-ascii, empty, equal)."""
+    import random
+
+    rng = random.Random(20260817)
+    alphabets = ["ab", "abc", "abcdefghijklmnopqrstuvwxyz ", "aab bcc", "日本語 "]
+    for _ in range(3000):
+        alph = rng.choice(alphabets)
+        a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 40)))
+        assert _partial_ratio_py(a, b) == _partial_ratio_bruteforce(a, b), (a, b)
+    for a, b in [
+        ("", ""), ("", "x"), ("x", ""), ("a", "a"), ("ab", "ba"),
+        ("abc bcd abc", "abc abc xyz"), ("abc", "xyz abc xyz"),
+        ("aaaa", "aa"), ("ab" * 40, "ba" * 40),
+    ]:
+        assert _partial_ratio_py(a, b) == _partial_ratio_bruteforce(a, b), (a, b)
+
+
+def test_wratio_precomputed_reuse_matches_plain():
+    """The batch kernel hands WRatio its already-computed indel and
+    partial ratios (r11) — identical floats to the self-computing path,
+    across both length-ratio branches and the partial sub-branches."""
+    import random
+
+    from entitymatchingmodel_spark.operators.features import _indel_ratio
+
+    rng = random.Random(20260818)
+    alphabets = ["ab", "abcdefghijklmnopqrstuvwxyz ", "aab bcc", "日本語 "]
+    for _ in range(2000):
+        alph = rng.choice(alphabets)
+        a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 24)))
+        b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 64)))
+        e, p = _indel_ratio(a, b), _partial_ratio_py(a, b)
+        assert _wratio_py(a, b, _end=e, _p=p) == _wratio_py(a, b), (a, b)
 
 
 def test_partial_ratio_symmetric_and_bounded():
