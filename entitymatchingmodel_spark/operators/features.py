@@ -217,6 +217,11 @@ def _partial_ratio_py(s1: str, s2: str) -> float:
     m, n = len(s1), len(s2)
     if m == 0:
         return 100.0 if n == 0 else 0.0
+    # substring fast path (C-speed): an occurrence of s1 in s2 is a window
+    # with indel ratio exactly 200*m/(m+m) = 100.0, and no window can
+    # exceed 100 — so the max is 100.0 without scanning any window.
+    if s1 in s2:
+        return 100.0
     # s1 masks + multiset counts, once
     full = (1 << m) - 1
     match: dict[str, int] = {}
@@ -318,11 +323,20 @@ def _wratio_py(
     ps = 0.9 if lr < 8 else 0.6
     p = _partial_ratio_py(s1, s2) if _p is None else _p
     pts = _partial_ratio_py(sa, sb)
-    ptset = max(
-        _partial_ratio_py(sect, c1),
-        _partial_ratio_py(sect, c2),
-        _partial_ratio_py(c1, c2),
-    )
+    # ``sect`` is a prefix of both combined strings by construction
+    # (c = sect [+ " " + diff]), so for non-empty sect the window at
+    # offset 0 is sect itself and partial_ratio(sect, cX) is exactly
+    # 100.0 — the max short-circuits without evaluating any of the three
+    # pairs.  (The empty-sect arm keeps partial_ratio's empty-side
+    # convention: 100.0 only when the other side is empty too.)
+    if sect:
+        ptset = 100.0
+    else:
+        ptset = max(
+            100.0 if not c1 else 0.0,
+            100.0 if not c2 else 0.0,
+            _partial_ratio_py(c1, c2),
+        )
     return max(end, p * ps, max(pts, ptset) * 0.95 * ps)
 
 

@@ -50,6 +50,14 @@ def test_partial_ratio_pruned_matches_bruteforce():
         a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 40)))
         b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 40)))
         assert _partial_ratio_py(a, b) == _partial_ratio_bruteforce(a, b), (a, b)
+    # forced containment pairs exercise the `s1 in s2` fast path
+    for _ in range(1000):
+        alph = rng.choice(alphabets)
+        a = "".join(rng.choice(alph) for _ in range(rng.randint(1, 20)))
+        pad = "".join(rng.choice(alph) for _ in range(rng.randint(0, 20)))
+        i = rng.randint(0, len(pad))
+        b = pad[:i] + a + pad[i:]
+        assert _partial_ratio_py(a, b) == _partial_ratio_bruteforce(a, b), (a, b)
     for a, b in [
         ("", ""), ("", "x"), ("x", ""), ("a", "a"), ("ab", "ba"),
         ("abc bcd abc", "abc abc xyz"), ("abc", "xyz abc xyz"),
@@ -74,6 +82,62 @@ def test_wratio_precomputed_reuse_matches_plain():
         b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 64)))
         e, p = _indel_ratio(a, b), _partial_ratio_py(a, b)
         assert _wratio_py(a, b, _end=e, _p=p) == _wratio_py(a, b), (a, b)
+
+
+def test_wratio_tokenset_shortcut_matches_three_call_max():
+    """WRatio's token-set partial is short-circuited to 100.0 when the
+    token intersection is non-empty (sect is a prefix of both combined
+    strings, so a perfect alignment window exists) — identical to the
+    explicit three-call max it replaces (r11).  The explicit form below
+    uses `_partial_ratio_py`, itself pinned byte-equal to the brute
+    force above, so this chain reaches back to the reference formula."""
+    import random
+
+    from entitymatchingmodel_spark.operators.features import (
+        _indel_ratio,
+        _token_strings,
+    )
+
+    def wratio_explicit(s1, s2):
+        if not s1 or not s2:
+            return 0.0
+        l1, l2 = len(s1), len(s2)
+        lr = max(l1, l2) / min(l1, l2)
+        end = _indel_ratio(s1, s2)
+        sa, sb, sect, c1, c2 = _token_strings(s1, s2)
+        if lr < 1.5:
+            ts = _indel_ratio(sa, sb)
+            tset = max(
+                _indel_ratio(sect, c1), _indel_ratio(sect, c2), _indel_ratio(c1, c2)
+            )
+            return max(end, max(ts, tset) * 0.95)
+        ps = 0.9 if lr < 8 else 0.6
+        p = _partial_ratio_py(s1, s2)
+        pts = _partial_ratio_py(sa, sb)
+        ptset = max(
+            _partial_ratio_py(sect, c1),
+            _partial_ratio_py(sect, c2),
+            _partial_ratio_py(c1, c2),
+        )
+        return max(end, p * ps, max(pts, ptset) * 0.95 * ps)
+
+    rng = random.Random(20260819)
+    words = ["acme", "holdings", "intl", "business", "corp", "bv", "a", "日本"]
+    alphabets = ["ab", "abcdefghijklmnopqrstuvwxyz "]
+    for _ in range(2500):
+        if rng.random() < 0.5:  # token-ish pairs: exercises sect branches
+            a = " ".join(rng.choice(words) for _ in range(rng.randint(0, 4)))
+            b = " ".join(rng.choice(words) for _ in range(rng.randint(0, 8)))
+        else:
+            alph = rng.choice(alphabets)
+            a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 30)))
+            b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 60)))
+        assert _wratio_py(a, b) == wratio_explicit(a, b), (a, b)
+    for a, b in [
+        (" ", "   x"), ("x", "   "), ("a b", "c d e f"), ("ab", "ab ab ab"),
+        ("a", "b c d e f g h i j"), ("日本 語", "語 日本 xx yy zz"),
+    ]:
+        assert _wratio_py(a, b) == wratio_explicit(a, b), (a, b)
 
 
 def test_partial_ratio_symmetric_and_bounded():
