@@ -315,20 +315,31 @@ def _wratio_py(
     end = _indel_ratio(s1, s2) if _end is None else _end
     sa, sb, sect, c1, c2 = _token_strings(s1, s2)
     if lr < 1.5:
+        # ``sect`` is a prefix (hence subsequence) of both combined
+        # strings by construction (c = sect [+ " " + diff]), so
+        # LCS(sect, cX) == len(sect) exactly and the two sect-vs-combined
+        # ratios close to 200*ls/(ls+lcX) with no LCS scan (the
+        # ls+lcX == 0 arm keeps _indel_ratio's empty-vs-empty 100.0).
+        ls, lc1, lc2 = len(sect), len(c1), len(c2)
+        t1 = 100.0 if ls + lc1 == 0 else 200.0 * ls / (ls + lc1)
+        t2 = 100.0 if ls + lc2 == 0 else 200.0 * ls / (ls + lc2)
+        tset = t1 if t1 >= t2 else t2
+        if tset < 100.0:
+            r12 = _indel_ratio(c1, c2)
+            if r12 > tset:
+                tset = r12
+        if tset >= 100.0:
+            # ts = indel(sa, sb) <= 100 can't raise max(ts, tset).
+            return max(end, 95.0)
         ts = _indel_ratio(sa, sb)
-        tset = max(
-            _indel_ratio(sect, c1), _indel_ratio(sect, c2), _indel_ratio(c1, c2)
-        )
-        return max(end, max(ts, tset) * 0.95)
+        return max(end, (ts if ts > tset else tset) * 0.95)
     ps = 0.9 if lr < 8 else 0.6
     p = _partial_ratio_py(s1, s2) if _p is None else _p
-    pts = _partial_ratio_py(sa, sb)
-    # ``sect`` is a prefix of both combined strings by construction
-    # (c = sect [+ " " + diff]), so for non-empty sect the window at
-    # offset 0 is sect itself and partial_ratio(sect, cX) is exactly
-    # 100.0 — the max short-circuits without evaluating any of the three
-    # pairs.  (The empty-sect arm keeps partial_ratio's empty-side
-    # convention: 100.0 only when the other side is empty too.)
+    # Same prefix argument: for non-empty sect the window at offset 0 of
+    # partial_ratio(sect, cX) is sect itself, so ptset is exactly 100.0
+    # without evaluating any of the three pairs.  (The empty-sect arm
+    # keeps partial_ratio's empty-side convention: 100.0 only when the
+    # other side is empty too.)
     if sect:
         ptset = 100.0
     else:
@@ -337,7 +348,14 @@ def _wratio_py(
             100.0 if not c2 else 0.0,
             _partial_ratio_py(c1, c2),
         )
-    return max(end, p * ps, max(pts, ptset) * 0.95 * ps)
+    if ptset >= 100.0:
+        # pts = partial_ratio(sa, sb) <= 100 can't raise max(pts, ptset);
+        # skip its whole window scan.
+        pmax = 100.0
+    else:
+        pts = _partial_ratio_py(sa, sb)
+        pmax = pts if pts > ptset else ptset
+    return max(end, p * ps, pmax * 0.95 * ps)
 
 
 # ---------------------------------------------------------------------------

@@ -140,6 +140,70 @@ def test_wratio_tokenset_shortcut_matches_three_call_max():
         assert _wratio_py(a, b) == wratio_explicit(a, b), (a, b)
 
 
+def test_wratio_closed_forms_match_explicit():
+    """WRatio's sect-vs-combined indel ratios close to 200*ls/(ls+lcX)
+    (sect is a prefix, hence subsequence, of both combined strings, so
+    LCS(sect, cX) == len(sect) exactly), and a 100.0 token-set max makes
+    the token-sort term unreachable (every ratio is <= 100) — so the
+    r11 rewrite skips those LCS scans.  Pinned byte-equal to the explicit
+    reference formulation over pairs BIASED to the lr<1.5 token branch
+    and the subset/equal/disjoint token-set shapes that fire the new
+    closed-form and skip paths."""
+    import random
+
+    from entitymatchingmodel_spark.operators.features import (
+        _indel_ratio,
+        _token_strings,
+    )
+
+    def wratio_explicit(s1, s2):
+        if not s1 or not s2:
+            return 0.0
+        l1, l2 = len(s1), len(s2)
+        lr = max(l1, l2) / min(l1, l2)
+        end = _indel_ratio(s1, s2)
+        sa, sb, sect, c1, c2 = _token_strings(s1, s2)
+        if lr < 1.5:
+            ts = _indel_ratio(sa, sb)
+            tset = max(
+                _indel_ratio(sect, c1), _indel_ratio(sect, c2), _indel_ratio(c1, c2)
+            )
+            return max(end, max(ts, tset) * 0.95)
+        ps = 0.9 if lr < 8 else 0.6
+        p = _partial_ratio_py(s1, s2)
+        pts = _partial_ratio_py(sa, sb)
+        ptset = max(
+            _partial_ratio_py(sect, c1),
+            _partial_ratio_py(sect, c2),
+            _partial_ratio_py(c1, c2),
+        )
+        return max(end, p * ps, max(pts, ptset) * 0.95 * ps)
+
+    rng = random.Random(20260818)
+    words = ["acme", "holding", "intl", "corp", "bv", "bank", "van", "der", "ab"]
+    for _ in range(2500):
+        a_toks = [rng.choice(words) for _ in range(rng.randint(0, 4))]
+        mode = rng.random()
+        if mode < 0.35:  # subset / equal token sets (closed forms hit 100)
+            b_toks = a_toks[: rng.randint(0, len(a_toks))] or a_toks
+            rng.shuffle(b_toks)
+        elif mode < 0.7:  # overlap: sect, d1, d2 all non-empty
+            b_toks = a_toks[: rng.randint(0, len(a_toks))] + [
+                rng.choice(words) for _ in range(rng.randint(1, 3))
+            ]
+        else:  # near-equal lengths keep lr < 1.5 without shared tokens
+            b_toks = [rng.choice(words) for _ in range(max(1, len(a_toks)))]
+        a, b = " ".join(a_toks), " ".join(b_toks)
+        assert _wratio_py(a, b) == wratio_explicit(a, b), (a, b)
+        assert _wratio_py(b, a) == wratio_explicit(b, a), (b, a)
+    for a, b in [
+        ("a b", "a b"), ("a b", "b a"), ("a b c", "c b a d"),
+        ("acme bv", "acme holding bv"), ("q w e", "r t y"),
+        ("", ""), ("x", ""), ("a", "a a a"),
+    ]:
+        assert _wratio_py(a, b) == wratio_explicit(a, b), (a, b)
+
+
 def test_partial_ratio_symmetric_and_bounded():
     pairs = [("abcd", "xabcdy"), ("q", "q"), ("ab", "ba"), ("", "x")]
     for a, b in pairs:
