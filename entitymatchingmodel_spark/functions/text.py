@@ -727,10 +727,8 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def gopher_rules_table(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def _gopher_rule_cols(
+    txt: Column,
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -739,27 +737,10 @@ def gopher_rules_table(
     max_bullet_ratio: float = 0.9,
     max_ellipsis_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
-) -> DataFrame:
-    """Gopher-style repetition-free quality rules (Rae et al. 2021 §A1.1.2,
-    public paper; also the C4/RefinedWeb rule family) as ONE map-only
-    projection — the rule columns a curation pipeline filters and audits
-    on, not just a scalar score (complements :func:`quality_score`).
-
-    Per document: ``n_words`` (whitespace words — Gopher's unit, unlike
-    :func:`tokens`' alnum runs), ``mean_word_len``, ``symbol_ratio``
-    (non-overlapping '#'/'...' counts per word), ``bullet_ratio`` /
-    ``ellipsis_ratio`` (fraction of lines starting with a bullet /
-    ending with an ellipsis), ``alpha_word_ratio`` (fraction of words
-    containing an ASCII letter — the ASCII simplification keeps the
-    Java-regex and ANSI-SQL engines bit-identical), and ``keep`` — the
-    AND of the Gopher thresholds (defaults from the paper).
-
-    NULL/empty text keeps its row: counts 0, ratios NULL, ``keep`` false
-    (the corpus-wide all-NULL convention).  Ratios are per-row divisions
-    of integers (IEEE-identical in both engines) rounded to 6dp; no
-    aggregation, no shuffle — the filter pushes to the scan at any scale.
-    """
-    txt = F.col(text_col)
+) -> dict[str, Column]:
+    """Named column expressions of :func:`gopher_rules_table` (shared with
+    the fused :func:`gopher_keep_table`, whose ``keep_rules`` flag rides
+    the repetition table's base projection — same expressions, one scan)."""
     words = F.filter(F.split(txt, "\\s+"), lambda w: w != "")
     n_words = F.size(words)  # -1 for NULL text
     total_word_chars = F.aggregate(
@@ -805,15 +786,62 @@ def gopher_rules_table(
         & (ellipsis_ratio <= max_ellipsis_ratio)
         & (alpha_ratio >= min_alpha_word_ratio)
     )
+    return {
+        "n_words": F.greatest(n_words, F.lit(0)).cast("long"),
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_ratio": bullet_ratio,
+        "ellipsis_ratio": ellipsis_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "keep": F.coalesce(keep, F.lit(False)),
+    }
+
+
+def gopher_rules_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rules (Rae et al. 2021 §A1.1.2,
+    public paper; also the C4/RefinedWeb rule family) as ONE map-only
+    projection — the rule columns a curation pipeline filters and audits
+    on, not just a scalar score (complements :func:`quality_score`).
+
+    Per document: ``n_words`` (whitespace words — Gopher's unit, unlike
+    :func:`tokens`' alnum runs), ``mean_word_len``, ``symbol_ratio``
+    (non-overlapping '#'/'...' counts per word), ``bullet_ratio`` /
+    ``ellipsis_ratio`` (fraction of lines starting with a bullet /
+    ending with an ellipsis), ``alpha_word_ratio`` (fraction of words
+    containing an ASCII letter — the ASCII simplification keeps the
+    Java-regex and ANSI-SQL engines bit-identical), and ``keep`` — the
+    AND of the Gopher thresholds (defaults from the paper).
+
+    NULL/empty text keeps its row: counts 0, ratios NULL, ``keep`` false
+    (the corpus-wide all-NULL convention).  Ratios are per-row divisions
+    of integers (IEEE-identical in both engines) rounded to 6dp; no
+    aggregation, no shuffle — the filter pushes to the scan at any scale.
+    """
+    cols = _gopher_rule_cols(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_ratio=max_bullet_ratio,
+        max_ellipsis_ratio=max_ellipsis_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+    )
     return df.select(
-        F.col(id_col),
-        F.greatest(n_words, F.lit(0)).cast("long").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_ratio.alias("bullet_ratio"),
-        ellipsis_ratio.alias("ellipsis_ratio"),
-        alpha_ratio.alias("alpha_word_ratio"),
-        F.coalesce(keep, F.lit(False)).alias("keep"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -864,6 +892,19 @@ def _sum_lengths(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
 
 
+def _merged_repetition_thresholds(
+    thresholds: dict[str, float] | None,
+) -> dict[str, float]:
+    """Validate+merge user thresholds over ``GOPHER_REPETITION_THRESHOLDS``."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+        th.update(thresholds)
+    return th
+
+
 def gopher_repetition_table(
     df: DataFrame,
     id_col: str,
@@ -912,12 +953,23 @@ def gopher_repetition_table(
     window, one rejoin on ``id_col``.  Everything is keyed by the doc id;
     no global state.
     """
-    th = dict(GOPHER_REPETITION_THRESHOLDS)
-    if thresholds:
-        unknown = set(thresholds) - set(th)
-        if unknown:
-            raise ValueError(f"unknown thresholds: {sorted(unknown)}")
-        th.update(thresholds)
+    th = _merged_repetition_thresholds(thresholds)
+    return _gopher_repetition_core(df, id_col, text_col, th)
+
+
+def _gopher_repetition_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    th: dict[str, float],
+    extra_base_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Body of :func:`gopher_repetition_table`.  ``extra_base_cols`` lets
+    the fused :func:`gopher_keep_table` compute additional PER-ROW columns
+    (e.g. the quality-rules keep flag) inside the same ``base`` projection
+    — one doc scan instead of two — and carries them to the output
+    unchanged (they ride the base side of the rejoin, never the exploded
+    n-gram stream)."""
     txt = F.col(text_col)
     words = _ws_words(txt)
     n_words = F.size(words)
@@ -940,6 +992,7 @@ def gopher_repetition_table(
     lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
     paras = F.filter(F.split(txt, "\n\n+"), lambda p: F.trim(p) != "")
 
+    extra = extra_base_cols or {}
     base = df.select(
         F.col(id_col),
         char_count.alias("_cc"),
@@ -948,6 +1001,7 @@ def gopher_repetition_table(
         _dup_frac(paras).alias("dup_para_frac"),
         _dup_char_frac(lines).alias("dup_line_char_frac"),
         _dup_char_frac(paras).alias("dup_para_char_frac"),
+        *[c.alias(name) for name, c in extra.items()],
     )
 
     # every n-gram fraction (top AND dup) comes from ONE exploded stream:
@@ -1078,6 +1132,7 @@ def gopher_repetition_table(
         F.col(id_col),
         *[final_cols[name].alias(name) for name in frac_names],
         F.coalesce(keep, F.lit(False)).alias("keep_repetition"),
+        *extra,
     )
 
 
@@ -1091,17 +1146,21 @@ def gopher_keep_table(
     """The FUSED Gopher filter: ``(id, keep_rules, keep_repetition,
     keep)`` where ``keep`` = :func:`gopher_rules_table`'s quality rules
     AND :func:`gopher_repetition_table`'s repetition rules — the complete
-    published Gopher document filter as one call.  One equi-join on the
-    doc id between the map-only rules projection and the repetition
-    table."""
-    rules = gopher_rules_table(df, id_col, text_col, **(rules_kwargs or {})).select(
-        id_col, F.col("keep").alias("keep_rules")
+    published Gopher document filter as one call.
+
+    r11 fusion: the quality-rules keep flag is computed as an extra
+    per-row column of the repetition table's own ``base`` projection
+    (:func:`_gopher_rule_cols` — the exact expressions
+    :func:`gopher_rules_table` selects), so the whole filter costs ONE
+    heavy-HOF doc scan + the n-gram stream and ONE rejoin, instead of a
+    second full rules scan and a second doc-id equi-join."""
+    th = _merged_repetition_thresholds(repetition_thresholds)
+    keep_rules = _gopher_rule_cols(F.col(text_col), **(rules_kwargs or {}))["keep"]
+    out = _gopher_repetition_core(
+        df, id_col, text_col, th, extra_base_cols={"keep_rules": keep_rules}
     )
-    rep = gopher_repetition_table(
-        df, id_col, text_col, thresholds=repetition_thresholds
-    ).select(id_col, "keep_repetition")
-    return rules.join(rep, id_col).select(
-        id_col,
+    return out.select(
+        F.col(id_col),
         "keep_rules",
         "keep_repetition",
         (F.col("keep_rules") & F.col("keep_repetition")).alias("keep"),

@@ -240,8 +240,44 @@ def pq_encode(
     shuffle (codes re-assembled in subspace order with ``array_sort`` on
     the (sub_id, code) pairs — deterministic, engine-portable).
     """
-    dim = _check_geometry(df, vec_col, m)
-    _check_codebook(codebooks, dim // m)
+    # data geometry + codebook length from ONE union job (r11; the
+    # ivf_pq_topk guard posture): same checks, same errors, 2 driver
+    # actions -> 1.  Codebook length is validated over ALL m*k rows
+    # (max == min) — strictly stronger than the old single-row peek.
+    side_rows = {
+        int(r["_side"]): r
+        for r in (
+            df.select(F.size(vec_col).alias("_s"), F.lit(0).alias("_side"))
+            .unionByName(
+                codebooks.select(
+                    F.size("centroid").alias("_s"), F.lit(1).alias("_side")
+                )
+            )
+            .groupBy("_side")
+            .agg(F.max("_s").alias("d"), F.min("_s").alias("d0"))
+            .collect()
+        )
+    }
+    drow = side_rows.get(0)
+    if drow is None or drow["d"] is None:
+        raise ValueError("no vectors to quantize")
+    if drow["d"] != drow["d0"]:
+        raise ValueError(
+            f"mixed vector dimensions ({drow['d0']} and {drow['d']}); "
+            "product quantization requires a uniform-dimension column"
+        )
+    dim = int(drow["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} is not divisible by m={m} subspaces")
+    cb_row = side_rows.get(1)
+    if cb_row is None or cb_row["d"] is None:
+        raise ValueError("empty codebook")
+    if int(cb_row["d"]) != dim // m or int(cb_row["d0"]) != dim // m:
+        raise ValueError(
+            f"codebook centroids are {cb_row['d']}-dimensional but the "
+            f"data's subvectors are {dim // m}-dimensional (dim/m mismatch "
+            "between fit and transform)"
+        )
     sv = _subvecs(df.filter(F.col(vec_col).isNotNull()), id_col, vec_col, m, dim // m)
     codes = _assign_codes(sv, codebooks)
     return (
@@ -280,20 +316,62 @@ def pq_topk(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
+    # ONE bounded driver job for the query-side guards (r11): the batch
+    # cap, the ragged/divisibility geometry probe and the NULL-vector
+    # count all come from a single agg over limit(max_queries + 1) — the
+    # limit keeps the failure path's scan bounded exactly like the old
+    # standalone count guard, and in the success path (n_q <= max_queries)
+    # it truncates nothing, so max/min sizes equal the full-frame probe
+    # (size(NULL vec) is NULL and max/min skip NULLs, matching the old
+    # post-filter _check_geometry).  Same checks, same errors, 3 jobs -> 2.
+    qrow = (
+        queries.limit(max_queries + 1)
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.size(qvec_col)).alias("d"),
+            F.min(F.size(qvec_col)).alias("d0"),
+        )
+        .first()
+    )
+    if int(qrow["n"]) > max_queries:
         raise ValueError(
             f"query batch exceeds max_queries={max_queries}; ADC broadcasts "
             "a per-query distance table — chunk the query set (or raise "
             "max_queries if the m*k*batch table still fits in memory)"
         )
-    m = codebooks.select(F.max("sub_id")).first()[0] + 1
+    # ONE bounded driver job for the codebook side: m = max(sub_id) + 1
+    # and the centroid-length cross-check share an agg over the m*k-row
+    # table (previously a first() each).  Length is validated over ALL
+    # codebook rows (max == min == d_sub) — strictly stronger than the
+    # old single-row peek on a ragged codebook, identical on valid ones.
+    cbrow = codebooks.agg(
+        F.max("sub_id").alias("ms"),
+        F.max(F.size("centroid")).alias("d"),
+        F.min(F.size("centroid")).alias("d0"),
+    ).first()
+    if cbrow["ms"] is None:
+        raise ValueError("empty codebook")
+    m = int(cbrow["ms"]) + 1
     # NULL query vectors carry no geometry: without the filter they'd
     # explode to NULL subvectors, tie all ADC scores at NULL, and emit the
     # k smallest corpus ids as fabricated neighbours (review finding)
     queries = queries.filter(F.col(qvec_col).isNotNull())
-    qdim = _check_geometry(queries, qvec_col, m)
-    _check_codebook(codebooks, qdim // m)
+    if qrow["d"] is None:
+        raise ValueError("no vectors to quantize")
+    if qrow["d"] != qrow["d0"]:
+        raise ValueError(
+            f"mixed vector dimensions ({qrow['d0']} and {qrow['d']}); "
+            "product quantization requires a uniform-dimension column"
+        )
+    qdim = int(qrow["d"])
+    if qdim % m != 0:
+        raise ValueError(f"dim={qdim} is not divisible by m={m} subspaces")
+    if int(cbrow["d"]) != qdim // m or int(cbrow["d0"]) != qdim // m:
+        raise ValueError(
+            f"codebook centroids are {cbrow['d']}-dimensional but the data's "
+            f"subvectors are {qdim // m}-dimensional (dim/m mismatch between "
+            "fit and transform)"
+        )
     qsv = _subvecs(queries, qid_col, qvec_col, m, qdim // m).withColumnRenamed(
         "_id", "_qid"
     )
@@ -421,35 +499,49 @@ def ivf_pq_topk(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
+    # fail fast on ragged / non-divisible / corpus-vs-query-mismatched
+    # dimensions: unchecked, the probe's zip_with dots go NULL and the
+    # window "probes" the first nprobe buckets of every query — garbage
+    # neighbours, no error (review finding); same check for a
+    # user-supplied codebook's centroid length.  ALL fail-fast guards run
+    # in ONE union job (r11): corpus geometry, query geometry, the
+    # max_queries batch cap (count over limit(max_queries + 1) — the
+    # limit keeps the failure path's query scan bounded exactly like the
+    # old standalone count guard, and in the success path it truncates
+    # nothing, so the per-side max/min equal full-frame probes) and, when
+    # a codebook is supplied, its centroid length (validated over ALL
+    # m*k rows — strictly stronger than the old single-row peek on a
+    # ragged codebook, identical on valid ones).  Same checks, same
+    # errors; previously 3 separate driver actions per call.
+    probe = corpus.select(
+        F.size(vec_col).alias("_s"), F.lit(0).alias("_side")
+    ).unionByName(
+        queries.limit(max_queries + 1).select(
+            F.size(vec_col).alias("_s"), F.lit(1).alias("_side")
+        )
+    )
+    if codebooks is not None:
+        probe = probe.unionByName(
+            codebooks.select(F.size("centroid").alias("_s"), F.lit(2).alias("_side"))
+        )
+    side_rows = {
+        int(r["_side"]): r
+        for r in (
+            probe.groupBy("_side")
+            .agg(
+                F.max("_s").alias("d"),
+                F.min("_s").alias("d0"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+    }
+    if side_rows.get(1) is not None and int(side_rows[1]["n"]) > max_queries:
         raise ValueError(
             f"query batch exceeds max_queries={max_queries}; ADC broadcasts "
             "a per-query distance table — chunk the query set (or raise "
             "max_queries if the m*k*batch table still fits in memory)"
         )
-    # fail fast on ragged / non-divisible / corpus-vs-query-mismatched
-    # dimensions: unchecked, the probe's zip_with dots go NULL and the
-    # window "probes" the first nprobe buckets of every query — garbage
-    # neighbours, no error (review finding); same check for a
-    # user-supplied codebook's centroid length.  Both sides are probed in
-    # ONE union job (r11): the per-side size aggregates each scan the fat
-    # vector column, and two separate bounded actions doubled that
-    # validation scan on every call.
-    side_rows = {
-        int(r["_side"]): r
-        for r in (
-            corpus.select(F.size(vec_col).alias("_s"), F.lit(0).alias("_side"))
-            .unionByName(
-                queries.select(
-                    F.size(vec_col).alias("_s"), F.lit(1).alias("_side")
-                )
-            )
-            .groupBy("_side")
-            .agg(F.max("_s").alias("d"), F.min("_s").alias("d0"))
-            .collect()
-        )
-    }
 
     def _side_dim(side: int) -> int:
         row = side_rows.get(side)
@@ -474,7 +566,15 @@ def ivf_pq_topk(
             f"{dim}-dimensional"
         )
     if codebooks is not None:
-        _check_codebook(codebooks, d_sub)
+        cb_row = side_rows.get(2)
+        if cb_row is None or cb_row["d"] is None:
+            raise ValueError("empty codebook")
+        if int(cb_row["d"]) != d_sub or int(cb_row["d0"]) != d_sub:
+            raise ValueError(
+                f"codebook centroids are {cb_row['d']}-dimensional but the "
+                f"data's subvectors are {d_sub}-dimensional (dim/m mismatch "
+                "between fit and transform)"
+            )
 
     cents = _build_centroids(corpus, id_col, vec_col, nlist, seed)
     assigned = _assign_corpus(corpus, cents, id_col, vec_col, score_decimals)
@@ -685,10 +785,16 @@ def refine_topk(
         F.col(qid_col).alias("_rq"), F.col(cand_col).alias("_rc")
     ).localCheckpoint()
     qid_col, cand_col = "_rq", "_rc"
-    n_q = (
-        candidates.select(qid_col).distinct().limit(max_queries + 1).count()
-    )
-    if n_q > max_queries:
+    # BOTH guard scalars from ONE agg job over the just-materialized
+    # shortlist (r11): the localCheckpoint above already scanned the frame
+    # end to end, so the old limit-bounded early-stop counts bought
+    # nothing — a full count + approx-free distinct count over the
+    # materialized rows is the same bounded work in one driver action
+    # instead of two.
+    grow = candidates.agg(
+        F.count("*").alias("rows"), F.count_distinct(F.col(qid_col)).alias("nq")
+    ).first()
+    if int(grow["nq"]) > max_queries:
         raise ValueError(
             f"candidate shortlist spans more than max_queries={max_queries} "
             "queries; the shortlist+query-vector frame is broadcast — "
@@ -701,7 +807,7 @@ def refine_topk(
     row_cap = (
         max_queries * 100 if max_shortlist_rows is None else max_shortlist_rows
     )
-    if candidates.limit(row_cap + 1).count() > row_cap:
+    if int(grow["rows"]) > row_cap:
         raise ValueError(
             f"candidate shortlist exceeds {row_cap} rows "
             "(max_shortlist_rows; default max_queries*100); the shortlist+"

@@ -308,3 +308,33 @@ def test_refine_recovers_recall_lost_to_adc(spark):
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) <= 1e-6, key
     short.unpersist()
+
+
+def test_ragged_codebook_fails_fast(spark, vectors):
+    """r11 guard consolidation validates codebook centroid length over ALL
+    m*k rows (max == min == d_sub) in the same driver job as the other
+    guards — a ragged codebook (first row valid, later row not) now fails
+    fast in pq_encode, pq_topk and ivf_pq_topk instead of NULL-poisoning
+    the later rows' distance arithmetic."""
+    ragged_cb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (0, 1, [1.0, 0.0, 0.0]), (1, 0, [0.0, 1.0])],
+        "sub_id int, code int, centroid array<double>",
+    )
+    q = vectors.select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="codebook centroids"):
+        pq_encode(vectors, ragged_cb, "vec_id", "embedding", m=2)
+    good_codes = pq_encode(
+        vectors,
+        pq_codebooks_from_ids(vectors, "vec_id", "embedding", m=2, k=2),
+        "vec_id", "embedding", m=2,
+    )
+    with pytest.raises(ValueError, match="codebook centroids"):
+        pq_topk(good_codes, ragged_cb, q, "vec_id", "qid", "embedding", k=1)
+    from entitymatchingmodel_spark.operators.pq import ivf_pq_topk
+
+    with pytest.raises(ValueError, match="codebook centroids"):
+        ivf_pq_topk(
+            q.withColumnRenamed("qid", "vec_id"), vectors, "vec_id",
+            "embedding", k=1, nlist=2, nprobe=1, m=2, pq_k=2,
+            codebooks=ragged_cb,
+        )

@@ -504,3 +504,51 @@ def test_c4_rules_exchange_free(spark):
         [(1, "Valid sentence with five words here.")], "doc_id long, text string"
     )
     assert exchange_count(c4_rules_table(df, "doc_id", "text")) == 0
+
+
+def test_gopher_keep_fused_matches_two_table_join(spark):
+    """The r11 fused gopher_keep_table (keep_rules computed inside the
+    repetition base projection) must equal the explicit
+    gopher_rules_table ⋈ gopher_repetition_table formulation row for row,
+    including NULL/empty text and non-default thresholds."""
+    from entitymatchingmodel_spark.functions.text import (
+        gopher_keep_table,
+        gopher_repetition_table,
+        gopher_rules_table,
+    )
+
+    rows = [
+        (1, "x y x y x y"),
+        (2, "aa\nbb\naa\n\ncc"),
+        (3, " ".join(f"w{i % 7}" for i in range(120))),
+        (4, None),
+        (5, "   "),
+        (6, "a b c a b d a b e"),
+        (7, "- bullet one\n- bullet two\nplain line ends here..."),
+        (8, "### symbols # galore ... and more ... " * 5),
+        (9, "one two three four five six seven eight nine ten " * 12),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for rules_kwargs, rep_th in [
+        (None, None),
+        ({"min_words": 5, "max_symbol_ratio": 0.5}, {"top_2gram_char_frac": 0.9}),
+    ]:
+        fused = gopher_keep_table(
+            df, "id", "text",
+            rules_kwargs=rules_kwargs, repetition_thresholds=rep_th,
+        )
+        rules = gopher_rules_table(
+            df, "id", "text", **(rules_kwargs or {})
+        ).select("id", F.col("keep").alias("keep_rules"))
+        rep = gopher_repetition_table(
+            df, "id", "text", thresholds=rep_th
+        ).select("id", "keep_repetition")
+        explicit = rules.join(rep, "id").select(
+            "id", "keep_rules", "keep_repetition",
+            (F.col("keep_rules") & F.col("keep_repetition")).alias("keep"),
+        )
+        got = {r["id"]: (r["keep_rules"], r["keep_repetition"], r["keep"])
+               for r in fused.collect()}
+        want = {r["id"]: (r["keep_rules"], r["keep_repetition"], r["keep"])
+                for r in explicit.collect()}
+        assert got == want and set(got) == {1, 2, 3, 4, 5, 6, 7, 8, 9}
