@@ -1585,19 +1585,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sni_pairs_with_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entitymatchingmodel_spark.operators.sni_indexer import SNIIndexer
-
-    key = ("sni_pairs", id(spark), sf_dir)
-    if key not in _CANDS_CACHE:
-        gt, names = _part_gt_names(spark, sf_dir)
-        model = SNIIndexer(window_length=5).fit(gt)
-        pairs = model.transform(names)
-        _CANDS_CACHE[key] = (
-            pairs.join(names, "uid")
-            .join(gt.select("gt_uid", F.col("preprocessed").alias("gt_preprocessed")), "gt_uid")
-            .persist()
-        )
-    return _CANDS_CACHE[key]
+    """Alias of :func:`_sni_pairs` (it built the identical frame under the
+    identical memo key, but WITHOUT the re-persist-after-clearCache guard —
+    so queries entering through this name silently lost the cache after
+    the bench's per-query scrub and re-derived the whole SNI DAG on every
+    reference; vocab_features references the frame twice per execution)."""
+    return _sni_pairs(spark, sf_dir)
 
 
 def q_vocab_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -792,9 +792,15 @@ def refine_topk(
     # materialized rows is the same bounded work in one driver action
     # instead of two.
     grow = candidates.agg(
-        F.count("*").alias("rows"), F.count_distinct(F.col(qid_col)).alias("nq")
+        F.count("*").alias("rows"),
+        # + the NULL-qid group when present: count_distinct skips NULLs but
+        # the old distinct().count() counted NULL as a qid value
+        (
+            F.count_distinct(F.col(qid_col))
+            + F.max(F.when(F.col(qid_col).isNull(), 1).otherwise(0))
+        ).alias("nq"),
     ).first()
-    if int(grow["nq"]) > max_queries:
+    if grow["nq"] is not None and int(grow["nq"]) > max_queries:
         raise ValueError(
             f"candidate shortlist spans more than max_queries={max_queries} "
             "queries; the shortlist+query-vector frame is broadcast — "
