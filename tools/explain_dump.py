@@ -1,8 +1,8 @@
-"""Dump ``explain("formatted")`` for contract queries to plans/r11/.
+"""Dump ``explain("formatted")`` for contract queries to plans/$EMM_PLANS_DIR (default r12).
 
 Usage: python tools/explain_dump.py <tag> [name1,name2,...] [sf_dir]
 
-Writes plans/r11/<query>_<tag>.txt for each named query (all queries when
+Writes plans/<dir>/<query>_<tag>.txt for each named query (all queries when
 the name list is omitted).  ``tag`` is typically ``before`` or ``after`` —
 the r11 optimization-round evidence convention: the judge diffs the pair
 to check each claimed plan change (Exchange count, join strategy,
@@ -29,7 +29,7 @@ def main() -> None:
     spark = get_spark("explain-dump", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join(_REPO, "plans", "r11")
+    out_dir = os.path.join(_REPO, "plans", os.environ.get("EMM_PLANS_DIR", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     for name, fn in E.queries().items():
